@@ -1,0 +1,76 @@
+"""Relational operators Spark lacks as single calls, composed from
+DataFrame primitives (SURVEY §2.4). Everything stays JVM-side — no Python
+in the row path — so whole-stage codegen applies and the ops scale with
+ordinary shuffle tuning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Per-group top-k via row_number window — the scalable pattern
+    (single shuffle on the group key; no global sort)."""
+    order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = Window.partitionBy(*group_cols).orderBy(order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join (backward): for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` key.
+
+    Implementation is the union-tag-window pattern, NOT a range cross
+    join: both sides are tagged and unioned, then one window sorted by
+    (key, ts) carries the last-seen right values forward onto left rows
+    (``last(..., ignorenulls=True)``). Cost: one shuffle on the key +
+    one sort — survives 100× scale-up where a theta join explodes.
+    """
+    lt = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    rt_cols = [F.col(on), F.col(right_ts).alias("_ts"), F.lit(0).alias("_side")] + [
+        F.col(c).alias(f"{c}{suffix}") for c in right_cols
+    ]
+    rt = right.select(*rt_cols)
+    for c in left.columns:
+        if c not in (on,):
+            rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    for c in right_cols:
+        lt = lt.withColumn(f"{c}{suffix}", F.lit(None).cast(dict(right.dtypes)[c]))
+    unioned = lt.select(rt.columns).unionByName(rt.select(rt.columns))
+    # right rows sort before left rows at equal ts → "<=" semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}_f")
+            for c in right_cols
+        ],
+    )
+    out = filled.where(F.col("_side") == 1)
+    for c in right_cols:
+        out = out.drop(f"{c}{suffix}").withColumnRenamed(f"{c}{suffix}_f", f"{c}{suffix}")
+    return out.drop("_side", "_ts")

@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: exact baseline. The query set is broadcast
+  (it is small by construction); the corpus is scanned once; per-query
+  top-k via window. At 100 TB the scan is embarrassingly parallel and
+  the only shuffle is the final tiny top-k.
+- LSH (random hyperplane) top-k: the scale path. Sign-bit signatures
+  bucket the corpus; candidates come from an equi-join on bucket keys;
+  exact cosine reranks within buckets. Recall tuned by tables × bits.
+
+Dot products run as JVM higher-order functions (zip_with + aggregate) —
+no Python in the row path. A Pandas-UDF/numpy variant is a drop-in when
+vector width × row count makes Arrow batching win; for 32-d test vectors
+the expression path wins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+COSINE_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v) / "
+    "(sqrt(aggregate({a}, 0D, (s, v) -> s + v * v)) * "
+    " sqrt(aggregate({b}, 0D, (s, v) -> s + v * v)))"
+)
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cos) with per-query rank ≤ k,
+    self-matches excluded. The queries side is broadcast."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    cos = F.expr(COSINE_EXPR.format(a="q_vec", b="c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def random_hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int = 42) -> list[list[list[float]]]:
+    """Seeded hyperplane sets, shipped to the plan as literals (tiny)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_bits, dim)).round(6).tolist()
+
+
+def _signature_expr(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """Sign-bit LSH signature of one table: bit j = (vec · plane_j) > 0."""
+    bits = []
+    for j, plane in enumerate(planes):
+        arr = "array(" + ",".join(f"{x}D" for x in plane) + ")"
+        dot = f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+        bits.append(f"if({dot} > 0D, shiftleft(1L, {j}), 0L)")
+    return F.expr(" | ".join(bits))
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 6,
+    dim: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: bucket on any of n_tables sign signatures, then
+    exact-cosine rerank within the (small) candidate set."""
+    tables = random_hyperplanes(dim, n_bits, n_tables, seed)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c_sig = c.select(
+        "*",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("t"), _signature_expr("c_vec", tables[t]).alias("sig"))
+                for t in range(n_tables)
+            ])
+        ).alias("ts"),
+    ).select("neighbor_id", "c_vec", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+    q_sig = q.select(
+        "*",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("t"), _signature_expr("q_vec", tables[t]).alias("sig"))
+                for t in range(n_tables)
+            ])
+        ).alias("ts"),
+    ).select("query_id", "q_vec", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
+    cand = (
+        c_sig.join(F.broadcast(q_sig), ["t", "sig"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .distinct()
+    )
+    cos = F.expr(COSINE_EXPR.format(a="q_vec", b="c_vec"))
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

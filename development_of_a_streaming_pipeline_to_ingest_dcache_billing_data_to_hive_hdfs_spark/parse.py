@@ -1,0 +1,69 @@
+"""Billing JSON parsing: one typed ``from_json`` per row.
+
+Reference parity: ``parse_billing`` ≙ `Dcache_kafka_to_hive.py:56-96`
+(``parse_json_value``). The reference parses each value with a 29-key
+``json_tuple`` (all-string), then two more ``json_tuple`` passes for the
+nested ``status``/``protocolInfo`` objects, then ten ``cast`` columns —
+three JSON parses + a cast pass per row. Here a single ``from_json``
+against the typed ``BILLING_SCHEMA`` does parse + nesting + typing in one
+JVM-side expression (no Python in the hot path; whole-stage codegen
+applies), and malformed JSON is captured instead of silently nulled.
+
+At 100 TB this matters: JSON parsing dominates ingest CPU, and one parse
+vs three is a direct ~3× on the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schema import BILLING_SCHEMA, FLAT_COLUMNS, PARTITION_FIELD
+
+# Corrupt-record capture: rows that fail to parse keep the raw string here
+# (the reference silently yields all-NULL rows for malformed JSON).
+CORRUPT_FIELD = "_corrupt_value"
+
+
+def partition_date_col(date_col: str = "date") -> Column:
+    """Derived day-partition key ≙ ``SUBSTR(date, 1, 10)``
+    (`Dcache_kafka_to_hive.py:119,126,133,140`). Late/old records land in
+    their own (old) day partition — semantics preserved."""
+    return F.substring(F.col(date_col), 1, 10)
+
+
+def parse_billing(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse a DataFrame of raw JSON strings (or Kafka binary values) into
+    the flat 31-column typed billing frame.
+
+    Output columns: FLAT_COLUMNS + partition_date + _corrupt_value.
+    Fields absent for a given msgType parse to NULL (same contract as the
+    reference docstring `Dcache_kafka_to_hive.py:58-61`).
+    """
+    raw = F.col(value_col).cast("string")
+    # Fresh StructType: StructType.add mutates in place, which would grow
+    # the shared BILLING_SCHEMA on every call.
+    parse_schema = T.StructType(
+        list(BILLING_SCHEMA.fields) + [T.StructField(CORRUPT_FIELD, T.StringType())]
+    )
+    parsed = df.select(
+        F.from_json(
+            raw,
+            parse_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_FIELD},
+        ).alias("r"),
+    )
+    flat = parsed.select(
+        *[F.col(f"r.{f}").alias(f) for f in FLAT_COLUMNS if not f.startswith(("status_", "protocolInfo_"))],
+        F.col("r.status.msg").alias("status_msg"),
+        F.col("r.status.code").alias("status_code"),
+        F.col("r.protocolInfo.protocol").alias("protocolInfo_protocol"),
+        F.col("r.protocolInfo.port").alias("protocolInfo_port"),
+        F.col("r.protocolInfo.host").alias("protocolInfo_host"),
+        F.col(f"r.{CORRUPT_FIELD}").alias(CORRUPT_FIELD),
+    )
+    return (
+        flat.withColumn(PARTITION_FIELD, partition_date_col())
+        .withColumn("event_ts", F.to_timestamp(F.col("date")))
+    )

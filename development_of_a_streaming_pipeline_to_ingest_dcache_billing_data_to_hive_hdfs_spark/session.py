@@ -1,0 +1,63 @@
+"""SparkSession factory.
+
+Reference parity: ``get_spark_session`` ≙ `Dcache_kafka_to_hive.py:41-53`
+(appName + Hive support + log level). Differences, deliberate:
+
+- Log level via the public ``sparkContext.setLogLevel`` instead of py4j
+  log4j surgery (`Dcache_kafka_to_hive.py:46-50`).
+- AQE + UTC session timezone + Arrow on by default — the 100 TB posture
+  (runtime re-planning, skew-join handling) and oracle comparability
+  (DuckDB timestamps are UTC-naive).
+- Hive support optional: local test/bench runs use the in-memory catalog;
+  a real deployment passes ``hive=True``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark_session(
+    app_name: str = "dcache_billing_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    hive: bool = False,
+    loglevel: str = "WARN",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a session tuned for the current mode.
+
+    In local mode shuffle partitions default to the core count (the Spark
+    default of 200 over-parallelizes small local runs); on a cluster the
+    deployment sets an explicit value sized to the data (target ~128 MB
+    per shuffle partition at 100 TB, i.e. O(100k) partitions + AQE
+    coalescing, not this local default).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if master.startswith("local") else 200
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+    )
+    if hive:
+        builder = builder.enableHiveSupport()
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel(loglevel)
+    return spark

@@ -1,0 +1,80 @@
+"""The ingest pipeline: stream source → parse once → route → 4 sinks.
+
+Reference parity: ``Streaming.to_hive`` + ``forEachBatch``
+(`Dcache_kafka_to_hive.py:303-347`). Upgrades, per SURVEY §3.4/§4:
+
+- **Parse once, write four times**: the parsed micro-batch is persisted
+  before the route writes; the reference re-reads and re-parses the Kafka
+  range for each of its 4 INSERT actions (no cache — the single biggest
+  perf defect, 4× the ingest work).
+- **Idempotent batches**: a committed-batch ledger skips replayed
+  batchIds, turning foreachBatch's at-least-once into effective
+  exactly-once at the table level (the reference duplicates on replay).
+- **Bounded drain via ``trigger(availableNow=True)``** instead of the
+  reference's ``awaitTermination(2 × trigger)`` wall-clock race
+  (`:345-347`, docstring admits it "can happen that it streams twice").
+- **Rejects sink**: unknown msgTypes and corrupt JSON land in a
+  dead-letter table instead of vanishing (`:120,127,134,141` drop them).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+from ..parse import parse_billing
+from ..route import route
+from ..schema import REJECTS_ROUTE
+from ..sink import BatchLedger, write_partitioned
+
+ROUTES = ("transfers", "requests", "storage", "removes", REJECTS_ROUTE)
+
+
+class BillingPipeline:
+    """Wires a billing stream source to partitioned Parquet route sinks."""
+
+    def __init__(self, source: DataFrame, warehouse_dir: str):
+        self.source = source
+        self.warehouse = warehouse_dir
+        self.ledger = BatchLedger(os.path.join(warehouse_dir, "_ledger.json"))
+
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch callback ≙ `Dcache_kafka_to_hive.py:317-336`."""
+        if self.ledger.is_committed(batch_id):
+            return
+        parsed = parse_billing(batch_df)
+        parsed.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            for name, df in route(parsed).items():
+                write_partitioned(df, self.table_path(name))
+            self.ledger.commit(batch_id)
+        finally:
+            parsed.unpersist()
+
+    def run_available_now(self, checkpoint_dir: str) -> None:
+        """Drain everything currently available, then stop — the idiomatic
+        replacement for the reference's cron-window
+        ``awaitTermination(2*trigger); stop()`` (`:345-347`)."""
+        q = (
+            self.source.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def run_continuous(self, checkpoint_dir: str, trigger_seconds: int):
+        """Long-running mode with a processing-time trigger
+        ≙ `Dcache_kafka_to_hive.py:338-345`. Returns the query handle;
+        caller stops it (≙ ``stop_streaming`` `:350-351`)."""
+        return (
+            self.source.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start()
+        )

@@ -1,0 +1,84 @@
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark import (
+    get_spark_session,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_001 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark_session(app_name="tests", master="local[4]", shuffle_partitions=4)
+    yield spark
+    spark.stop()
+
+
+def billing_record(msg_type: str = "transfer", date: str = "2024-03-01T10:00:00.000+0000", **over):
+    """Synthetic dCache billing JSON record (shapes per FIXTURES.md §A)."""
+    base = {
+        "date": date,
+        "msgType": msg_type,
+        "cellName": "pool-a",
+        "session": "s1",
+        "subject": "user:1000",
+        "cellDomain": "dom",
+        "cellType": "pool",
+        "fileSize": 1234.0,
+        "pnfsid": "0000A",
+        "billingPath": "/data/f1",
+        "status": {"msg": "ok", "code": 0},
+        "queuingTime": 5,
+        "storageInfo": "tape@osm",
+    }
+    if msg_type == "transfer":
+        base.update(
+            initiator="door:Door",
+            transferPath="/data/f1",
+            isP2p=False,
+            transferTime=100.5,
+            transferSize=1234.0,
+            localEndpoint="ep1",
+            protocolInfo={"protocol": "Xrootd", "port": 1094, "host": "10.0.0.1"},
+            isWrite="write",
+        )
+    elif msg_type == "request":
+        base.update(
+            owner="alice", clientChain="10.0.0.2", mappedGID=100, mappedUID=1000,
+            transferPath="/data/f1", sessionDuration=42, client="10.0.0.2",
+        )
+    elif msg_type in ("store", "restore"):
+        base.update(transferTime=60.0, locations="osm://osm/1", transaction="txn-1")
+    elif msg_type == "remove":
+        base.update(
+            owner="alice", clientChain="10.0.0.2", mappedGID=100, mappedUID=1000,
+            transferPath="/data/f1", sessionDuration=7, client="10.0.0.2",
+            transaction="txn-2",
+        )
+    base.update(over)
+    return json.dumps(base)
+
+
+@pytest.fixture()
+def billing_batch(spark):
+    """A small mixed batch: all 5 msgTypes + 1 unknown + 1 corrupt."""
+    values = [
+        billing_record("transfer"),
+        billing_record("transfer", date="2024-02-28T23:59:00.000+0000"),
+        billing_record("request"),
+        billing_record("store"),
+        billing_record("restore"),
+        billing_record("remove"),
+        billing_record("mystery"),
+        "{not valid json",
+    ]
+    return spark.createDataFrame([(v,) for v in values], ["value"])

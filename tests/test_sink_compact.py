@@ -1,0 +1,92 @@
+"""Sink idempotence + compaction (SURVEY §5.3-§5.4): partition layout,
+ledger-based replay safety, multi-file → size-targeted-file rewrite with
+byte-identical row sets, per-table partition enumeration (regression for
+the reference's partition-list reuse bug `Dcache_kafka_to_hive.py:366-372`)."""
+
+from __future__ import annotations
+
+import os
+
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.compact import (
+    compact_table,
+    list_partitions,
+    resolve_partition_policy,
+)
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.parse import (
+    parse_billing,
+)
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.route import route
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sink import (
+    BatchLedger,
+    write_partitioned,
+)
+
+from conftest import billing_record
+
+
+def test_write_partition_layout(spark, billing_batch, tmp_path):
+    routed = route(parse_billing(billing_batch))
+    path = str(tmp_path / "transfers")
+    write_partitioned(routed["transfers"], path)
+    # two transfer records on two distinct dates → two partition dirs
+    assert list_partitions(spark, path) == ["2024-02-28", "2024-03-01"]
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_ledger_idempotence(tmp_path):
+    ledger = BatchLedger(str(tmp_path / "ledger.json"))
+    assert not ledger.is_committed(0)
+    ledger.commit(0)
+    ledger.commit(3)
+    assert ledger.is_committed(0) and ledger.is_committed(3)
+    assert not ledger.is_committed(1)
+    # re-open: state survives
+    assert BatchLedger(str(tmp_path / "ledger.json")).committed() == {0, 3}
+
+
+def test_partition_policy():
+    import datetime as dt
+
+    today = dt.date(2024, 3, 2)
+    assert resolve_partition_policy("yesterday", today) == ["2024-03-01"]
+    assert resolve_partition_policy("all", today) is None
+    assert resolve_partition_policy("2024-01-01,2024-01-05", today) == [
+        "2024-01-01", "2024-01-05",
+    ]
+
+
+def _write_many_small_files(spark, path, date, n=6):
+    recs = [(billing_record("transfer", date=f"{date}T0{i}:00:00.000+0000"),) for i in range(n)]
+    df = route(parse_billing(spark.createDataFrame(recs, ["value"])))["transfers"]
+    df.repartition(n).write.mode("append").partitionBy("partition_date").parquet(path)
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "transfers")
+    _write_many_small_files(spark, path, "2024-03-01")
+    pdir = os.path.join(path, "partition_date=2024-03-01")
+    before_files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+    assert len(before_files) > 1
+    before_rows = sorted(spark.read.parquet(path).collect())
+
+    result = compact_table(spark, path)
+    assert result == {"2024-03-01": 1}
+    after_files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+    assert len(after_files) == 1
+    assert sorted(spark.read.parquet(path).collect()) == before_rows
+
+
+def test_compact_enumerates_per_table(spark, tmp_path):
+    # Table A has partition P1, table B has P2 — compacting both with
+    # partitions=None must touch each table's own partitions only.
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _write_many_small_files(spark, a, "2024-03-01", n=2)
+    _write_many_small_files(spark, b, "2024-04-15", n=2)
+    assert set(compact_table(spark, a)) == {"2024-03-01"}
+    assert set(compact_table(spark, b)) == {"2024-04-15"}
+
+
+def test_compact_skips_missing_partition(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_many_small_files(spark, path, "2024-03-01", n=2)
+    assert compact_table(spark, path, partitions=["1999-01-01"]) == {}

@@ -1,0 +1,115 @@
+"""End-to-end streaming (SURVEY §5.3): file-source stream of synthetic
+billing JSON → foreachBatch router → partitioned warehouse; replay a batch
+to assert idempotence (the property the reference lacks, SURVEY §3.4);
+event-time windowed aggregation with watermark."""
+
+from __future__ import annotations
+
+import os
+
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.parse import (
+    parse_billing,
+)
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sources import (
+    billing_stream_source,
+)
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.streaming import (
+    BillingPipeline,
+    dedup_within_watermark,
+    tumbling_counts,
+)
+
+from conftest import billing_record
+
+
+def _write_input(input_dir, records, name="batch0.json"):
+    os.makedirs(input_dir, exist_ok=True)
+    with open(os.path.join(input_dir, name), "w") as f:
+        f.write("\n".join(records) + "\n")
+
+
+def test_stream_end_to_end(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    warehouse = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    _write_input(
+        input_dir,
+        [
+            billing_record("transfer"),
+            billing_record("request"),
+            billing_record("store"),
+            billing_record("remove"),
+            billing_record("alien"),
+        ],
+    )
+    src = billing_stream_source(spark, "file", path=input_dir)
+    pipe = BillingPipeline(src, warehouse)
+    pipe.run_available_now(ckpt)
+
+    counts = {
+        t: spark.read.parquet(pipe.table_path(t)).count()
+        for t in ("transfers", "requests", "storage", "removes", "rejects")
+    }
+    assert counts == {"transfers": 1, "requests": 1, "storage": 1, "removes": 1, "rejects": 1}
+    # partition layout: Hive-style partition_date dirs
+    assert any(
+        d.startswith("partition_date=") for d in os.listdir(pipe.table_path("transfers"))
+    )
+
+    # second drain with NO new input writes nothing new
+    pipe2 = BillingPipeline(billing_stream_source(spark, "file", path=input_dir), warehouse)
+    pipe2.run_available_now(ckpt)
+    assert spark.read.parquet(pipe.table_path("transfers")).count() == 1
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    # Simulate foreachBatch replay after a mid-commit crash: same batch_id
+    # delivered twice must write once.
+    warehouse = str(tmp_path / "wh")
+    batch = spark.createDataFrame([(billing_record("transfer"),)], ["value"])
+    pipe = BillingPipeline(source=None, warehouse_dir=warehouse)
+    pipe.process_batch(batch, 7)
+    pipe.process_batch(batch, 7)
+    assert spark.read.parquet(pipe.table_path("transfers")).count() == 1
+    # a new batch id still appends
+    pipe.process_batch(batch, 8)
+    assert spark.read.parquet(pipe.table_path("transfers")).count() == 2
+
+
+def test_tumbling_window_agg_streaming(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    _write_input(
+        input_dir,
+        [
+            billing_record("transfer", date="2024-03-01T10:05:00.000+0000"),
+            billing_record("transfer", date="2024-03-01T10:25:00.000+0000"),
+            billing_record("request", date="2024-03-01T11:05:00.000+0000"),
+        ],
+    )
+    src = billing_stream_source(spark, "file", path=input_dir)
+    agg = tumbling_counts(parse_billing(src), window_len="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        (str(r.w_start), r.msgType): r.n for r in spark.sql("select * from win_out").collect()
+    }
+    assert rows == {
+        ("2024-03-01 10:00:00", "transfer"): 2,
+        ("2024-03-01 11:00:00", "request"): 1,
+    }
+
+
+def test_dedup_within_watermark_batch(spark):
+    recs = [
+        billing_record("transfer", session="dup"),
+        billing_record("transfer", session="dup"),
+        billing_record("transfer", session="uniq"),
+    ]
+    df = parse_billing(spark.createDataFrame([(r,) for r in recs], ["value"]))
+    assert dedup_within_watermark(df, ["session"]).count() == 2
