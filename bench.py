@@ -1,0 +1,80 @@
+"""Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect-to-count). A
+warm-up pass on sf0.001 first touches the JVM/codegen paths so the timed
+numbers measure the queries, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark import (
+    get_spark_session,
+)
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans import (
+    QUERIES,
+)
+
+# Headline set: the flagship + the heavier relational/llm operators.
+BENCH_QUERIES = [
+    "q_billing_flagship_daily",
+    "q_billing_sessionization",
+    "q_rel_q1_pricing_summary",
+    "q_rel_q3_top_orders",
+    "q_rel_q5_nation_volume",
+    "q_rel_brand_revenue",
+    "q_rel_top3_parts_per_brand",
+    "q_rel_running_totals",
+    "q_rel_cube_lineitem",
+    "q_rel_range_join",
+    "q_rel_asof_join",
+    "q_llm_dedup_exact",
+    "q_llm_minhash_pairs",
+    "q_llm_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark_session(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    # Warm-up: exercise codegen/shuffle machinery on the tiny SF.
+    for name in BENCH_QUERIES[:3]:
+        QUERIES[name](spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

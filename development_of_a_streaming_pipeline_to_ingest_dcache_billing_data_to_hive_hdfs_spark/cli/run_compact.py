@@ -1,0 +1,44 @@
+"""Partition-compaction entry point.
+
+≙ `run_compact_tables.py` (args `:9-31`, partition policy `:47-58`, lock
+`:60-65`, run `:67-78`, status `:79-92`). The compaction itself fixes the
+reference's cross-table partition-list bug and sizes output files by
+bytes (see compact.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from ..compact import DEFAULT_TARGET_BYTES, compact_table, resolve_partition_policy
+from ..session import get_spark_session
+from .locking import run_lock
+
+
+def def_arguments() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="compact day-partitions")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--tables", default="transfers,requests,storage,removes")
+    p.add_argument("--partition", default="yesterday",
+                   help="'yesterday' | 'all' | comma-separated YYYY-MM-DD list")
+    p.add_argument("--target-bytes", type=int, default=DEFAULT_TARGET_BYTES)
+    p.add_argument("--lock-path", default="/tmp/dcache_compact.lock")
+    p.add_argument("--status-path", default=None)
+    p.add_argument("--loglevel", default="WARN")
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = def_arguments().parse_args(argv)
+    partitions = resolve_partition_policy(args.partition)
+    with run_lock(args.lock_path, args.status_path):
+        spark = get_spark_session(app_name="dcache_compact", loglevel=args.loglevel)
+        for table in args.tables.split(","):
+            path = os.path.join(args.warehouse, table.strip())
+            result = compact_table(spark, path, partitions, args.target_bytes)
+            print(f"{table}: compacted {result}")
+
+
+if __name__ == "__main__":
+    main()

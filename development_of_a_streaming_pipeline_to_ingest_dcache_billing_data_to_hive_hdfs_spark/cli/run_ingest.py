@@ -1,0 +1,55 @@
+"""Periodic streaming-ingest entry point.
+
+≙ `run_kafka_to_hive.py` (CLI args `:7-28`, lock `:37-43`, run `:46-58`,
+status `:60-72`). Differences: ``--source file --input-path`` for
+broker-less runs, ``availableNow`` bounded drain by default instead of
+the ``awaitTermination(2×trigger)`` wall-clock race, atomic locking.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..session import get_spark_session
+from ..sources.stream import billing_stream_source
+from ..streaming.pipeline import BillingPipeline
+from .locking import run_lock
+
+
+def def_arguments() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="dCache billing ingest (Spark)")
+    p.add_argument("--source", choices=["kafka", "file"], default="kafka")
+    p.add_argument("--warehouse", required=True, help="warehouse base dir/URI")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--kafka-bootstrap")
+    p.add_argument("--subscribe-pattern")
+    p.add_argument("--input-path", help="file-source input dir")
+    p.add_argument("--trigger-s", type=int, default=0,
+                   help="0 = drain available data and exit (availableNow)")
+    p.add_argument("--lock-path", default="/tmp/dcache_ingest.lock")
+    p.add_argument("--status-path", default=None)
+    p.add_argument("--loglevel", default="WARN")
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = def_arguments().parse_args(argv)
+    with run_lock(args.lock_path, args.status_path):
+        spark = get_spark_session(app_name="dcache_ingest", loglevel=args.loglevel)
+        source = billing_stream_source(
+            spark,
+            args.source,
+            path=args.input_path,
+            kafka_bootstrap=args.kafka_bootstrap,
+            subscribe_pattern=args.subscribe_pattern,
+        )
+        pipe = BillingPipeline(source, args.warehouse)
+        if args.trigger_s > 0:
+            q = pipe.run_continuous(args.checkpoint, args.trigger_s)
+            q.awaitTermination()
+        else:
+            pipe.run_available_now(args.checkpoint)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,36 @@
+"""Shared scalar/column function library — the engine's single home for
+reusable column expressions (all JVM-side, codegen-friendly)."""
+
+from ..parse import partition_date_col
+from ..operators.dedup import (
+    char_shingles,
+    estimated_jaccard,
+    fingerprint,
+    ngram_jaccard,
+    normalized_text,
+)
+from ..operators.textops import (
+    bpe_ish_token_count,
+    predicted_lang_col,
+    quality_score_cols,
+    stopword_lang_scores,
+    token_count_col,
+    tokens_col,
+)
+from ..operators.similarity import COSINE_EXPR
+
+__all__ = [
+    "partition_date_col",
+    "normalized_text",
+    "fingerprint",
+    "char_shingles",
+    "ngram_jaccard",
+    "estimated_jaccard",
+    "tokens_col",
+    "token_count_col",
+    "bpe_ish_token_count",
+    "quality_score_cols",
+    "stopword_lang_scores",
+    "predicted_lang_col",
+    "COSINE_EXPR",
+]

@@ -1,0 +1,96 @@
+"""Text analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, fingerprinting.
+
+All pure JVM-side column expressions (string/regex/array built-ins) —
+these run inside whole-stage codegen at full scan speed; none of them
+shuffles. Every function here is also expressible in ANSI SQL, so each
+has a DuckDB oracle twin in the catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately short: the operator demonstrates the pattern; a production
+# list is a broadcast lookup with the same plan shape.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "ein", "eine", "mit"],
+}
+
+
+def tokens_col(col: str = "text") -> Column:
+    """Whitespace tokens of the lowercased text (empty strings dropped)."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(col))), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def token_count_col(col: str = "text") -> Column:
+    return F.size(tokens_col(col))
+
+
+def bpe_ish_token_count(col: str = "text") -> Column:
+    """Sub-word-ish token estimate: count of letter-runs, digit-runs and
+    single punctuation marks (a cheap proxy for BPE token counts)."""
+    return F.size(
+        F.filter(
+            F.split(F.col(col), r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+            lambda t: F.trim(t) != F.lit(""),
+        )
+    )
+
+
+def quality_score_cols(col: str = "text") -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality signals, each a plain
+    column expression; callers select the ones they need."""
+    n_chars = F.length(F.col(col))
+    toks = tokens_col(col)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(col), r"[^\w\s]", ""))
+    en_stop = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.round(
+            (F.length(F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", "")))
+            / F.greatest(n_tokens, F.lit(1)),
+            4,
+        ),
+        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4),
+        "stopword_ratio": F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4),
+    }
+
+
+def stopword_lang_scores(col: str = "text") -> dict[str, Column]:
+    """Per-language stopword hit counts; argmax is the predicted language."""
+    toks = tokens_col(col)
+
+    def hit_filter(arr):
+        # closure factory: the lambda must be unary (a second param would
+        # make Spark pass the element index instead)
+        return lambda t: F.array_contains(arr, t)
+
+    out = {}
+    for lang, words in STOPWORDS.items():
+        arr = F.array([F.lit(w) for w in words])
+        out[f"hits_{lang}"] = F.size(F.filter(toks, hit_filter(arr)))
+    return out
+
+
+def predicted_lang_col(col: str = "text") -> Column:
+    """Predicted language = stopword list with the most hits (ties break
+    by list order en > es > fr > de; 'und' = undetermined if all zero)."""
+    scores = stopword_lang_scores(col)
+    langs = list(scores)
+    best = F.greatest(*[scores[c] for c in langs])
+    pred = F.lit("und")
+    for name in reversed(langs):  # earlier langs win ties → apply last
+        lang = name.removeprefix("hits_")
+        pred = F.when(scores[name] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))

@@ -1,0 +1,3 @@
+from .catalog import QUERIES, ORACLES, flagship
+
+__all__ = ["QUERIES", "ORACLES", "flagship"]

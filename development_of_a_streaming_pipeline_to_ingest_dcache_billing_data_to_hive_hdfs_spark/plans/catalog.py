@@ -1,0 +1,1207 @@
+"""Query catalog: every operator from SURVEY.md §2 (and the §2.4
+capability extensions) as a (Spark DataFrame fn, DuckDB oracle SQL) pair.
+
+The driver contract (`/root/repo/__spark_entry__.py`) runs each Spark
+query and its oracle side-by-side at sf=0.01 and compares row count +
+schema + order-insensitive value hash, so:
+
+- every computed column is aliased identically on both sides;
+- float aggregates are rounded (2-4 dp) on both sides to absorb
+  summation-order ulp drift between engines;
+- integer-sum results are cast to BIGINT on both sides (DuckDB widens
+  integer sums to HUGEINT);
+- queries with engine-specific primitives (xxhash64 minhash/simhash,
+  HLL approx_count_distinct, LSH buckets) have no oracle → the driver
+  records a rows-only check, by design.
+
+Naming: q_<family>_<what>. Families: billing (events stand-in for the
+reference's stream, SURVEY §1), rel (relational surface, §2.4), llm
+(training-data ops, milestone 5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    char_shingles,
+    exact_dedup_groups,
+    fingerprint,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from ..operators.relational import asof_join, top_k_per_group
+from ..operators.similarity import cosine_topk_bruteforce, lsh_cosine_topk
+from ..operators.textops import (
+    predicted_lang_col,
+    quality_score_cols,
+    stopword_lang_scores,
+    token_count_col,
+)
+from ..sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# billing family — the reference's semantic core on the events stand-in
+# (JSON parse ≙ Dcache_kafka_to_hive.py:56-96, discriminator routing
+# ≙ :115-141, date-derived partitioning ≙ :119)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_billing_flagship_daily",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_billing_flagship_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: JSON props parse + typed cast + discriminator group +
+    date-derived partition key + aggregate, one declarative plan."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+@register(
+    "q_billing_route_counts",
+    """
+    SELECT CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversions'
+                WHEN event_type IN ('click', 'view') THEN 'engagement'
+                ELSE 'rejects' END AS route,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_billing_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discriminator routing incl. the rejects path (≙ route.route)."""
+    events = load_table(spark, sf_dir, "events")
+    routed = events.withColumn(
+        "route",
+        F.when(F.col("event_type").isin("purchase", "signup"), "conversions")
+        .when(F.col("event_type").isin("click", "view"), "engagement")
+        .otherwise("rejects"),
+    )
+    return routed.groupBy("route").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+@register(
+    "q_billing_partition_days",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS partition_date, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_billing_partition_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived day-partition key ≙ SUBSTR(date,1,10) at :119."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("partition_date")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_billing_hourly_windows",
+    """
+    SELECT date_trunc('hour', ts) AS w_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_billing_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate (batch twin of the streaming
+    windows in streaming/windows.py)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_billing_sessionization",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def q_billing_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap threshold (30 min) — the batch twin of
+    session_window streaming."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "q_billing_props_stats",
+    """
+    SELECT event_type,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_distinct_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_billing_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count_distinct("k").alias("n_distinct_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# rel family — the relational surface (SURVEY §2.4 explicit absences)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q_rel_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + hash aggregate with 8 aggregates.
+    Partial (map-side) aggregation is automatic; filter pushes to scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_rel_q3_top_orders",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_rel_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + global top-N. Customer side is
+    broadcast (small after the segment filter)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_rel_q5_nation_volume",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q_rel_q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join; dims broadcast, facts shuffle."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q_rel_brand_revenue",
+    """
+    SELECT p_brand,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_rel_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join: part is the small build side, explicitly
+    broadcast so the lineitem scan never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_rel_semi_join_customers",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 100000)
+    """,
+)
+def q_rel_semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join ≙ EXISTS."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_rel_anti_join_customers",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_rel_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join ≙ NOT EXISTS."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "q_rel_top3_parts_per_brand",
+    """
+    SELECT p_brand, p_partkey, revenue, rn FROM (
+      SELECT p_brand, p_partkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) DESC,
+                                         p_partkey) AS rn
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, p_partkey
+    ) WHERE rn <= 3
+    """,
+)
+def q_rel_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window (operators.top_k_per_group)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), "p_partkey")
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rn")
+    )
+
+
+@register(
+    "q_rel_running_totals",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_total
+    FROM orders
+    """,
+)
+def q_rel_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frame: cumulative sum per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "q_rel_order_gaps",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS INTEGER) AS days_since_prev
+    FROM orders
+    """,
+)
+def q_rel_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytic functions: days since the previous order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("int")
+        .alias("days_since_prev"),
+    )
+
+
+@register(
+    "q_rel_rollup_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rel_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
+    "q_rel_cube_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_rel_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate over two dimensions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@register(
+    "q_rel_grouping_sets",
+    """
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+)
+def q_rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (same Catalyst plan as cube)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+@register(
+    "q_rel_distinct_stats",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_rel_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) inside a grouped aggregate (expand + two-phase)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count_distinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+    )
+
+
+@register("q_rel_approx_distinct")
+def q_rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). No oracle — estimator is
+    engine-specific; the driver records a rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@register(
+    "q_rel_set_union",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 250000
+    """,
+)
+def q_rel_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .union(
+            o.where(F.col("o_totalprice") > 250000).select(
+                F.col("o_custkey").alias("c_custkey")
+            )
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q_rel_set_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def q_rel_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .intersect(o.select(F.col("o_custkey").alias("c_custkey")))
+    )
+
+
+@register(
+    "q_rel_set_except",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def q_rel_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.select("c_custkey").exceptAll(
+        o.select(F.col("o_custkey").alias("c_custkey"))
+    ).distinct()
+
+
+@register(
+    "q_rel_pivot_priority",
+    """
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium,
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p_notspec,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_rel_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide counts per priority)."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    renames = {
+        "1-URGENT": "p_urgent",
+        "2-HIGH": "p_high",
+        "3-MEDIUM": "p_medium",
+        "4-NOT SPECIFIED": "p_notspec",
+        "5-LOW": "p_low",
+    }
+    out = piv
+    for old, new in renames.items():
+        out = out.withColumn(new, F.coalesce(F.col(f"`{old}`"), F.lit(0)).cast("bigint")).drop(old)
+    return out
+
+
+@register(
+    "q_rel_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_name, 1, 8) AS name_prefix,
+           concat_ws('/', p_brand, p_type) AS brand_type,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           replace(p_type, ' ', '_') AS type_snake,
+           lpad(p_brand, 12, '*') AS brand_padded
+    FROM part WHERE p_partkey <= 100
+    """,
+)
+def q_rel_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function coverage."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+    )
+
+
+@register(
+    "q_rel_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+           CAST(isodow(o_orderdate) - 1 AS INTEGER) AS order_weekday,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(o_orderdate, '%Y-%m') AS order_ym
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def q_rel_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date-function coverage (weekday normalized to Mon=0)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        F.weekday("o_orderdate").cast("int").alias("order_weekday"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.last_day(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias("month_end"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+    )
+
+
+@register(
+    "q_rel_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * l_discount, 3) AS discount_amt,
+           ABS(l_quantity - 25) AS qty_dev,
+           CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           l_partkey % 7 AS partkey_mod,
+           ROUND(sqrt(l_extendedprice), 4) AS price_sqrt,
+           ROUND(ln(l_extendedprice + 1), 4) AS price_ln,
+           ROUND(power(l_discount, 2), 6) AS disc_sq
+    FROM lineitem WHERE l_orderkey <= 300
+    """,
+)
+def q_rel_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math-function coverage."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * F.col("l_discount"), 3).alias("discount_amt"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000).cast("bigint").alias("price_k_ceil"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        (F.col("l_partkey") % 7).alias("partkey_mod"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
+        F.round(F.pow("l_discount", 2), 6).alias("disc_sq"),
+    )
+
+
+@register(
+    "q_rel_conditional_funcs",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_display,
+           least(o_totalprice, 150000.0) AS capped_price,
+           greatest(o_totalprice, 50000.0) AS floored_price
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def q_rel_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE / coalesce / nullif / least / greatest."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_display"
+        ),
+        F.least(F.col("o_totalprice"), F.lit(150000.0)).alias("capped_price"),
+        F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("floored_price"),
+    )
+
+
+@register(
+    "q_rel_array_funcs",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+           ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) AS vec_sum,
+           ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max'), 4) AS vec_max
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def q_rel_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order function coverage over the embedding column."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    vec = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.element_at(vec, 1), 4).alias("first_val"),
+        F.round(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x), 4).alias("vec_sum"),
+        F.round(F.array_max(vec), 4).alias("vec_max"),
+    )
+
+
+@register(
+    "q_rel_in_subquery",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      AND o_orderkey <= 2000
+    """,
+)
+def q_rel_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) via the SQL surface."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+          AND o_orderkey <= 2000
+        """
+    )
+
+
+@register(
+    "q_rel_correlated_subquery",
+    """
+    SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_rel_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (decorrelated by Catalyst into a join)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 2) AS o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                                    WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
+    "q_rel_cte_top_suppliers",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_rel_cte_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + scalar subquery (TPC-H Q15 shape)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """
+    )
+
+
+@register(
+    "q_rel_range_join",
+    """
+    SELECT o_orderkey, COUNT(*) AS n_in_window,
+           ROUND(AVG(CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE)), 4) AS avg_ship_delay
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+    WHERE o_orderkey <= 2000
+    GROUP BY o_orderkey
+    """,
+)
+def q_rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range (interval) join predicate."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+    )
+    return (
+        o.join(li, cond)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_in_window"),
+            F.round(
+                F.avg(F.datediff("l_shipdate", "o_orderdate").cast("double")), 4
+            ).alias("avg_ship_delay"),
+        )
+    )
+
+
+@register(
+    "q_rel_asof_join",
+    """
+    SELECT p.event_id, p.user_id, epoch_ms(CAST(p.ts AS TIMESTAMP)) AS ts_ms,
+           epoch_ms(CAST((SELECT MAX(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts <= p.ts) AS TIMESTAMP)) AS last_click_ms
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def q_rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join via the union-tag-window operator — one
+    shuffle on the key, no range explosion (operators.asof_join)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts",
+        right_cols=["click_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.unix_millis(F.col("click_ts_asof")).alias("last_click_ms"),
+    )
+
+
+@register(
+    "q_rel_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile ≙ quantile_cont)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
+    )
+
+
+# --------------------------------------------------------------------------
+# llm family — training-data pipeline operators (SURVEY §7 milestone 5)
+# --------------------------------------------------------------------------
+
+_NORM_SQL_DUCK = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+@register(
+    "q_llm_dedup_exact",
+    f"""
+    SELECT md5({_NORM_SQL_DUCK}) AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on normalized-text fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs)
+
+
+@register(
+    "q_llm_fingerprints",
+    f"""
+    SELECT doc_id, md5({_NORM_SQL_DUCK}) AS fp, n_chars
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_llm_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable per-document content fingerprint (md5 of normalized text)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return docs.select("doc_id", fingerprint().alias("fp"), "n_chars")
+
+
+@register(
+    "q_llm_token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                t -> t <> '')) AS INTEGER) AS n_tokens
+    FROM documents
+    """,
+)
+def q_llm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count_col().cast("int").alias("n_tokens"))
+
+
+@register(
+    "q_llm_text_quality",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                t -> t <> '')) AS INTEGER) AS n_tokens,
+           ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 / greatest(length(text), 1), 4) AS punct_ratio,
+           ROUND(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> list_contains(['the','and','of','to','is','in','that','it','was','for'], t)))
+                 / greatest(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                            t -> t <> '')), 1), 4) AS stopword_ratio
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: length, punctuation ratio, stopword ratio."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    q = quality_score_cols()
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        q["n_tokens"].cast("int").alias("n_tokens"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+_DUCK_TOKENS = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
+_DUCK_HITS = {
+    "en": "['the','and','of','to','is','in','that','it','was','for']",
+    "es": "['el','la','de','que','y','en','un','es','por','los']",
+    "fr": "['le','la','de','et','les','des','un','une','est','dans']",
+    "de": "['der','die','und','das','ist','von','den','ein','eine','mit']",
+}
+_DUCK_HIT_EXPRS = {
+    lang: f"CAST(len(list_filter({_DUCK_TOKENS}, t -> list_contains({lst}, t))) AS INTEGER)"
+    for lang, lst in _DUCK_HITS.items()
+}
+
+
+@register(
+    "q_llm_lang_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_DUCK_HIT_EXPRS['en']} AS hits_en,
+             {_DUCK_HIT_EXPRS['es']} AS hits_es,
+             {_DUCK_HIT_EXPRS['fr']} AS hits_fr,
+             {_DUCK_HIT_EXPRS['de']} AS hits_de
+      FROM documents
+    )
+    SELECT doc_id, lang, hits_en, hits_es, hits_fr, hits_de,
+           CASE WHEN greatest(hits_en, hits_es, hits_fr, hits_de) = 0 THEN 'und'
+                WHEN hits_en = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'en'
+                WHEN hits_es = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'es'
+                WHEN hits_fr = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'fr'
+                ELSE 'de' END AS pred_lang
+    FROM scored
+    """,
+)
+def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID heuristic with per-language scores."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = stopword_lang_scores()
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[scores[f"hits_{l}"].cast("int").alias(f"hits_{l}") for l in ("en", "es", "fr", "de")],
+        predicted_lang_col().alias("pred_lang"),
+    )
+
+
+@register(
+    "q_llm_shingle_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len(list_distinct(
+             list_transform(range(1, greatest(length({_NORM_SQL_DUCK}) - 2, 1) + 1),
+                            i -> {_NORM_SQL_DUCK}[i:i+2])
+           )) AS INTEGER) AS n_shingles
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_llm_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct character-trigram shingle counts (the dedup unit)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id", F.size(char_shingles("text", 3)).cast("int").alias("n_shingles")
+    )
+
+
+@register("q_llm_minhash_pairs")
+def q_llm_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs. No oracle (xxhash64 is
+    Spark-specific); accuracy is pytest-verified against exact Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    return lsh_candidate_pairs(sigs)
+
+
+@register("q_llm_simhash")
+def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures. No oracle (xxhash64-based)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+@register(
+    "q_llm_cosine_topk",
+    """
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(
+               list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(c.embedding, x -> CAST(x AS DOUBLE))), 4) AS cos,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(
+                 list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(c.embedding, x -> CAST(x AS DOUBLE))) DESC,
+               c.vec_id) AS INTEGER) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+)
+def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 10 vectors."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    out = cosine_topk_bruteforce(emb, queries, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos", 4).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@register("q_llm_lsh_cosine_topk")
+def q_llm_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (random-hyperplane LSH) cosine top-5. No oracle —
+    recall vs brute force is pytest-verified."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    return lsh_cosine_topk(emb, queries, k=5, dim=64)
+
+
+@register(
+    "q_llm_embedding_norms",
+    """
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(AVG(sqrt(list_aggregate(
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             'sum'))), 4) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_llm_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm stats."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    return emb.select("label", norm.alias("norm")).groupBy("label").agg(
+        F.count("*").alias("n"), F.round(F.avg("norm"), 4).alias("avg_norm")
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """The entry() query: billing-core semantics in one plan."""
+    return q_billing_flagship_daily(spark, sf_dir)

@@ -38,9 +38,11 @@ def route(parsed: DataFrame) -> dict[str, DataFrame]:
     """
     out: dict[str, DataFrame] = {}
     for name in ("transfers", "requests", "storage", "removes"):
-        out[name] = parsed.where(route_predicate(name)).select(
-            *ROUTE_COLUMNS[name], PARTITION_FIELD
-        )
+        # corrupt rows are excluded even when msgType parsed — a record
+        # with any malformed field goes whole to rejects, never to both
+        out[name] = parsed.where(
+            route_predicate(name) & F.col(CORRUPT_FIELD).isNull()
+        ).select(*ROUTE_COLUMNS[name], PARTITION_FIELD)
     known = list(MSG_TYPE_ROUTES)
     out[REJECTS_ROUTE] = parsed.where(
         (~F.col("msgType").isin(known))

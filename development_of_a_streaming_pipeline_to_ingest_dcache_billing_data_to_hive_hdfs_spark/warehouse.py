@@ -1,0 +1,105 @@
+"""Warehouse DDL / catalog lifecycle for the four route tables.
+
+≙ the ``Tables`` class (`Dcache_kafka_to_hive.py:144-269`): per-table
+CREATE (S3-S6), bulk DROP (S7 `:264-266`), SHOW TABLES (S8 `:268-269`),
+USE database (S9 `:159`), SHOW PARTITIONS + parse (S10 `:268-272`).
+
+Differences, deliberate:
+
+- One source of truth: table schemas derive from ``BILLING_SCHEMA`` +
+  ``ROUTE_COLUMNS`` instead of four hand-written DDL strings that must
+  stay in sync with the parser's select lists (SURVEY §1.3).
+- Identifiers are validated instead of f-string-interpolated raw into
+  SQL (the reference is injection-prone, SURVEY §3.3).
+- Partition enumeration is a DataFrame expression over SHOW PARTITIONS —
+  no driver-side RDD collect/map (`:369-372`).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schema import BILLING_SCHEMA, PARTITION_FIELD, ROUTE_COLUMNS
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_ident(name: str) -> str:
+    if not _IDENT.match(name):
+        raise ValueError(f"invalid SQL identifier: {name!r}")
+    return name
+
+
+def route_table_schema(route: str) -> T.StructType:
+    """Typed schema of one route table (contract columns + partition)."""
+    flat_types: dict[str, T.DataType] = {}
+    for f in BILLING_SCHEMA.fields:
+        if f.name == "status":
+            flat_types["status_msg"] = T.StringType()
+            flat_types["status_code"] = T.IntegerType()
+        elif f.name == "protocolInfo":
+            flat_types["protocolInfo_protocol"] = T.StringType()
+            flat_types["protocolInfo_port"] = T.IntegerType()
+            flat_types["protocolInfo_host"] = T.StringType()
+        else:
+            flat_types[f.name] = f.dataType
+    fields = [T.StructField(c, flat_types[c]) for c in ROUTE_COLUMNS[route]]
+    fields.append(T.StructField(PARTITION_FIELD, T.StringType()))
+    return T.StructType(fields)
+
+
+def use_database(spark: SparkSession, database: str) -> None:
+    """≙ `use {database}` at :159, via the catalog API."""
+    _check_ident(database)
+    if not spark.catalog.databaseExists(database):
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    spark.catalog.setCurrentDatabase(database)
+
+
+def create_route_table(
+    spark: SparkSession, route: str, table: str, location: str | None = None
+) -> None:
+    """CREATE a partitioned Parquet route table ≙ create_* (:161-262)."""
+    _check_ident(table.replace(".", "_"))
+    schema = route_table_schema(route)
+    ddl_cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ({ddl_cols}) USING PARQUET "
+        f"PARTITIONED BY ({PARTITION_FIELD}){loc}"
+    )
+
+
+def create_all_route_tables(
+    spark: SparkSession, names: dict[str, str], base_location: str | None = None
+) -> None:
+    for route, table in names.items():
+        loc = f"{base_location}/{table}" if base_location else None
+        create_route_table(spark, route, table, loc)
+
+
+def drop_tables(spark: SparkSession, tables: list[str]) -> None:
+    """≙ delete_tables (:264-266)."""
+    for t in tables:
+        _check_ident(t.replace(".", "_"))
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def show_tables(spark: SparkSession) -> DataFrame:
+    """≙ Tables.show (:268-269), returned as a DataFrame not stdout."""
+    return spark.sql("SHOW TABLES")
+
+
+def table_partitions(spark: SparkSession, table: str) -> DataFrame:
+    """Partition values of a catalog table as a single-column DataFrame
+    ≙ SHOW PARTITIONS + RDD parse (:369-372), without the RDD."""
+    _check_ident(table.replace(".", "_"))
+    parts = spark.sql(f"SHOW PARTITIONS {table}")
+    col = parts.columns[0]
+    return parts.select(
+        F.split(F.col(col), "=").getItem(1).alias(PARTITION_FIELD)
+    )

@@ -1,0 +1,179 @@
+"""LLM-data-pipeline operators (SURVEY §7 milestone 5): minhash-LSH
+accuracy vs exact Jaccard, simhash hamming locality, LSH cosine recall vs
+brute force, text analysis semantics, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.dedup import (
+    char_shingles,
+    estimated_jaccard,
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+    simhash_bands,
+)
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_image,
+    extract_features,
+    media_repartition,
+)
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    lsh_cosine_topk,
+)
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+    predicted_lang_col,
+    token_count_col,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    # append near-duplicates: same text with one word changed, ids +10000
+    dup = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    exact = base.select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+    return base.select("doc_id", "text").union(dup).union(exact)
+
+
+def test_exact_dedup_groups(spark, docs_with_dups):
+    groups = exact_dedup_groups(docs_with_dups)
+    dup_groups = groups.where(F.col("n_dups") > 1)
+    assert dup_groups.count() == 50  # each base text + its id+20000 copy
+    assert dup_groups.agg(F.max("n_dups")).first()[0] == 2
+    # representative is the min id (deterministic)
+    assert dup_groups.agg(F.max("keep_id")).first()[0] < 10000
+
+
+def test_minhash_estimates_jaccard(spark, docs_with_dups):
+    sigs = minhash_signatures(docs_with_dups, num_hashes=64)
+    a = sigs.where(F.col("doc_id") < 10000).select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    b = sigs.where((F.col("doc_id") >= 10000) & (F.col("doc_id") < 20000)).select(
+        (F.col("doc_id") - 10000).alias("id_a"), F.col("sig").alias("sig_b")
+    )
+    est = a.join(b, "id_a").select(estimated_jaccard().alias("est"))
+    sh = docs_with_dups.select("doc_id", char_shingles().alias("sh"))
+    sa = sh.where(F.col("doc_id") < 10000).select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.where((F.col("doc_id") >= 10000) & (F.col("doc_id") < 20000)).select(
+        (F.col("doc_id") - 10000).alias("id_a"), F.col("sh").alias("sh_b")
+    )
+    exact = sa.join(sb, "id_a").select(ngram_jaccard().alias("exact"))
+    est_avg = est.agg(F.avg("est")).first()[0]
+    exact_avg = exact.agg(F.avg("exact")).first()[0]
+    # near-dups: both high, estimate within 0.15 of exact on average
+    assert exact_avg > 0.8
+    assert abs(est_avg - exact_avg) < 0.15
+
+
+def test_lsh_finds_near_dup_pairs(spark, docs_with_dups):
+    sigs = minhash_signatures(docs_with_dups, num_hashes=64)
+    pairs = lsh_candidate_pairs(sigs, bands=16, rows_per_band=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # every exact duplicate pair (jaccard 1.0) must be found
+    for i in range(50):
+        base_id = docs_with_dups.where(F.col("doc_id") < 10000).select("doc_id").collect()[i].doc_id
+        assert (base_id, base_id + 20000) in got
+    # near-dup pairs (1 word changed) should mostly be found
+    near_found = sum(1 for (x, y) in got if y == x + 10000)
+    assert near_found >= 40
+
+
+def test_simhash_locality(spark, docs_with_dups):
+    sigs = simhash(docs_with_dups)
+    a = sigs.where(F.col("doc_id") < 10000).select(F.col("doc_id").alias("k"), F.col("simhash").alias("h_a"))
+    b = sigs.where((F.col("doc_id") >= 10000) & (F.col("doc_id") < 20000)).select(
+        (F.col("doc_id") - 10000).alias("k"), F.col("simhash").alias("h_b")
+    )
+    ham = a.join(b, "k").select(F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("d"))
+    avg_near = ham.agg(F.avg("d")).first()[0]
+    # random pairs for contrast
+    rnd = a.alias("x").join(a.alias("y"), F.col("x.k") + 1 == F.col("y.k")).select(
+        F.bit_count(F.col("x.h_a").bitwiseXOR(F.col("y.h_a"))).alias("d")
+    )
+    avg_rand = rnd.agg(F.avg("d")).first()[0]
+    assert avg_near < avg_rand  # near-dups are closer in hamming space
+    # exact copies hash identically
+    c = sigs.where(F.col("doc_id") >= 20000).select((F.col("doc_id") - 20000).alias("k"), F.col("simhash").alias("h_c"))
+    same = a.join(c, "k").where(F.col("h_a") == F.col("h_c")).count()
+    assert same == 50
+
+
+def test_simhash_bands_cover_hamming_neighbors(spark, docs_with_dups):
+    sigs = simhash(docs_with_dups)
+    banded = simhash_bands(sigs)
+    # exact copies share all 4 chunks
+    x = banded.where(F.col("doc_id") < 10000).alias("x")
+    y = banded.where(F.col("doc_id") >= 20000).alias("y")
+    shared = (
+        x.join(
+            y,
+            (F.col("x.doc_id") + 20000 == F.col("y.doc_id"))
+            & (F.col("x.chunk_id") == F.col("y.chunk_id"))
+            & (F.col("x.chunk_val") == F.col("y.chunk_val")),
+        ).count()
+    )
+    assert shared == 200  # 50 docs × 4 chunks
+
+
+def test_lsh_cosine_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    approx = lsh_cosine_topk(emb, queries, k=5, dim=64)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_token_count_and_lang(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog, it was fine."), (2, "   "), (3, "el la de que y en un")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in df.select(
+        "doc_id", token_count_col().alias("n"), predicted_lang_col().alias("lang")
+    ).collect()}
+    assert rows[1].n == 8
+    assert rows[1].lang == "en"
+    assert rows[2].n == 0
+    assert rows[2].lang == "und"
+    assert rows[3].lang == "es"
+
+
+def test_multimodal_feature_extraction(spark):
+    data = [(i, "image", "image/png", bytes([i] * (100 + i)), 10, 10, None) for i in range(20)]
+    media = spark.createDataFrame(
+        data, "media_id long, kind string, mime string, payload binary, width int, height int, duration_ms long"
+    )
+    media = media_repartition(media, target_bytes=500)
+    feats = extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(len(r.features) == FEATURE_DIM for r in rows)
+    by_id = {r.media_id: r for r in rows}
+    assert all(by_id[i].n_bytes == 100 + i for i in range(20))
+    # determinism: same payload → same features
+    again = {r.media_id: r.features for r in extract_features(media, fake=True).collect()}
+    assert all(again[r.media_id] == r.features for r in rows)
+
+
+def test_real_decode_is_gated():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

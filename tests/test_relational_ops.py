@@ -1,0 +1,83 @@
+"""Relational operator semantics: as-of join edge cases, top-k per group,
+plus plan-shape assertions (broadcast applied, filter pushed to scan) —
+the 100 TB posture checks SURVEY §4 calls for."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.relational import (
+    asof_join,
+    top_k_per_group,
+)
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, ts("2024-01-01T10:00:00")), (2, 10, ts("2024-01-01T12:00:00")),
+         (3, 20, ts("2024-01-01T09:00:00"))],
+        "id long, key long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, ts("2024-01-01T09:30:00"), 1.0), (10, ts("2024-01-01T11:00:00"), 2.0),
+         (20, ts("2024-01-01T09:30:00"), 3.0)],
+        "key long, rts timestamp, val double",
+    )
+    out = asof_join(left, right, on="key", left_ts="ts", right_ts="rts", right_cols=["val"])
+    got = {r.id: r.val_asof for r in out.collect()}
+    # id=1: latest right at/before 10:00 is 09:30 → 1.0
+    # id=2: latest right at/before 12:00 is 11:00 → 2.0
+    # id=3: no right at/before 09:00 → None
+    assert got == {1: 1.0, 2: 2.0, 3: None}
+
+
+def test_asof_join_equal_ts_inclusive(spark):
+    left = spark.createDataFrame([(1, 5, ts("2024-01-01T10:00:00"))], "id long, key long, ts timestamp")
+    right = spark.createDataFrame([(5, ts("2024-01-01T10:00:00"), 9.0)], "key long, rts timestamp, val double")
+    out = asof_join(left, right, on="key", left_ts="ts", right_ts="rts", right_cols=["val"])
+    assert out.first().val_asof == 9.0
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        "g string, id int, v double",
+    )
+    out = top_k_per_group(df, ["g"], "v", k=2)
+    got = sorted((r.g, r.id, r.rn) for r in out.collect())
+    assert got == [("a", 2, 1), ("a", 3, 2), ("b", 4, 1)]
+
+
+def test_broadcast_join_in_plan(spark):
+    """q_rel_brand_revenue must broadcast the part side — no shuffle of
+    lineitem for the join."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
+        q_rel_brand_revenue,
+    )
+    plan = q_rel_brand_revenue(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_in_plan(spark):
+    """Partition/predicate filters must reach the parquet scan."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
+        q_rel_q1_pricing_summary,
+    )
+    plan = q_rel_q1_pricing_summary(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_in_plan(spark):
+    """A 2-column projection must not read all lineitem columns."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    plan = (
+        li.select("l_orderkey", "l_quantity")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "l_extendedprice" not in plan

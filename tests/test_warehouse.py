@@ -1,0 +1,57 @@
+"""Catalog DDL lifecycle (SURVEY §2.1 S3-S10): create/drop/show route
+tables, partition enumeration without RDDs, identifier validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.parse import (
+    parse_billing,
+)
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.route import route
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.schema import (
+    ROUTE_COLUMNS,
+)
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.warehouse import (
+    create_route_table,
+    drop_tables,
+    route_table_schema,
+    show_tables,
+    table_partitions,
+)
+
+from conftest import billing_record
+
+
+def test_route_table_schema_matches_contract():
+    for r, cols in ROUTE_COLUMNS.items():
+        schema = route_table_schema(r)
+        assert [f.name for f in schema.fields] == cols + ["partition_date"]
+
+
+def test_create_insert_partitions_drop(spark, tmp_path):
+    create_route_table(spark, "transfers", "t_transfers", str(tmp_path / "t"))
+    assert show_tables(spark).where(F.col("tableName") == "t_transfers").count() == 1
+
+    batch = spark.createDataFrame(
+        [(billing_record("transfer"),), (billing_record("transfer", date="2024-02-28T01:00:00.000+0000"),)],
+        ["value"],
+    )
+    routed = route(parse_billing(batch))["transfers"]
+    routed.write.mode("append").insertInto("t_transfers")
+
+    got = spark.table("t_transfers")
+    assert got.count() == 2
+    parts = sorted(r.partition_date for r in table_partitions(spark, "t_transfers").collect())
+    assert parts == ["2024-02-28", "2024-03-01"]
+
+    drop_tables(spark, ["t_transfers"])
+    assert show_tables(spark).where(F.col("tableName") == "t_transfers").count() == 0
+
+
+def test_identifier_validation(spark):
+    with pytest.raises(ValueError):
+        create_route_table(spark, "transfers", "bad; DROP TABLE x")
+    with pytest.raises(ValueError):
+        drop_tables(spark, ["also bad"])
