@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "q_llm_dedup_exact",
     "q_llm_minhash_pairs",
     "q_llm_cosine_topk",
+    "q_llm_embedding_near_dup",
+    "q_llm_token_counts_bpe",
+    "q_llm_multimodal_features",
 ]
 
 
@@ -60,6 +63,7 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

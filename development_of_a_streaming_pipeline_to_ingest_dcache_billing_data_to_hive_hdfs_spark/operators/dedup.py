@@ -31,6 +31,20 @@ def fingerprint(col: str = "text") -> Column:
     return F.md5(normalized_text(col))
 
 
+def rolling_hash_fingerprint(
+    col: str = "text", base: int = 131, mod: int = 1_000_000_007
+) -> Column:
+    """Polynomial (Karp–Rabin) rolling hash of the normalized text as a
+    BIGINT — the incremental-update fingerprint family (hash of s[0..n]
+    derives from hash of s[0..n-1] in O(1)), here evaluated per document
+    via a JVM-side aggregate over the character array. Portable: the
+    same base/mod arithmetic is reproducible in any engine."""
+    return F.expr(
+        f"aggregate(filter(split({_norm_sql(col)}, ''), c -> c <> ''), 0L,"
+        f" (acc, c) -> (acc * {base} + ascii(c)) % {mod})"
+    )
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact-duplicate groups: one row per distinct normalized text with
     the representative (min id) and the duplicate count. Equivalent
@@ -44,13 +58,16 @@ def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def char_shingles(col: str = "text", n: int = 3) -> Column:
     """Distinct character n-gram shingles of the normalized text, as an
-    array<string>. Pure SQL higher-order functions — JVM-side."""
-    norm = normalized_text(col)
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(length({_norm_sql(col)}) - {n - 1}, 1)),"
-            f" i -> substr({_norm_sql(col)}, i, {n}))"
-        )
+    array<string>. Pure SQL higher-order functions — JVM-side.
+
+    The normalized string is let-bound once as a lambda variable (the
+    single-element-array transform trick): referencing the regexp
+    normalization directly inside the position lambda would re-run the
+    regex per shingle position — O(len²) per document."""
+    return F.expr(
+        f"transform(array({_norm_sql(col)}), t -> array_distinct("
+        f"transform(sequence(1, greatest(length(t) - {n - 1}, 1)),"
+        f" i -> substr(t, i, {n}))))[0]"
     )
 
 
@@ -65,29 +82,53 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<bigint>[num_hashes]) — sig[j] = min over shingles of
-    xxhash64(shingle, j). One scan, no shuffle; the per-seed min runs as a
-    single JVM expression over the shingle array."""
-    sh = char_shingles(text_col, shingle_n).alias("sh")
-    sig = F.expr(
-        f"transform(sequence(0, {num_hashes - 1}),"
-        f" j -> array_min(transform(sh, s -> xxhash64(s, j))))"
+    """(id, sig: array<bigint>[num_hashes]) — sig[j] = min over shingles
+    of hash_j(shingle).
+
+    Shape chosen for scale AND codegen: explode shingles, hash each
+    string ONCE (xxhash64 on the bytes), then derive the j-th family
+    member as xxhash64(h, j) — an 8-byte rehash, not a re-traversal of
+    the string — inside a groupBy with num_hashes min() aggregates.
+    Everything stays in whole-stage codegen (no interpreted higher-order
+    lambdas in the hot path), and map-side partial aggregation means the
+    shuffle carries one (id, num_hashes longs) row per doc per partition.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(char_shingles(text_col, shingle_n)).alias("s")
+    ).select(F.col(id_col), F.xxhash64("s").alias("h"))
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64("h", F.lit(j))).alias(f"_m{j}")
+            for j in range(num_hashes)
+        ]
     )
-    return df.select(F.col(id_col), sh).select(F.col(id_col), sig.alias("sig"))
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{j}") for j in range(num_hashes)]).alias("sig"),
+    )
 
 
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
-    bands: int = 16,
-    rows_per_band: int = 4,
+    bands: int = 8,
+    rows_per_band: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs from banded LSH over minhash signatures.
 
     explode to (band_id, band_hash) → self equi-join on the bucket →
     distinct pairs. The only shuffle is the bucket join; Jaccard-similar
-    docs collide in ≥1 band with high probability (b=16, r=4 → s-curve
-    threshold ≈ (1/16)^(1/4) ≈ 0.5).
+    docs collide in ≥1 band with high probability. Defaults b=8, r=8 put
+    the s-curve threshold at (1/8)^(1/8) ≈ 0.77 — the conventional ~0.8
+    near-dup operating point; lower thresholds on a self-similar corpus
+    make the bucket join quadratic (at 0.5 the synthetic testdata emits
+    millions of pairs from 5k docs).
+
+    ``max_bucket_size`` (opt-in) drops buckets larger than the limit
+    before the join — the standard skew guard against boilerplate
+    buckets whose k² pair blow-up dominates at scale. Dropped buckets
+    lose recall for their members; leave None for exact banding.
     """
     banded = sigs.select(
         F.col(id_col),
@@ -98,6 +139,15 @@ def lsh_candidate_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
+    if max_bucket_size is not None:
+        counts = banded.groupBy("band_id", "band_hash").agg(
+            F.count("*").alias("_bucket_n")
+        )
+        banded = (
+            banded.join(counts, ["band_id", "band_hash"])
+            .where(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

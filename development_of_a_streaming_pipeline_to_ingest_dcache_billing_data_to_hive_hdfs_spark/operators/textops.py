@@ -35,14 +35,11 @@ def token_count_col(col: str = "text") -> Column:
 
 
 def bpe_ish_token_count(col: str = "text") -> Column:
-    """Sub-word-ish token estimate: count of letter-runs, digit-runs and
-    single punctuation marks (a cheap proxy for BPE token counts)."""
-    return F.size(
-        F.filter(
-            F.split(F.col(col), r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
-            lambda t: F.trim(t) != F.lit(""),
-        )
-    )
+    """Sub-word-ish token estimate: count of letter runs, digit runs and
+    single punctuation marks (a cheap proxy for BPE token counts). The
+    pattern avoids lookarounds so the exact same regex runs in RE2-based
+    engines (the DuckDB oracle)."""
+    return F.regexp_count(F.col(col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
 
 
 def quality_score_cols(col: str = "text") -> dict[str, Column]:

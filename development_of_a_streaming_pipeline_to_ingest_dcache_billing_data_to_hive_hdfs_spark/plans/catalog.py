@@ -32,11 +32,19 @@ from ..operators.dedup import (
     fingerprint,
     lsh_candidate_pairs,
     minhash_signatures,
+    ngram_jaccard,
+    rolling_hash_fingerprint,
     simhash,
 )
+from ..operators.multimodal import extract_features, media_repartition
 from ..operators.relational import asof_join, top_k_per_group
-from ..operators.similarity import cosine_topk_bruteforce, lsh_cosine_topk
+from ..operators.similarity import (
+    cosine_topk_bruteforce,
+    embedding_near_dup_pairs,
+    lsh_cosine_topk,
+)
 from ..operators.textops import (
+    bpe_ish_token_count,
     predicted_lang_col,
     quality_score_cols,
     stopword_lang_scores,
@@ -977,6 +985,59 @@ def q_rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_rel_map_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(m['qty'][1], 2) AS qty_val,
+           ROUND(m['price'][1], 2) AS price_val,
+           CAST(cardinality(m) AS INTEGER) AS n_keys,
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_csv
+    FROM (SELECT l_orderkey, l_linenumber,
+                 MAP {'qty': l_quantity, 'price': l_extendedprice} AS m
+          FROM lineitem WHERE l_orderkey <= 200)
+    """,
+)
+def q_rel_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function coverage: construction, lookup, cardinality,
+    key enumeration."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 200)
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"), F.lit("price"), F.col("l_extendedprice")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.element_at(m, "qty"), 2).alias("qty_val"),
+        F.round(F.element_at(m, "price"), 2).alias("price_val"),
+        F.size(m).cast("int").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+    )
+
+
+@register(
+    "q_rel_explode_array",
+    """
+    SELECT l_orderkey, l_linenumber, i - 1 AS pos,
+           ROUND(([l_quantity, l_discount, l_tax])[i], 2) AS val
+    FROM lineitem CROSS JOIN generate_series(1, 3) t(i)
+    WHERE l_orderkey <= 100
+    """,
+)
+def q_rel_explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + posexplode (lateral-view row expansion)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 100)
+    arr = F.array("l_quantity", "l_discount", "l_tax")
+    return li.select(
+        "l_orderkey", "l_linenumber", F.posexplode(arr).alias("pos", "v")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.round("v", 2).alias("val"),
+    )
+
+
 # --------------------------------------------------------------------------
 # llm family — training-data pipeline operators (SURVEY §7 milestone 5)
 # --------------------------------------------------------------------------
@@ -1200,6 +1261,126 @@ def q_llm_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("label", norm.alias("norm")).groupBy("label").agg(
         F.count("*").alias("n"), F.round(F.avg("norm"), 4).alias("avg_norm")
     )
+
+
+_DUCK_SHINGLES = (
+    f"list_distinct(list_transform(range(1, greatest(length({{t}}) - 2, 1) + 1),"
+    f" i -> {{t}}[i:i+2]))"
+)
+
+
+@register(
+    "q_llm_ngram_jaccard_pairs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_SHINGLES.format(t=_NORM_SQL_DUCK)} AS sh
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+)
+def q_llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-trigram Jaccard near-dup pairs (the verification
+    step that reranks LSH candidates, run here over a bounded slice so
+    the oracle can check it exactly)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    d = docs.select("doc_id", char_shingles("text", 3).alias("sh"))
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = ngram_jaccard("sh_a", "sh_b")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "q_llm_embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(
+             list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(
+            list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+            list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.35
+    """,
+)
+def q_llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Threshold 0.35 targets the top
+    tail of this near-orthogonal synthetic corpus (max pairwise cos
+    ≈ 0.51); real clustered embeddings would use ~0.9."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    pairs = embedding_near_dup_pairs(emb, threshold=0.35)
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
+@register(
+    "q_llm_token_counts_bpe",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_llm_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word token estimate (letter runs + digit runs +
+    single punctuation), lookaround-free so the identical regex runs in
+    the RE2-based oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count("text").cast("int").alias("n_bpe_tokens")
+    )
+
+
+@register(
+    "q_llm_rolling_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_split_to_array({_NORM_SQL_DUCK}, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * 131 + c) % 1000000007) AS rolling_fp
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_llm_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp–Rabin polynomial fingerprint of the normalized text — the
+    portable arithmetic (base 131, mod 1e9+7) matches in any engine."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return docs.select("doc_id", rolling_hash_fingerprint().alias("rolling_fp"))
+
+
+@register("q_llm_multimodal_features")
+def q_llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing as a first-class query: documents' text bytes
+    stand in for opaque media payloads (no binary fixture table exists);
+    byte-targeted repartition → Arrow-batched mapInPandas feature
+    extraction with the deterministic fake codec. Rows-only check — the
+    feature values are engine-specific by construction."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    media = media_repartition(media, target_bytes=64 * 1024)
+    return extract_features(media, fake=True)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

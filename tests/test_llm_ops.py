@@ -177,3 +177,51 @@ def test_multimodal_feature_extraction(spark):
 def test_real_decode_is_gated():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_rolling_hash_fingerprint_normalization(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.dedup import (
+        rolling_hash_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "  HELLO\tWORLD "), (4, "other text")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fp for r in df.select("doc_id", rolling_hash_fingerprint().alias("fp")).collect()}
+    # case/whitespace-normalized equal texts → equal fingerprints
+    assert fps[1] == fps[2] == fps[3]
+    assert fps[4] != fps[1]
+    assert all(0 <= v < 1_000_000_007 for v in fps.values())
+
+
+def test_embedding_near_dup_pairs(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((20, 16))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    rows.append((100, [float(x) for x in vecs[0]]))          # exact dup of 0
+    rows.append((101, [float(x) for x in vecs[1] * 3.0]))     # scaled dup of 1 (cos=1)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r.id_a, r.id_b): r.cos for r in embedding_near_dup_pairs(df, threshold=0.99).collect()}
+    assert set(pairs) == {(0, 100), (1, 101)}
+    assert all(c > 0.999 for c in pairs.values())
+
+
+def test_bpe_ish_token_count(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        bpe_ish_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello, world! 42x"), (2, ""), (3, "a.b.c")],
+        "doc_id long, text string",
+    )
+    counts = {r.doc_id: r.n for r in df.select("doc_id", bpe_ish_token_count().alias("n")).collect()}
+    # hello , world ! 42 x → 6; a . b . c → 5
+    assert counts[1] == 6
+    assert counts[2] == 0
+    assert counts[3] == 5
