@@ -114,6 +114,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     rows_per_band: int = 8,
     max_bucket_size: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs from banded LSH over minhash signatures.
 
@@ -129,6 +130,12 @@ def lsh_candidate_pairs(
     before the join — the standard skew guard against boilerplate
     buckets whose k² pair blow-up dominates at scale. Dropped buckets
     lose recall for their members; leave None for exact banding.
+
+    ``materialize`` persists the banded projection (one tiny row per
+    doc per band) so the upstream signature pipeline — scan, shingle
+    explode, hash aggregation — executes once instead of once per
+    self-join side: a broadcast join has no shuffle exchange on the
+    probe side, so Spark's ReusedExchange can never kick in here.
     """
     banded = sigs.select(
         F.col(id_col),
@@ -148,6 +155,8 @@ def lsh_candidate_pairs(
             .where(F.col("_bucket_n") <= max_bucket_size)
             .drop("_bucket_n")
         )
+    if materialize:
+        banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
