@@ -105,6 +105,107 @@ def embedding_near_dup_pairs(
     )
 
 
+def _fit_centroids_kmeans(
+    sample: np.ndarray, n_lists: int, iters: int = 5, seed: int = 42
+) -> np.ndarray:
+    """Driver-side k-means on a (normalized) sample — the IVF training
+    step. Deterministic: seeded init, fixed iteration count."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=n_lists, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(n_lists):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroid list(s) by
+    cosine. One scan, no shuffle: the (tiny) centroid matrix broadcasts
+    and each partition does a single BLAS matmul in mapInPandas. Output:
+    (id, vec, list_id) with n_probe rows per input vector."""
+    import pandas as pd
+
+    sc = df.sparkSession.sparkContext
+    b_cent = sc.broadcast(centroids)
+
+    def op(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+            M_n = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            sims = M_n @ b_cent.value.T
+            order = np.argsort(-sims, axis=1)[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    id_col: batch[id_col].to_numpy().repeat(n_probe),
+                    vec_col: [row for row in M for _ in range(n_probe)],
+                    "list_id": order.ravel(),
+                }
+            )
+
+    out_schema = f"{id_col} long, {vec_col} array<double>, list_id int"
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(op, out_schema)
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine — the bucketed scale
+    path complementary to ``lsh_cosine_topk``:
+
+    1. *Train*: k-means centroids on a bounded corpus sample
+       (driver-side numpy — IVF training is always a sampled, centralized
+       step; the sample size is fixed, not data-scaled).
+    2. *Assign*: every corpus vector to its nearest list (one distributed
+       scan, broadcast centroids, no shuffle).
+    3. *Probe*: each query fans out to its ``n_probe`` nearest lists;
+       candidates come from the equi-join on ``list_id`` — the only
+       shuffle, sized by list selectivity (n_probe/n_lists of the corpus
+       per query instead of all of it).
+    4. *Rerank*: exact cosine + per-query top-k window over candidates.
+    """
+    sample_pdf = (
+        corpus.select(vec_col).limit(train_sample).toPandas()
+    )
+    sample = np.stack([np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]])
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = _fit_centroids_kmeans(sample, min(n_lists, len(sample)), seed=seed)
+
+    c_assigned = ivf_assign(corpus, cent, id_col, vec_col, n_probe=1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "list_id"
+    )
+    q_assigned = ivf_assign(queries, cent, id_col, vec_col, n_probe=n_probe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "list_id"
+    )
+    cand = (
+        c_assigned.join(F.broadcast(q_assigned), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    cos = F.expr(COSINE_EXPR.format(a="q_vec", b="c_vec"))
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def random_hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int = 42) -> list[list[list[float]]]:
     """Seeded hyperplane sets, shipped to the plan as literals (tiny)."""
     rng = np.random.default_rng(seed)

@@ -1231,6 +1231,20 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_ivf_cosine_topk")
+def q_llm_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate cosine top-5 (k-means coarse quantizer,
+    n_probe-list probing). No oracle — recall vs brute force is
+    pytest-verified."""
+    from ..operators.similarity import ivf_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_cosine_topk(emb, queries, k=5, n_lists=16, n_probe=6)
+
+
 @register("q_llm_lsh_cosine_topk")
 def q_llm_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (random-hyperplane LSH) cosine top-5. No oracle —

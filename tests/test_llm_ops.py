@@ -225,3 +225,24 @@ def test_bpe_ish_token_count(spark):
     assert counts[1] == 6
     assert counts[2] == 0
     assert counts[3] == 5
+
+
+def test_ivf_cosine_recall(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        ivf_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    approx = ivf_cosine_topk(emb, queries, k=5, n_lists=16, n_probe=6)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # determinism: same session, same params -> same result
+    again = {(r.query_id, r.neighbor_id)
+             for r in ivf_cosine_topk(emb, queries, k=5, n_lists=16, n_probe=6).collect()}
+    assert again == a
