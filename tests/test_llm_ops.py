@@ -246,3 +246,40 @@ def test_ivf_cosine_recall(spark):
     again = {(r.query_id, r.neighbor_id)
              for r in ivf_cosine_topk(emb, queries, k=5, n_lists=16, n_probe=6).collect()}
     assert again == a
+
+
+def test_multimodal_resize_and_frames(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    data = [
+        (1, "image", "image/png", b"img-one", 100, 80, None),
+        (2, "image", "image/png", b"img-two", 50, 40, None),
+        (3, "video", "video/mp4", b"vid-one", None, None, 3500),
+        (4, "video", "video/mp4", b"vid-two", None, None, 900),
+        (5, "video", "video/mp4", None, None, None, 2000),
+    ]
+    media = spark.createDataFrame(
+        data, "media_id long, kind string, mime string, payload binary, width int, height int, duration_ms long"
+    )
+    resized = {r.media_id: r for r in resize_images(media.where("kind = 'image'"), 16, 16).collect()}
+    assert set(resized) == {1, 2}
+    assert all(r.width == 16 and r.height == 16 for r in resized.values())
+    assert all(len(r.payload) == 16 * 16 * 3 for r in resized.values())
+    # deterministic and content-dependent
+    again = {r.media_id: bytes(r.payload) for r in resize_images(media.where("kind = 'image'"), 16, 16).collect()}
+    assert again[1] == bytes(resized[1].payload) and again[1] != again[2]
+
+    frames = sample_frames(media.where("kind = 'video'"), every_ms=1000).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert set(by_id) == {3, 4}          # NULL payload row dropped
+    assert len(by_id[3]) == 3            # 3500ms // 1000
+    assert len(by_id[4]) == 1            # min 1 frame
+    assert sorted(r.ts_ms for r in by_id[3]) == [0, 1000, 2000]
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        resize_images(media, 8, 8, fake=False)
