@@ -114,7 +114,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     rows_per_band: int = 8,
     max_bucket_size: int | None = None,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs from banded LSH over minhash signatures.
 
@@ -131,11 +131,14 @@ def lsh_candidate_pairs(
     buckets whose k² pair blow-up dominates at scale. Dropped buckets
     lose recall for their members; leave None for exact banding.
 
-    ``materialize`` persists the banded projection (one tiny row per
-    doc per band) so the upstream signature pipeline — scan, shingle
-    explode, hash aggregation — executes once instead of once per
-    self-join side: a broadcast join has no shuffle exchange on the
-    probe side, so Spark's ReusedExchange can never kick in here.
+    ``materialize`` (opt-in) persists the banded projection so the
+    upstream signature pipeline executes once instead of once per
+    self-join side (a broadcast join has no probe-side shuffle, so
+    ReusedExchange can't apply). Off by default: the cache cannot be
+    unpersisted from inside a lazy operator, and a leaked cache
+    measurably degrades *subsequent* queries in the session; callers
+    who want single-execution should persist/checkpoint the sigs frame
+    themselves and manage its lifecycle.
     """
     banded = sigs.select(
         F.col(id_col),
