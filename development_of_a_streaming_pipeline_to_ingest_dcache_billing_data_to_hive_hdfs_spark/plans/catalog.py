@@ -1190,6 +1190,18 @@ def q_llm_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs)
 
 
+@register("q_llm_dedup_clusters")
+def q_llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH candidate pairs → connected
+    components (min-label propagation). Iterative ⇒ rows-only check;
+    chain-transitivity is pytest-verified."""
+    from ..operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    return dedup_clusters(pairs)
+
+
 @register("q_llm_simhash")
 def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures. No oracle (xxhash64-based)."""

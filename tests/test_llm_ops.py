@@ -283,3 +283,31 @@ def test_multimodal_resize_and_frames(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         resize_images(media, 8, 8, fake=False)
+
+
+def test_dedup_clusters_chain_transitivity(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    # two chained components {1,2,3,4} (path) and {10,11}, singleton edges only
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_on_real_near_dups(spark, docs_with_dups):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    sigs = minhash_signatures(docs_with_dups)
+    pairs = lsh_candidate_pairs(sigs)
+    clusters = dedup_clusters(pairs)
+    # every exact-copy pair (id, id+20000) must share a cluster
+    c = {r.id: r.cluster_id for r in clusters.collect()}
+    for base in range(50):
+        if base in c or base + 20000 in c:
+            assert c.get(base) == c.get(base + 20000), base
