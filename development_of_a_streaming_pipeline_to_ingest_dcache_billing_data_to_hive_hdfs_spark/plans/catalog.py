@@ -986,6 +986,106 @@ def q_rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rel_stat_aggs",
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS qty_stddev,
+           ROUND(var_samp(l_quantity), 4) AS qty_var,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           ROUND(skewness(l_discount), 4) AS disc_skew,
+           ROUND(kurtosis(l_discount), 4) AS disc_kurt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_rel_stat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: stddev/variance/corr/covar/
+    skewness/kurtosis. Spark's skewness/kurtosis are population moments
+    (g1/g2); the oracle's are bias-corrected sample moments (G1/G2), so
+    the standard corrections are applied here — an O(1/n) difference
+    that still flips the 4th decimal at this scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.skewness("l_discount").alias("_g1"),
+        F.kurtosis("l_discount").alias("_g2"),
+        F.count("*").alias("_n"),
+    )
+    n = F.col("_n").cast("double")
+    g1_sample = F.col("_g1") * F.sqrt(n * (n - 1)) / (n - 2)
+    g2_sample = ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * F.col("_g2") + 6)
+    return agg.select(
+        "l_returnflag",
+        "qty_stddev",
+        "qty_var",
+        "qty_price_corr",
+        "qty_price_covar",
+        F.round(g1_sample, 4).alias("disc_skew"),
+        F.round(g2_sample, 4).alias("disc_kurt"),
+    )
+
+
+@register(
+    "q_rel_range_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS orders_in_90d,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                                         RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2)
+             AS spend_in_90d
+    FROM orders
+    """,
+)
+def q_rel_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, 90 days in epoch seconds) —
+    complements the ROWS frames elsewhere."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7776000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).cast("bigint").alias("orders_in_90d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_in_90d"),
+    )
+
+
+@register(
+    "q_rel_string_agg",
+    """
+    SELECT c_nationkey,
+           string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments_csv,
+           COUNT(*) AS n
+    FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+    GROUP BY c_nationkey
+    """,
+)
+def q_rel_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg/string_agg) — deterministic
+    via sort_array over collect_list."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("c_mktsegment")), ",").alias(
+                "segments_csv"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
     "q_rel_map_funcs",
     """
     SELECT l_orderkey, l_linenumber,
