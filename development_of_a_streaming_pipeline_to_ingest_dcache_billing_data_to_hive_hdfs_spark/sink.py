@@ -79,3 +79,31 @@ def write_partitioned_table(df: DataFrame, table: str, mode: str = "append") -> 
         writer.partitionBy(PARTITION_FIELD).saveAsTable(table)
     else:
         writer.insertInto(table)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a catalog table bucketed (and optionally sorted) by join
+    key — the co-located-join layout for 100 TB fact tables.
+
+    Two tables bucketed the same way join with ZERO exchange: each task
+    reads matching bucket files from both sides, so the shuffle that
+    dominates a big fact-fact join disappears from every subsequent
+    query against the layout (pay the shuffle once at write time,
+    amortized over all reads). Verified by plan assertion in
+    tests/test_relational_ops.py.
+
+    Bucket count is a layout contract: both join sides must use the same
+    ``n_buckets``; size it so one bucket of the larger table fits a task
+    (~128-512 MB) at the target scale.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

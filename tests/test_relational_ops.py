@@ -81,3 +81,50 @@ def test_column_pruning_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "l_extendedprice" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key join without any shuffle
+    exchange — the co-located layout write_bucketed_table exists for."""
+    import io, contextlib
+    from pyspark.sql import functions as F
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sink import (
+        write_bucketed_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
+    write_bucketed_table(orders, "b_orders", ["o_orderkey"], n_buckets=4,
+                         sort_cols=["o_orderkey"])
+    write_bucketed_table(lineitem, "b_lineitem", ["l_orderkey"], n_buckets=4,
+                         sort_cols=["l_orderkey"])
+    joined = (
+        spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        join_section = plan.split("HashAggregate")[0]
+        assert "Exchange" not in join_section, join_section
+        expected = (
+            lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus").agg(F.sum("l_quantity").alias("qty"))
+        )
+        got = {r.o_orderstatus: round(r.qty, 2) for r in joined.collect()}
+        want = {r.o_orderstatus: round(r.qty, 2) for r in expected.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
