@@ -28,6 +28,35 @@ def top_k_per_group(
     )
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to a hot key: the skewed side gets a random
+    salt in [0, salt_buckets); the other side is replicated once per
+    salt value (explode of a literal range). The hot key's rows then
+    spread over ``salt_buckets`` shuffle partitions instead of one
+    straggler task.
+
+    AQE's skew-join split (enabled in the session factory) handles most
+    cases at runtime; explicit salting remains the tool when a single
+    key exceeds what partition-splitting can fix (e.g. one key = 30% of
+    the table) or when AQE is unavailable (streaming micro-batches).
+    Salt is derived from a per-row hash (deterministic, no RNG in the
+    plan): rand() would break replay/retry determinism.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
+    lhs = skewed.withColumn("_salt", salt.cast("int"))
+    rhs = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = lhs.join(rhs, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

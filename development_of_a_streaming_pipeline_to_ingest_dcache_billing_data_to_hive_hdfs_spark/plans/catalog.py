@@ -579,6 +579,19 @@ def q_rel_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_rel_approx_percentiles")
+def q_rel_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (quantile sketch) — the sketch twin of
+    q_rel_percentiles. No oracle: sketch results are engine-specific;
+    bounded-error vs exact is the semantics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)").alias(
+            "price_p50_p95_p99"
+        )
+    )
+
+
 @register("q_rel_approx_distinct")
 def q_rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++). No oracle — estimator is

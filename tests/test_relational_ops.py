@@ -128,3 +128,29 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.relational import (
+        salted_join,
+    )
+
+    # skewed: 10k rows of one hot key + 1k spread keys
+    skewed = spark.range(11000).select(
+        F.when(F.col("id") < 10000, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    plain = skewed.join(dim, "k").agg(
+        F.count("*").alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
+    ).first()
+    salted = salted_join(skewed, dim, "k", salt_buckets=8).agg(
+        F.count("*").alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
+    ).first()
+    assert (plain.n, plain.s) == (salted.n, salted.s)
+    # left join preserves unmatched rows
+    dim_small = dim.where(F.col("k") < 50)
+    plain_l = skewed.join(dim_small, "k", "left").count()
+    salted_l = salted_join(skewed, dim_small, "k", salt_buckets=8, how="left").count()
+    assert plain_l == salted_l
