@@ -999,6 +999,25 @@ def q_rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rel_hash_sample",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 100 < 5
+    """,
+)
+def q_rel_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% systematic sample via a portable content hash
+    (md5 prefix mod 100) — reproducible across engines and runs, unlike
+    TABLESAMPLE/rand(). The standard trick for repeatable dev samples
+    and A/B bucketing at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+    return o.where(bucket.cast("bigint") % 100 < 5).select("o_orderkey", "o_custkey")
+
+
+@register(
     "q_rel_stat_aggs",
     """
     SELECT l_returnflag,

@@ -113,3 +113,35 @@ def test_dedup_within_watermark_batch(spark):
     ]
     df = parse_billing(spark.createDataFrame([(r,) for r in recs], ["value"]))
     assert dedup_within_watermark(df, ["session"]).count() == 2
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: each micro-batch enriches parsed billing rows
+    against a static dimension (cellName -> site) before the sink — the
+    standard dimension-enrichment pattern the reference lacks."""
+    from pyspark.sql import functions as F
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    _write_input(
+        input_dir,
+        [billing_record("transfer"), billing_record("request"), billing_record("remove")],
+    )
+    dim = spark.createDataFrame(
+        [("pool-a", "site-1"), ("pool-b", "site-2")], "cellName string, site string"
+    )
+    src = billing_stream_source(spark, "file", path=input_dir)
+    enriched = parse_billing(src).join(F.broadcast(dim), "cellName", "left")
+    q = (
+        enriched.select("msgType", "cellName", "site", "partition_date")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 3
+    assert all(r.site == "site-1" for r in rows)  # conftest records use pool-a
