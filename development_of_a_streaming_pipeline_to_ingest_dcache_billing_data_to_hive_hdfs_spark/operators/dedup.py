@@ -75,6 +75,20 @@ def _norm_sql(col: str) -> str:
     return f"regexp_replace(trim(lower({col})), '\\\\s+', ' ')"
 
 
+def spread_partitions(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the cluster's default parallelism —
+    only when the input has fewer partitions. CPU-heavy per-row work
+    (shingling, N-hash minhash, block matmuls) otherwise runs at the
+    *file-split* parallelism, which for one small parquet file is a
+    single task no matter how many cores exist. At 100 TB input splits
+    already exceed core count, so this becomes a no-op rather than an
+    extra shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -93,6 +107,7 @@ def minhash_signatures(
     lambdas in the hot path), and map-side partial aggregation means the
     shuffle carries one (id, num_hashes longs) row per doc per partition.
     """
+    df = spread_partitions(df)
     exploded = df.select(
         F.col(id_col), F.explode(char_shingles(text_col, shingle_n)).alias("s")
     ).select(F.col(id_col), F.xxhash64("s").alias("h"))
@@ -114,31 +129,31 @@ def lsh_candidate_pairs(
     bands: int = 8,
     rows_per_band: int = 8,
     max_bucket_size: int | None = None,
-    materialize: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs from banded LSH over minhash signatures.
 
-    explode to (band_id, band_hash) → self equi-join on the bucket →
-    distinct pairs. The only shuffle is the bucket join; Jaccard-similar
-    docs collide in ≥1 band with high probability. Defaults b=8, r=8 put
-    the s-curve threshold at (1/8)^(1/8) ≈ 0.77 — the conventional ~0.8
-    near-dup operating point; lower thresholds on a self-similar corpus
-    make the bucket join quadratic (at 0.5 the synthetic testdata emits
-    millions of pairs from 5k docs).
+    explode to (band_id, band_hash) → groupBy the bucket, collecting the
+    sorted member-id list → expand each bucket's in-bucket pairs with a
+    nested ``transform`` (JVM-side, output-bound O(k²) per bucket) →
+    distinct pairs. Jaccard-similar docs collide in ≥1 band with high
+    probability. Defaults b=8, r=8 put the s-curve threshold at
+    (1/8)^(1/8) ≈ 0.77 — the conventional ~0.8 near-dup operating point;
+    lower thresholds on a self-similar corpus make buckets quadratic
+    (at 0.5 the synthetic testdata emits millions of pairs from 5k docs).
 
-    ``max_bucket_size`` (opt-in) drops buckets larger than the limit
-    before the join — the standard skew guard against boilerplate
-    buckets whose k² pair blow-up dominates at scale. Dropped buckets
-    lose recall for their members; leave None for exact banding.
+    This shape executes the (expensive) signature pipeline exactly once.
+    The earlier bucket *self-join* formulation planned the upstream as a
+    broadcast join whose probe side has no exchange — so ReusedExchange
+    could not apply and the shingle+minhash pipeline ran twice per query
+    (and a persist() leaked from a lazy operator measurably degrades
+    later queries, so caching is not the fix). groupBy is also strictly
+    one shuffle keyed by the bucket, same as the join would have been.
 
-    ``materialize`` (opt-in) persists the banded projection so the
-    upstream signature pipeline executes once instead of once per
-    self-join side (a broadcast join has no probe-side shuffle, so
-    ReusedExchange can't apply). Off by default: the cache cannot be
-    unpersisted from inside a lazy operator, and a leaked cache
-    measurably degrades *subsequent* queries in the session; callers
-    who want single-execution should persist/checkpoint the sigs frame
-    themselves and manage its lifecycle.
+    ``max_bucket_size`` (opt-in) drops buckets larger than the limit —
+    the standard skew guard against boilerplate buckets whose k² pair
+    blow-up dominates at scale; here it is a free ``size(ids)`` filter
+    rather than an extra counting join. Dropped buckets lose recall for
+    their members; leave None for exact banding.
     """
     banded = sigs.select(
         F.col(id_col),
@@ -149,30 +164,32 @@ def lsh_candidate_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     if max_bucket_size is not None:
-        counts = banded.groupBy("band_id", "band_hash").agg(
-            F.count("*").alias("_bucket_n")
-        )
-        banded = (
-            banded.join(counts, ["band_id", "band_hash"])
-            .where(F.col("_bucket_n") <= max_bucket_size)
-            .drop("_bucket_n")
-        )
-    if materialize:
-        banded = banded.persist()
-    a = banded.alias("a")
-    b = banded.alias("b")
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
+    # Pair expansion is output-bound (k² structs per bucket) while the
+    # bucket rows themselves are few and small — AQE coalesces the
+    # post-agg stage by *input* bytes and would run the expansion almost
+    # serially. An explicit round-robin repartition (AQE honors the
+    # user-specified count) spreads bucket lists — and their skewed
+    # expansion cost — across the cluster.
+    buckets = buckets.repartition(
+        sigs.sparkSession.sparkContext.defaultParallelism
+    )
+    # ids is a plain attribute (already sorted by the agg), so referencing
+    # it inside the lambdas is a column read, not a re-evaluated expression.
+    pair_expr = (
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)),"
+        " y -> named_struct('id_a', x, 'id_b', y))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -277,6 +294,7 @@ def simhash(
     iff the sum of (+1/-1) votes of token-hash bit i is positive
     (Charikar 2002). Expressed as aggregate() over the token array —
     JVM-side, no UDF."""
+    df = spread_partitions(df)
     tokens = f"filter(split({_norm_sql(text_col)}, ' '), t -> t <> '')"
     votes = (
         f"aggregate({tokens}, "

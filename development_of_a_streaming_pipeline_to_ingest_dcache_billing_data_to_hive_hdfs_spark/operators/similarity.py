@@ -20,6 +20,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import spread_partitions
+
 
 COSINE_EXPR = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v) / "
@@ -42,8 +44,8 @@ def cosine_topk_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    c = spread_partitions(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     )
     cos = F.expr(COSINE_EXPR.format(a="q_vec", b="c_vec"))
     scored = (
@@ -100,9 +102,8 @@ def embedding_near_dup_pairs(
                 {"id_a": ids_b[r], "id_b": b_ids.value[c], "cos": sims[r, c]}
             )
 
-    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        op, "id_a long, id_b long, cos double"
-    )
+    scan = spread_partitions(df.select(F.col(id_col), F.col(vec_col)))
+    return scan.mapInPandas(op, "id_a long, id_b long, cos double")
 
 
 def _fit_centroids_kmeans(
@@ -128,6 +129,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
+    spread: bool = True,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroid list(s) by
     cosine. One scan, no shuffle: the (tiny) centroid matrix broadcasts
@@ -155,7 +157,10 @@ def ivf_assign(
             )
 
     out_schema = f"{id_col} long, {vec_col} array<double>, list_id int"
-    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(op, out_schema)
+    scan = df.select(F.col(id_col), F.col(vec_col))
+    if spread:
+        scan = spread_partitions(scan)
+    return scan.mapInPandas(op, out_schema)
 
 
 def ivf_cosine_topk(
@@ -193,33 +198,96 @@ def ivf_cosine_topk(
     c_assigned = ivf_assign(corpus, cent, id_col, vec_col, n_probe=1).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "list_id"
     )
-    q_assigned = ivf_assign(queries, cent, id_col, vec_col, n_probe=n_probe).select(
+    q_assigned = ivf_assign(queries, cent, id_col, vec_col, n_probe=n_probe, spread=False).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "list_id"
     )
     cand = (
         c_assigned.join(F.broadcast(q_assigned), "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
     )
-    cos = F.expr(COSINE_EXPR.format(a="q_vec", b="c_vec"))
-    scored = cand.select("query_id", "neighbor_id", cos.alias("cos"))
+    scored = cosine_pairs_blas(cand).select("query_id", "neighbor_id", "cos")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def random_hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int = 42) -> list[list[list[float]]]:
-    """Seeded hyperplane sets, shipped to the plan as literals (tiny)."""
+    """Seeded hyperplane sets (tiny; broadcast to executors)."""
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_tables, n_bits, dim)).round(6).tolist()
 
 
-def _signature_expr(vec_col: str, planes: list[list[float]]) -> F.Column:
-    """Sign-bit LSH signature of one table: bit j = (vec · plane_j) > 0."""
-    bits = []
-    for j, plane in enumerate(planes):
-        arr = "array(" + ",".join(f"{x}D" for x in plane) + ")"
-        dot = f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
-        bits.append(f"if({dot} > 0D, shiftleft(1L, {j}), 0L)")
-    return F.expr(" | ".join(bits))
+def _lsh_signatures(
+    df: DataFrame,
+    planes: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    id_alias: str,
+    spread: bool = True,
+) -> DataFrame:
+    """(id, t, sig) — one row per (vector, table) with the table's
+    sign-bit signature. All n_tables × n_bits hyperplane dot products of
+    a partition happen as ONE BLAS matmul against the broadcast (T·B × d)
+    plane matrix inside Arrow-batched mapInPandas, then bit-pack per
+    table. Replaces T·B interpreted ``aggregate(zip_with(...))`` dots
+    per row (~50× slower at 16 tables × 4 bits × 64 d). Vectors are NOT
+    carried through — the downstream bucket join and pair-distinct then
+    shuffle only 3 integer columns, and vectors re-attach to the (much
+    smaller) candidate set afterwards."""
+    import pandas as pd
+
+    n_tables, n_bits, _ = planes.shape
+    sc = df.sparkSession.sparkContext
+    b_planes = sc.broadcast(planes.reshape(n_tables * n_bits, -1))
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def op(batches):
+        for batch in batches:
+            n = len(batch)
+            if not n:
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+            bits = (M @ b_planes.value.T > 0).astype(np.int64)
+            sigs = (bits.reshape(n, n_tables, n_bits) * weights).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    id_alias: batch[id_col].to_numpy().repeat(n_tables),
+                    "t": np.tile(np.arange(n_tables), n),
+                    "sig": sigs.ravel(),
+                }
+            )
+
+    schema = f"{id_alias} long, t int, sig long"
+    scan = df.select(F.col(id_col), F.col(vec_col))
+    if spread:
+        scan = spread_partitions(scan)
+    return scan.mapInPandas(op, schema)
+
+
+def cosine_pairs_blas(
+    df: DataFrame, a_col: str = "q_vec", b_col: str = "c_vec"
+) -> DataFrame:
+    """Append ``cos`` = cosine(a_col, b_col) per row, computed as
+    vectorized numpy row-wise products per Arrow batch — the rerank
+    path for candidate sets (interpreted aggregate/zip_with cosines
+    cost ~µs-per-element; this is ~100 ns per vector)."""
+    import pandas as pd
+
+    out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+
+    def op(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in batch[a_col]])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in batch[b_col]])
+            dots = np.einsum("ij,ij->i", A, B)
+            norms = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            batch = batch.copy()
+            batch["cos"] = dots / np.maximum(norms, 1e-12)
+            yield batch
+
+    return df.mapInPandas(op, f"{out_fields}, cos double")
 
 
 def lsh_cosine_topk(
@@ -241,34 +309,29 @@ def lsh_cosine_topk(
     recall needs many low-selectivity tables. Clustered real-world
     embeddings support more bits per table (smaller candidate sets);
     recall/cost is pytest-measured against the brute-force baseline."""
-    tables = random_hyperplanes(dim, n_bits, n_tables, seed)
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c_sig = c.select(
-        "*",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(t).alias("t"), _signature_expr("c_vec", tables[t]).alias("sig"))
-                for t in range(n_tables)
-            ])
-        ).alias("ts"),
-    ).select("neighbor_id", "c_vec", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
-    q_sig = q.select(
-        "*",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(t).alias("t"), _signature_expr("q_vec", tables[t]).alias("sig"))
-                for t in range(n_tables)
-            ])
-        ).alias("ts"),
-    ).select("query_id", "q_vec", F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig"))
-    cand = (
+    planes = np.asarray(random_hyperplanes(dim, n_bits, n_tables, seed))
+    c_sig = _lsh_signatures(corpus, planes, id_col, vec_col, "neighbor_id")
+    # The query side is small by construction — spreading it to
+    # cluster-width partitions would add a shuffle plus a wide, nearly
+    # empty Python stage per query batch.
+    q_sig = _lsh_signatures(queries, planes, id_col, vec_col, "query_id", spread=False)
+    # Bucket join + pair-distinct over integer columns only; vectors
+    # re-attach to the candidate set (≪ corpus) afterwards. The corpus
+    # re-join broadcasts the candidate-id side, so the corpus scan stays
+    # exchange-free at scale.
+    cand_ids = (
         c_sig.join(F.broadcast(q_sig), ["t", "sig"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    cos = F.expr(COSINE_EXPR.format(a="q_vec", b="c_vec"))
-    scored = cand.select("query_id", "neighbor_id", cos.alias("cos"))
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cand = cand_ids.join(c_vecs, "neighbor_id").join(F.broadcast(q_vecs), "query_id")
+    scored = cosine_pairs_blas(cand).select("query_id", "neighbor_id", "cos")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
