@@ -1170,6 +1170,143 @@ def q_rel_explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_rel_q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_rel_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate, zero joins. The
+    canonical pushdown showcase — every predicate and both referenced
+    columns reach the parquet scan (PushedFilters / ReadSchema), and the
+    partial aggregate collapses map-side so the single shuffle carries
+    one row per task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("date"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_rel_q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total,
+           CAST(sum_qty AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    ) big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q_rel_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate + HAVING filter feeding joins. The
+    HAVING is a post-aggregation filter (Catalyst folds it into the
+    Aggregate), and the (small) surviving key set drives the join —
+    broadcast in practice via AQE's runtime size estimate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q_rel_left_outer_join",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spend
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def q_rel_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders (count = 0,
+    spend = 0) — null-extension semantics + null-skipping COUNT(col)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@register(
+    "q_rel_full_outer_join",
+    """
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_customers
+          FROM customer WHERE c_acctbal > 9000 GROUP BY 1) cn
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+          FROM supplier GROUP BY 1) sn
+    ON cn.nk = sn.nk
+    """,
+)
+def q_rel_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates — keys present on either side
+    survive, with COALESCE resolving the missing side to 0."""
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        cn.join(sn, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # llm family — training-data pipeline operators (SURVEY §7 milestone 5)
 # --------------------------------------------------------------------------

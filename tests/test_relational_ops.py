@@ -73,6 +73,55 @@ def test_filter_pushdown_in_plan(spark):
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
 
 
+def test_q6_pushdown_and_pruning_in_plan(spark):
+    """Q6: all four predicates reach the parquet scan and the ReadSchema
+    carries only the four referenced columns (not the 11-column row)."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
+        q_rel_q6_forecast_revenue,
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q_rel_q6_forecast_revenue(spark, "/root/testdata/sf0.001").explain("formatted")
+    plan = buf.getvalue()
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in plan, f"missing pushed filter {frag}\n{plan}"
+    assert "l_returnflag" not in plan  # pruned
+    assert "l_partkey" not in plan
+
+
+def test_outer_join_null_extension(spark):
+    """left/full outer catalog queries: null-extended rows resolve to 0."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
+        q_rel_full_outer_join,
+        q_rel_left_outer_join,
+    )
+    sf = "/root/testdata/sf0.001"
+    left = q_rel_left_outer_join(spark, sf)
+    assert left.where("n_orders = 0").count() + left.where("n_orders > 0").count() == left.count()
+    full = q_rel_full_outer_join(spark, sf).collect()
+    assert all(r.n_customers >= 0 and r.n_suppliers >= 0 for r in full)
+    cust_keys = {
+        r.c_nationkey
+        for r in spark.read.parquet(f"{sf}/customer.parquet")
+        .where("c_acctbal > 9000").select("c_nationkey").distinct().collect()
+    }
+    supp_keys = {
+        r.s_nationkey
+        for r in spark.read.parquet(f"{sf}/supplier.parquet")
+        .select("s_nationkey").distinct().collect()
+    }
+    assert {r.nationkey for r in full} == cust_keys | supp_keys
+
+
 def test_column_pruning_in_plan(spark):
     """A 2-column projection must not read all lineitem columns."""
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
