@@ -1176,7 +1176,7 @@ def q_rel_explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
-    WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
@@ -1190,8 +1190,8 @@ def q_rel_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.where(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("date"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("date"))
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
@@ -1304,6 +1304,243 @@ def q_rel_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
             F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
         )
+    )
+
+
+@register(
+    "q_rel_q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_rel_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi condition,
+    expressed as a left-semi join on (equi key AND l_shipdate >
+    o_orderdate). The date window prunes orders before the join, so the
+    semi join probes only the 3-month slice; the lineitem side carries
+    just (l_orderkey, l_shipdate) thanks to column pruning."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    windowed = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    return (
+        windowed.join(
+            li,
+            (windowed.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > windowed.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q_rel_q14_promo_revenue",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+    """,
+)
+def q_rel_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation (promo share of revenue)
+    over a fact-dim join. `part` is broadcast — the month-filtered
+    lineitem slice never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01").cast("date"))
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_rel_q19_disjunctive",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+           AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+           AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+           AND p_size BETWEEN 1 AND 15)
+    """,
+)
+def q_rel_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive predicates spanning
+    both join sides. Catalyst extracts the common equi-key and pushes
+    the per-side residuals (brand/size on part, quantity on lineitem)
+    below the (broadcast) join; the cross-side OR stays as the join
+    residual."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    arm = lambda brand, qlo, qhi, slo, shi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("l_quantity").between(qlo, qhi)
+        & F.col("p_size").between(slo, shi)
+    )
+    return joined.where(
+        arm("Brand#12", 1, 11, 1, 5)
+        | arm("Brand#23", 10, 20, 1, 10)
+        | arm("Brand#34", 20, 30, 1, 15)
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "q_rel_window_ranks",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4) OVER w AS price_quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_rel_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window coverage: ntile / percent_rank / cume_dist /
+    first_value / nth_value in ONE window spec — a single sort+shuffle
+    serves all five functions. Tie-broken ordering (price, key) keeps
+    every function deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first_value("o_orderkey").over(w).alias("cheapest_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+@register(
+    "q_rel_cross_join",
+    """
+    SELECT r_name, os.o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) os
+    """,
+)
+def q_rel_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (small × small): the only sane cross
+    join at 100 TB is dim × dim, and Spark plans it as a broadcast
+    nested-loop. The distinct() side is 3 rows after its aggregate."""
+    r = load_table(spark, sf_dir, "region")
+    statuses = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.select("r_name").crossJoin(F.broadcast(statuses))
+
+
+@register(
+    "q_rel_scalar_subquery",
+    """
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_above_avg
+    FROM part
+    WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+    GROUP BY p_brand
+    """,
+)
+def q_rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: the global average is a 1-row
+    aggregate broadcast into the filter (cross join of a scalar), so the
+    main scan streams map-side only — no per-row recomputation."""
+    p = load_table(spark, sf_dir, "part")
+    avg_price = p.agg(F.avg("p_retailprice").alias("avg_price"))
+    return (
+        p.crossJoin(F.broadcast(avg_price))
+        .where(F.col("p_retailprice") > F.col("avg_price"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_above_avg"))
+    )
+
+
+@register(
+    "q_rel_latest_per_key",
+    """
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           ROUND(o_totalprice, 2) AS total
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+    WHERE rn = 1
+    """,
+)
+def q_rel_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key dedup (the QUALIFY pattern): one shuffle on the
+    key, per-partition sort, rank-1 filter. The canonical CDC/upsert
+    compaction shape — at 100 TB this is how you resolve a key to its
+    newest version without a join."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "q_rel_unpivot",
+    """
+    SELECT p_partkey, metric, ROUND(val, 2) AS val
+    FROM (UNPIVOT (SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS retailprice,
+                   CAST(p_size AS DOUBLE) AS size FROM part)
+          ON retailprice, size INTO NAME metric VALUE val)
+    """,
+)
+def q_rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide → long): the inverse of q_rel_pivot_priority.
+    Narrow-transform only — rows expand ×2 with no shuffle."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+            F.col("p_size").cast("double").alias("size"),
+        )
+        .unpivot("p_partkey", ["retailprice", "size"], "metric", "val")
+        .select("p_partkey", "metric", F.round("val", 2).alias("val"))
     )
 
 

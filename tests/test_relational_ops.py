@@ -203,3 +203,55 @@ def test_salted_join_matches_plain_join(spark):
     plain_l = skewed.join(dim_small, "k", "left").count()
     salted_l = salted_join(skewed, dim_small, "k", salt_buckets=8, how="left").count()
     assert plain_l == salted_l
+
+
+def test_q4_semi_join_shape_in_plan(spark):
+    """Q4: the correlated EXISTS must plan as a LeftSemi join (no
+    aggregate-dedup fallback) and the date window must reach the orders
+    scan as pushed filters."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
+        q_rel_q4_order_priority,
+    )
+
+    plan = (
+        q_rel_q4_order_priority(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q14_q19_broadcast_part_in_plan(spark):
+    """Q14/Q19: the part dim side must broadcast — the lineitem slice
+    never shuffles for the join."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
+        q_rel_q14_promo_revenue,
+        q_rel_q19_disjunctive,
+    )
+
+    for q in (q_rel_q14_promo_revenue, q_rel_q19_disjunctive):
+        plan = (
+            q(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
+
+
+def test_scalar_subquery_broadcast_in_plan(spark):
+    """The global-average scalar joins via broadcast nested loop — the
+    part scan itself must not shuffle."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
+        q_rel_scalar_subquery,
+    )
+
+    plan = (
+        q_rel_scalar_subquery(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
