@@ -1,4 +1,15 @@
 from .pipeline import BillingPipeline
-from .windows import tumbling_counts, session_windows, dedup_within_watermark
+from .windows import (
+    dedup_within_watermark,
+    interval_join,
+    session_windows,
+    tumbling_counts,
+)
 
-__all__ = ["BillingPipeline", "tumbling_counts", "session_windows", "dedup_within_watermark"]
+__all__ = [
+    "BillingPipeline",
+    "dedup_within_watermark",
+    "interval_join",
+    "session_windows",
+    "tumbling_counts",
+]

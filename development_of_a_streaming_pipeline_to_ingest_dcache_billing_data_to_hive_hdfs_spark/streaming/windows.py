@@ -72,3 +72,32 @@ def dedup_within_watermark(
     if df.isStreaming:
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "2 hours",
+    within: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream (or batch) interval join: match rows sharing `key`
+    where `right_ts` falls in [left_ts, left_ts + within].
+
+    Both sides carry watermarks and the join condition is a bounded
+    time range, so Spark can prune both join-state stores — without the
+    range bound, stream-stream state grows forever. Column names for the
+    two event-time columns must differ (pre-project before calling)."""
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    cond = (
+        (left[key] == right[key])
+        & (right[right_ts] >= left[left_ts])
+        & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return left.join(right, cond, how).drop(right[key])

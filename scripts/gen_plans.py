@@ -12,6 +12,11 @@ NOTES = {
  "q_llm_minhash_pairs": "Signature pipeline: explode shingles -> xxhash64 once per shingle -> codegen'd 64x min aggregation (map-side partial). Banded bucket self-join is the only pairwise work.",
  "q_llm_dedup_exact": "md5 fingerprint groupBy: one shuffle on the 128-bit key; map-side partial count/min.",
  "q_billing_flagship_daily": "JSON extraction + typed cast inline in the scan projection; two-phase aggregate, one shuffle.",
+ "q_rel_q4_order_priority": "Correlated EXISTS planned as a non-equi LeftSemi BroadcastHashJoin: the 3-month order window broadcasts; lineitem streams map-side carrying only (l_orderkey, l_shipdate).",
+ "q_rel_q14_promo_revenue": "Month-filtered lineitem slice joins broadcast part; the conditional promo/total sums fold into one two-phase aggregate, one shuffle of a single row per task.",
+ "q_rel_q19_disjunctive": "Disjunctive predicates split by Catalyst: per-side residuals (brand/size, quantity) pushed below the broadcast join; only the cross-side OR evaluates as the join residual.",
+ "q_rel_latest_per_key": "QUALIFY-style latest-per-key: single shuffle on o_custkey, per-partition sort, rank-1 filter folded into the WindowExec output — no join, no global sort.",
+ "q_rel_scalar_subquery": "Global-average scalar broadcast via nested-loop join: the 1-row aggregate broadcasts; the main part scan never shuffles before the final groupBy.",
 }
 
 hdr = """# PLANS — physical-plan audit of headline queries (sf0.1, AQE final plans)

@@ -145,3 +145,45 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     assert len(rows) == 3
     assert all(r.site == "site-1" for r in rows)  # conftest records use pool-a
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks on BOTH sides and a
+    bounded time-range condition (state stores prunable): a request
+    matches a transfer on session only within 1 hour of it."""
+    from pyspark.sql import functions as F
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.streaming import (
+        interval_join,
+    )
+
+    t_dir, r_dir = str(tmp_path / "t"), str(tmp_path / "r")
+    _write_input(t_dir, [billing_record("transfer", date="2024-03-01T10:00:00.000+0000")])
+    _write_input(
+        r_dir,
+        [
+            billing_record("request", date="2024-03-01T10:30:00.000+0000"),  # in window
+            billing_record("request", date="2024-03-01T12:30:00.000+0000"),  # too late
+        ],
+    )
+    transfers = parse_billing(billing_stream_source(spark, "file", path=t_dir)).select(
+        "session", F.col("event_ts").alias("t_ts")
+    )
+    requests = parse_billing(billing_stream_source(spark, "file", path=r_dir)).select(
+        "session", F.col("event_ts").alias("r_ts")
+    )
+    joined = interval_join(
+        transfers, requests, key="session", left_ts="t_ts", right_ts="r_ts",
+        watermark="2 hours", within="1 hour",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from ssj_out").collect()
+    assert len(rows) == 1
+    assert str(rows[0].r_ts).startswith("2024-03-01 10:30")
