@@ -1544,6 +1544,33 @@ def q_rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_rel_stratified_sample",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM events
+    WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 100 < CASE WHEN event_type IN ('purchase', 'signup') THEN 50 ELSE 5 END
+    GROUP BY event_type
+    """,
+)
+def q_rel_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates (keep 50% of
+    rare conversion events, 5% of bulk engagement) via a portable content
+    hash — the training-data rebalancing pattern. Unlike sampleBy(), the
+    same row set reproduces on any engine, any run, any partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    rate = F.when(F.col("event_type").isin("purchase", "signup"), 50).otherwise(5)
+    return (
+        e.where(bucket % 100 < rate)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
 # --------------------------------------------------------------------------
 # llm family — training-data pipeline operators (SURVEY §7 milestone 5)
 # --------------------------------------------------------------------------
