@@ -90,3 +90,45 @@ def test_compact_skips_missing_partition(spark, tmp_path):
     path = str(tmp_path / "t")
     _write_many_small_files(spark, path, "2024-03-01", n=2)
     assert compact_table(spark, path, partitions=["1999-01-01"]) == {}
+
+
+def test_compact_cluster_by_gives_disjoint_file_ranges(spark, tmp_path):
+    """cluster_by compaction: output files cover disjoint key ranges
+    (range partition + sort), so parquet min/max stats let point/range
+    predicates skip whole files; the row set is unchanged."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.compact import (
+        compact_partition,
+    )
+
+    path = str(tmp_path / "t")
+    pdir = os.path.join(path, "partition_date=2024-03-01")
+    # 4 small files with interleaved keys: every file spans the full range
+    df = spark.range(4000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("v")
+    )
+    df.repartition(4).write.parquet(pdir)
+    before_rows = sorted(spark.read.parquet(pdir).collect())
+
+    # tiny target_bytes forces >1 output file even on this small input
+    n = compact_partition(spark, path, "2024-03-01", target_bytes=8 * 1024,
+                          cluster_by=["k"])
+    assert n >= 2
+    files = sorted(
+        os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".parquet")
+    )
+    assert len(files) == n
+    ranges = []
+    for fp in files:
+        md = pq.ParquetFile(fp).metadata
+        ki = next(i for i in range(md.num_columns)
+                  if md.row_group(0).column(i).path_in_schema == "k")
+        lo = min(md.row_group(g).column(ki).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(ki).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next  # disjoint (range-partitioned) key coverage
+    assert sorted(spark.read.parquet(pdir).collect()) == before_rows
