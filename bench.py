@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "q_llm_embedding_near_dup",
     "q_llm_token_counts_bpe",
     "q_llm_multimodal_features",
+    "q_llm_curation_pipeline",
 ]
 
 

@@ -23,6 +23,10 @@ def def_arguments() -> argparse.ArgumentParser:
     p.add_argument("--partition", default="yesterday",
                    help="'yesterday' | 'all' | comma-separated YYYY-MM-DD list")
     p.add_argument("--target-bytes", type=int, default=DEFAULT_TARGET_BYTES)
+    p.add_argument("--cluster-by", default=None,
+                   help="comma-separated columns: range-partition + sort the "
+                        "rewrite so files carry disjoint min/max key ranges "
+                        "(file-level data skipping); default: shuffle-free coalesce")
     p.add_argument("--lock-path", default="/tmp/dcache_compact.lock")
     p.add_argument("--status-path", default=None)
     p.add_argument("--loglevel", default="WARN")
@@ -32,11 +36,18 @@ def def_arguments() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> None:
     args = def_arguments().parse_args(argv)
     partitions = resolve_partition_policy(args.partition)
+    cluster_by = (
+        [c.strip() for c in args.cluster_by.split(",") if c.strip()]
+        if args.cluster_by
+        else None
+    )
     with run_lock(args.lock_path, args.status_path):
         spark = get_spark_session(app_name="dcache_compact", loglevel=args.loglevel)
         for table in args.tables.split(","):
             path = os.path.join(args.warehouse, table.strip())
-            result = compact_table(spark, path, partitions, args.target_bytes)
+            result = compact_table(
+                spark, path, partitions, args.target_bytes, cluster_by
+            )
             print(f"{table}: compacted {result}")
 
 

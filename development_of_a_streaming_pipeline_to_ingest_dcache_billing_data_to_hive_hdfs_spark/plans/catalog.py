@@ -1942,6 +1942,72 @@ def q_llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, fake=True)
 
 
+@register(
+    "q_llm_curation_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len({_DUCK_TOKENS}) AS INTEGER) AS n_tokens,
+             ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / greatest(length(text), 1), 4) AS punct_ratio,
+             {_DUCK_HIT_EXPRS['en']} AS hits_en,
+             {_DUCK_HIT_EXPRS['es']} AS hits_es,
+             {_DUCK_HIT_EXPRS['fr']} AS hits_fr,
+             {_DUCK_HIT_EXPRS['de']} AS hits_de,
+             md5({_NORM_SQL_DUCK}) AS fp
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= 24 AND punct_ratio <= 0.05
+        AND hits_en > 0 AND hits_en = greatest(hits_en, hits_es, hits_fr, hits_de)
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM deduped GROUP BY source
+    """,
+)
+def q_llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation in ONE declarative plan:
+    quality gate (token count + punctuation ratio) → language gate
+    (stopword argmax = en) → exact dedup (keep lowest doc_id per content
+    fingerprint) → per-source corpus stats.
+
+    Everything up to the dedup is a narrow scan-side projection/filter
+    (whole-stage codegen, no shuffle); the dedup is one shuffle on the
+    fingerprint; the final rollup is map-side partial. At 100 TB this is
+    the shape that matters: the expensive gates run before any exchange,
+    so rejected documents never cross the network."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score_cols()
+    scored = docs.select(
+        "doc_id",
+        "source",
+        q["n_tokens"].alias("n_tokens"),
+        q["punct_ratio"].alias("punct_ratio"),
+        predicted_lang_col().alias("pred_lang"),
+        fingerprint().alias("fp"),
+    )
+    gated = scored.where(
+        (F.col("n_tokens") >= 24)
+        & (F.col("punct_ratio") <= 0.05)
+        & (F.col("pred_lang") == "en")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = gated.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return deduped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: billing-core semantics in one plan."""
     return q_billing_flagship_daily(spark, sf_dir)
