@@ -1651,15 +1651,21 @@ def q_llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DUCK_TOKENS = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '')"
-_DUCK_HITS = {
-    "en": "['the','and','of','to','is','in','that','it','was','for']",
-    "es": "['el','la','de','que','y','en','un','es','por','los']",
-    "fr": "['le','la','de','et','les','des','un','une','est','dans']",
-    "de": "['der','die','und','das','ist','von','den','ein','eine','mit']",
+# Double-space-padded normalized text: every token flanked by its own
+# spaces, so " (w1|w2|…) " counts exact-token stopword hits — the twin of
+# textops._padded_norm / stopword_lang_scores.
+_DUCK_PADDED = (
+    "' ' || replace(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ', '  ') || ' '"
+)
+_DUCK_STOPWORD_PATS = {
+    "en": " (the|and|of|to|is|in|that|it|was|for) ",
+    "es": " (el|la|de|que|y|en|un|es|por|los) ",
+    "fr": " (le|la|de|et|les|des|un|une|est|dans) ",
+    "de": " (der|die|und|das|ist|von|den|ein|eine|mit) ",
 }
 _DUCK_HIT_EXPRS = {
-    lang: f"CAST(len(list_filter({_DUCK_TOKENS}, t -> list_contains({lst}, t))) AS INTEGER)"
-    for lang, lst in _DUCK_HITS.items()
+    lang: f"CAST(len(regexp_extract_all({_DUCK_PADDED}, '{pat}')) AS INTEGER)"
+    for lang, pat in _DUCK_STOPWORD_PATS.items()
 }
 
 
