@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "q_rel_q1_pricing_summary",
     "q_rel_q3_top_orders",
     "q_rel_q5_nation_volume",
+    "q_rel_q8_market_share",
+    "q_rel_q21_sole_blame",
     "q_rel_brand_revenue",
     "q_rel_top3_parts_per_brand",
     "q_rel_running_totals",
