@@ -92,6 +92,53 @@ def stopword_lang_scores(col: str = "text") -> dict[str, Column]:
     return out
 
 
+def repeated_token_ratio(col: str = "text") -> Column:
+    """Fraction of tokens that repeat an earlier token — the cheapest
+    Gopher-style repetition signal: 1 − |distinct tokens| / |tokens|.
+    Pure array expression, evaluated in the scan stage, no shuffle."""
+    t = tokens_col(col)
+    return 1 - F.size(F.array_distinct(t)) / F.size(t)
+
+
+def bigrams_col(col: str = "text") -> Column:
+    """Adjacent-token bigrams as ``"tok1 tok2"`` strings (empty array
+    for texts with fewer than 2 tokens). Built array-side with one
+    ``zip_with`` over two shifted slices so the downstream per-bigram
+    frequency count is a plain explode + groupBy — the relational shape
+    that scales (per-doc frequency maps never materialize on one node)."""
+    t = tokens_col(col)
+    n = F.size(t)
+    return F.zip_with(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+# PII scrubbing patterns: lookaround-free so the identical regex runs in
+# both Spark (Java regex) and RE2-style engines (DuckDB oracle, or a Go
+# sidecar at ingest). Order matters: URLs before long digit runs, so a
+# numeric path segment is consumed by <URL>, not re-matched as <NUM>.
+SCRUB_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    # a phone needs ≥1 separator in the middle; pure digit runs are <NUM>
+    (r"\+?[0-9]{1,4}[ ().-][0-9 ().-]{5,}[0-9]", "<PHONE>"),
+    (r"[0-9]{6,}", "<NUM>"),
+]
+
+
+def scrub_text(col: str = "text") -> Column:
+    """PII/URL redaction as a chain of ``regexp_replace`` (replace-all)
+    passes — one codegen'd scan-stage expression, no UDF. The synthetic
+    corpus contains no PII, so behavior is pytest-verified on crafted
+    fixtures; the catalog query proves the plan shape at table scale."""
+    out = F.col(col)
+    for pat, repl in SCRUB_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 def predicted_lang_col(col: str = "text") -> Column:
     """Predicted language = stopword list with the most hits (ties break
     by list order en > es > fr > de; 'und' = undetermined if all zero)."""

@@ -2422,6 +2422,111 @@ def q_rel_q22_dormant_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_repetition_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source, t,
+             1 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS rep_ratio
+      FROM toks WHERE len(t) >= 2),
+    bi AS (
+      SELECT doc_id, source, rep_ratio, t[i] || ' ' || t[i + 1] AS bg
+      FROM (SELECT doc_id, source, rep_ratio, t,
+                   unnest(generate_series(1, len(t) - 1)) AS i
+            FROM scored)),
+    cnt AS (
+      SELECT doc_id, source, rep_ratio, bg, COUNT(*) AS c
+      FROM bi GROUP BY ALL),
+    per_doc AS (
+      SELECT doc_id, source, rep_ratio,
+             CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+      FROM cnt GROUP BY doc_id, source, rep_ratio)
+    SELECT source,
+           ROUND(AVG(rep_ratio), 4) AS avg_rep_ratio,
+           ROUND(AVG(top_bigram_frac), 4) AS avg_top_bigram_frac,
+           CAST(SUM(CASE WHEN top_bigram_frac > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repetitive
+    FROM per_doc GROUP BY source
+    """,
+)
+def q_llm_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per source: repeated-token
+    ratio (array-side, scan stage) and top-bigram fraction (explode →
+    two-phase frequency count → per-doc max/sum). The bigram frequency
+    never materializes as a per-doc map on one node — it is an ordinary
+    relational aggregate, so a 100 TB corpus shards by (doc, bigram)."""
+    from ..operators.textops import bigrams_col, repeated_token_ratio, token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = (
+        docs.where(token_count_col() >= 2)
+        .select(
+            "doc_id",
+            "source",
+            repeated_token_ratio().alias("rep_ratio"),
+            F.explode(bigrams_col()).alias("bg"),
+        )
+    )
+    per_doc = (
+        exploded.groupBy("doc_id", "source", "rep_ratio", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "source", "rep_ratio")
+        .agg((F.max("c") / F.sum("c")).alias("top_bigram_frac"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.round(F.avg("rep_ratio"), 4).alias("avg_rep_ratio"),
+        F.round(F.avg("top_bigram_frac"), 4).alias("avg_top_bigram_frac"),
+        F.sum(F.when(F.col("top_bigram_frac") > 0.05, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_repetitive"),
+    )
+
+
+@register(
+    "q_llm_scrub_stats",
+    r"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN scrubbed <> text THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(SUM(length(text) - length(scrubbed)) AS BIGINT) AS chars_delta
+    FROM (SELECT source, text,
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   'https?://[^\s]+', '<URL>', 'g'),
+                   '\+?[0-9]{1,4}[ ().-][0-9 ().-]{5,}[0-9]', '<PHONE>', 'g'),
+                   '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
+          FROM documents)
+    GROUP BY source
+    """,
+)
+def q_llm_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL scrubbing audit per source: docs changed and chars
+    removed by the redaction chain (operators.textops.scrub_text — the
+    same lookaround-free patterns the oracle runs). The synthetic corpus
+    is PII-free (all-zero deltas); replacement behavior itself is
+    pytest-verified on crafted fixtures in tests/test_llm_ops.py."""
+    from ..operators.textops import scrub_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = docs.select(
+        "source", "text", scrub_text("text").alias("scrubbed")
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("scrubbed") != F.col("text"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_changed"),
+        F.sum(F.length("text") - F.length("scrubbed"))
+        .cast("bigint")
+        .alias("chars_delta"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: billing-core semantics in one plan."""
     return q_billing_flagship_daily(spark, sf_dir)

@@ -16,6 +16,8 @@ NOTES = {
  "q_rel_q14_promo_revenue": "Month-filtered lineitem slice joins broadcast part; the conditional promo/total sums fold into one two-phase aggregate, one shuffle of a single row per task.",
  "q_rel_q19_disjunctive": "Disjunctive predicates split by Catalyst: per-side residuals (brand/size, quantity) pushed below the broadcast join; only the cross-side OR evaluates as the join residual.",
  "q_rel_latest_per_key": "QUALIFY-style latest-per-key: single shuffle on o_custkey, per-partition sort, rank-1 filter folded into the WindowExec output — no join, no global sort.",
+ "q_rel_q8_market_share": "8-table star: every dimension (part/orders-window/customer/region-filtered nation/supplier+nation) is a BroadcastHashJoin build, so the lineitem fact reaches the conditional-share aggregate without a single join shuffle; the only Exchange is the final 1-row-per-year groupBy.",
+ "q_rel_q21_sole_blame": "EXISTS + NOT EXISTS as back-to-back LeftSemi/LeftAnti self-joins on l_orderkey with the other-supplier residual. At this SF AQE broadcasts all sides (zero shuffles before the s_name agg); past the broadcast threshold every side shares the same l_orderkey hash partitioning, so the three fact legs shuffle once each and the semi/anti/orders joins reuse it.",
  "q_rel_scalar_subquery": "Global-average scalar broadcast via nested-loop join: the 1-row aggregate broadcasts; the main part scan never shuffles before the final groupBy.",
 }
 

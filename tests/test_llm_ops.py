@@ -311,3 +311,43 @@ def test_dedup_clusters_on_real_near_dups(spark, docs_with_dups):
     for base in range(50):
         if base in c or base + 20000 in c:
             assert c.get(base) == c.get(base + 20000), base
+
+
+def test_scrub_text_redacts_pii(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        scrub_text,
+    )
+
+    rows = [
+        ("mail me at john.doe+spam@example.co.uk please", "mail me at <EMAIL> please"),
+        ("see https://example.com/p/123456?q=1 now", "see <URL> now"),
+        ("call +1 (555) 123-4567 today", "call <PHONE> today"),
+        ("ssn-ish 123456789 digits", "ssn-ish <NUM> digits"),
+        ("short num 12345 stays", "short num 12345 stays"),
+        ("clean text stays clean", "clean text stays clean"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], ["text"])
+    got = [r[0] for r in df.select(scrub_text("text")).collect()]
+    assert got == [want for _, want in rows]
+
+
+def test_repetition_signals(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        bigrams_col,
+        repeated_token_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [("a b a b",), ("w x y z",), ("solo",)], ["text"]
+    )
+    out = df.select(
+        repeated_token_ratio().alias("rep"), bigrams_col().alias("bg")
+    ).collect()
+    # "a b a b": 2 distinct of 4 tokens -> rep 0.5; bigrams a b, b a, a b
+    assert out[0]["rep"] == pytest.approx(0.5)
+    assert out[0]["bg"] == ["a b", "b a", "a b"]
+    # all-distinct text: rep 0, 3 bigrams
+    assert out[1]["rep"] == pytest.approx(0.0)
+    assert out[1]["bg"] == ["w x", "x y", "y z"]
+    # single token: no bigrams
+    assert out[2]["bg"] == []
