@@ -2527,6 +2527,42 @@ def q_llm_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_vocab_top20",
+    r"""
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM (SELECT doc_id, unnest(string_split(
+            regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS tok
+          FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def q_llm_vocab_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-20 tokens by occurrence count, with
+    document frequency. Explode → two-phase hash aggregate (map-side
+    partial count collapses each partition to one row per distinct
+    token BEFORE the shuffle — the exploded token stream itself never
+    crosses the network) → TakeOrderedAndProject for the global top-20
+    (per-partition heaps, no full sort). The tok tiebreak makes the
+    cut deterministic for the oracle diff."""
+    from ..operators.textops import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: billing-core semantics in one plan."""
     return q_billing_flagship_daily(spark, sf_dir)
