@@ -66,11 +66,13 @@ def main() -> None:
     for name in BENCH_QUERIES:
         QUERIES[name](spark, sf_dir).count()
 
-    # Two timed passes, min per query: single-shot numbers on a shared
-    # box swing 2-5x from GC/VM noise; the min approximates steady-state
-    # per-query latency (what a warm cluster would sustain).
+    # Three timed passes, min per query: single-shot numbers on a shared
+    # box swing up to 10x from GC/VM noise and page-cache eviction (a
+    # 3.0s query has measured 36s when the host stalls mid-pass); the
+    # min approximates steady-state per-query latency (what a warm
+    # cluster would sustain).
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in BENCH_QUERIES:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()

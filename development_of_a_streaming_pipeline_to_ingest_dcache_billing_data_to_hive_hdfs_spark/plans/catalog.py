@@ -2563,6 +2563,49 @@ def q_llm_vocab_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_chunk_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    chunks AS (
+      SELECT source, least(s + 31, len(t)) - s + 1 AS n_tokens
+      FROM (SELECT source, t, unnest(generate_series(1, len(t), 24)) AS s
+            FROM toks))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           ROUND(AVG(n_tokens), 4) AS avg_chunk_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_chunk_tokens
+    FROM chunks GROUP BY source
+    """,
+)
+def q_llm_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for context-window prep: 32-token windows every
+    24 tokens (8-token overlap) via the ChunkTokens Python UDTF in a
+    SQL LATERAL join, aggregated per source. The oracle reproduces the
+    chunk rule in pure SQL (generate_series + slice) — the UDTF is the
+    API surface under test, not a missing primitive."""
+    from ..operators.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    ).createOrReplaceTempView("docs_for_chunks")
+    return spark.sql(
+        """
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               ROUND(AVG(n_tokens), 4) AS avg_chunk_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_chunk_tokens
+        FROM docs_for_chunks,
+        LATERAL chunk_tokens(text, 32, 24)
+        GROUP BY source
+        """
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: billing-core semantics in one plan."""
     return q_billing_flagship_daily(spark, sf_dir)

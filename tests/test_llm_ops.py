@@ -351,3 +351,26 @@ def test_repetition_signals(spark):
     assert out[1]["bg"] == ["w x", "x y", "y z"]
     # single token: no bigrams
     assert out[2]["bg"] == []
+
+
+def test_chunk_tokens_udtf(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.udtfs import (
+        register_udtfs,
+    )
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [("one two three four five six",), ("solo",), ("",)], ["text"]
+    ).createOrReplaceTempView("chunk_in")
+    rows = spark.sql(
+        "SELECT text, chunk_idx, chunk, n_tokens "
+        "FROM chunk_in, LATERAL chunk_tokens(text, 4, 2) ORDER BY text, chunk_idx"
+    ).collect()
+    got = [(r.chunk_idx, r.chunk, r.n_tokens) for r in rows]
+    # "" -> no chunks; 6 tokens, size 4, stride 2 -> windows at 0,2,4
+    assert got == [
+        (0, "one two three four", 4),
+        (1, "three four five six", 4),
+        (2, "five six", 2),
+        (0, "solo", 1),
+    ]
