@@ -1782,6 +1782,25 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_llm_quantized_topk")
+def q_llm_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized brute-force cosine top-5 for the first 10 vectors
+    (4× smaller scan/broadcast than the float path). Rows-only check
+    (quantization rounding is engine-specific); recall vs the exact
+    float top-k is pytest-verified in tests/test_llm_ops.py."""
+    from ..operators.similarity import cosine_topk_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = cosine_topk_quantized(emb, queries, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos", 4).alias("cos"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 @register("q_llm_ivf_cosine_topk")
 def q_llm_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate cosine top-5 (k-means coarse quantizer,

@@ -374,3 +374,28 @@ def test_chunk_tokens_udtf(spark):
         (2, "five six", 2),
         (0, "solo", 1),
     ]
+
+
+def test_quantized_topk_recall(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = quantize_embeddings(emb).select("vec_id", "qvec").limit(5).collect()
+    for r in q:  # int8 range respected, zero vector impossible in fixture
+        assert all(-127 <= v <= 127 for v in r.qvec)
+
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(
+        emb.withColumn("embedding", F.col("embedding").cast("array<double>")),
+        queries.withColumn("embedding", F.col("embedding").cast("array<double>")),
+        k=5,
+    )
+    quant = cosine_topk_quantized(emb, queries, k=5)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    quant_set = {(r.query_id, r.neighbor_id) for r in quant.collect()}
+    recall = len(exact_set & quant_set) / len(exact_set)
+    # int8 rounding on 32-d near-orthogonal vectors: top-5 stays >=80%
+    assert recall >= 0.8, recall
