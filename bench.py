@@ -22,8 +22,14 @@ from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_h
     get_spark_session,
 )
 from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans import (
+    BENCH_EXTRA,
     QUERIES,
 )
+
+# Bench set resolves from the full catalog plus the performance-shaped
+# bench-only variants (raw minhash pairs / simhash / multimodal features,
+# whose correctness twins are the *_check queries in QUERIES).
+ALL_QUERIES = {**QUERIES, **BENCH_EXTRA}
 
 # Headline set: the flagship + the heavier relational/llm operators.
 BENCH_QUERIES = [
@@ -64,7 +70,7 @@ def main() -> None:
     # same query) are all paid before timing — the timed numbers measure
     # steady-state query compute, as on a warm cluster.
     for name in BENCH_QUERIES:
-        QUERIES[name](spark, sf_dir).count()
+        ALL_QUERIES[name](spark, sf_dir).count()
 
     # Three timed passes, min per query: single-shot numbers on a shared
     # box swing up to 10x from GC/VM noise and page-cache eviction (a
@@ -75,7 +81,7 @@ def main() -> None:
     for _pass in range(3):
         for name in BENCH_QUERIES:
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).count()
+            ALL_QUERIES[name](spark, sf_dir).count()
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
             print(f"  pass{_pass} {name}: {dt}s", file=sys.stderr)

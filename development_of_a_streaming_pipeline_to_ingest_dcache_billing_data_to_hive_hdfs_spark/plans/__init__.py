@@ -1,3 +1,3 @@
-from .catalog import QUERIES, ORACLES, flagship
+from .catalog import BENCH_EXTRA, ORACLES, QUERIES, flagship
 
-__all__ = ["QUERIES", "ORACLES", "flagship"]
+__all__ = ["BENCH_EXTRA", "ORACLES", "QUERIES", "flagship"]

@@ -1,6 +1,8 @@
 import sys, io, contextlib; sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark import get_spark_session
-from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans import QUERIES
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans import BENCH_EXTRA, QUERIES
+
+ALL_QUERIES = {**QUERIES, **BENCH_EXTRA}
 spark = get_spark_session(master="local[8]", shuffle_partitions=8)
 sf = "/root/testdata/sf0.1"
 
@@ -30,7 +32,7 @@ span annotations) is shown, not the pre-execution placeholder.
 """
 out = [hdr]
 for name, note in NOTES.items():
-    df = QUERIES[name](spark, sf)
+    df = ALL_QUERIES[name](spark, sf)
     df.count()  # finalize AQE
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
