@@ -52,7 +52,11 @@ def list_partitions(spark: SparkSession, path: str) -> list[str]:
     prefix = PARTITION_FIELD + "="
     return sorted(
         d[len(prefix):] for d in os.listdir(path)
-        if d.startswith(prefix) and os.path.isdir(os.path.join(path, d))
+        if d.startswith(prefix)
+        and os.path.isdir(os.path.join(path, d))
+        # a crashed legacy swap could leave 'partition_date=X._compacting';
+        # never parse scratch suffixes as partition values
+        and "._" not in d
     )
 
 
@@ -64,6 +68,37 @@ def partition_bytes(path: str, partition: str) -> int:
             if not f.startswith(("_", ".")):
                 total += os.path.getsize(os.path.join(root, f))
     return total
+
+
+def recover_crashed_compactions(path: str, only: str | None = None) -> list[str]:
+    """Finish any swap a previous compaction crashed in the middle of.
+    A '._compact_old_P' dir with the partition present means the swap
+    completed but cleanup didn't (drop the retired copy); WITHOUT the
+    partition it means the crash hit between the two renames (restore
+    the original). Stale '._compact_new_P' scratch writes are dropped.
+    Returns the partition values that were restored."""
+    import shutil
+
+    if not os.path.isdir(path):
+        return []
+    restored = []
+    for d in os.listdir(path):
+        if d.startswith("._compact_old_"):
+            p = d[len("._compact_old_"):]
+            if only is not None and p != only:
+                continue
+            pdir = os.path.join(path, f"{PARTITION_FIELD}={p}")
+            if os.path.isdir(pdir):
+                shutil.rmtree(os.path.join(path, d))
+            else:
+                os.replace(os.path.join(path, d), pdir)
+                restored.append(p)
+        elif d.startswith("._compact_new_"):
+            p = d[len("._compact_new_"):]
+            if only is not None and p != only:
+                continue
+            shutil.rmtree(os.path.join(path, d))
+    return restored
 
 
 def compact_partition(
@@ -83,23 +118,33 @@ def compact_partition(
     range predicates on those columns then skip whole files at plan time
     instead of scanning the day. Costs one shuffle (vs the shuffle-free
     coalesce); worth it for the clustering read-pattern at scale."""
-    n_files = max(1, math.ceil(partition_bytes(path, partition) / target_bytes))
+    import shutil
+
     pdir = os.path.join(path, f"{PARTITION_FIELD}={partition}")
+    # Scratch dirs live beside the partition, dot-prefixed: Spark's file
+    # listing skips hidden dirs and list_partitions never sees them (a
+    # scratch name starting with 'partition_date=' would be parsed as a
+    # bogus partition value by any reader that lists the table).
+    tmp = os.path.join(path, f"._compact_new_{partition}")
+    retired = os.path.join(path, f"._compact_old_{partition}")
+    recover_crashed_compactions(path, only=partition)
+    n_files = max(1, math.ceil(partition_bytes(path, partition) / target_bytes))
     df = spark.read.parquet(pdir)
     if cluster_by:
         cols = [F.col(c) for c in cluster_by]
         df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
     else:
         df = df.coalesce(n_files)
-    # Rewrite through a scratch dir then swap: the local-FS equivalent of
-    # INSERT OVERWRITE a static partition (read and overwrite of the same
-    # files in one job is not safe).
-    tmp = pdir + "._compacting"
+    # Rewrite through the scratch dir then swap with two renames
+    # (retire-old → promote-new → delete-old). The partition is absent
+    # only between the two renames — metadata ops — instead of for the
+    # whole rmtree of the old data; any crash leaves either the original
+    # or the compacted data recoverable (and the self-heal above
+    # finishes the job on the next run).
     df.write.mode("overwrite").parquet(tmp)
-    import shutil
-
-    shutil.rmtree(pdir)
+    os.replace(pdir, retired)
     os.replace(tmp, pdir)
+    shutil.rmtree(retired)
     return n_files
 
 
@@ -112,7 +157,10 @@ def compact_table(
 ) -> dict[str, int]:
     """Compact the given (or all) partitions of one table path. Partition
     enumeration happens here, per table — the reference's cross-table
-    partition-list reuse bug (`:366-372`) cannot recur."""
+    partition-list reuse bug (`:366-372`) cannot recur. Crashed swaps
+    from a previous run are healed BEFORE enumeration, so a partition
+    stranded mid-swap is restored and compacted rather than skipped."""
+    recover_crashed_compactions(path)
     parts = partitions if partitions is not None else list_partitions(spark, path)
     existing = set(list_partitions(spark, path))
     return {

@@ -171,21 +171,30 @@ def lsh_candidate_pairs(
     )
     if max_bucket_size is not None:
         buckets = buckets.where(F.size("ids") <= max_bucket_size)
-    # Pair expansion is output-bound (k² structs per bucket) while the
-    # bucket rows themselves are few and small — AQE coalesces the
-    # post-agg stage by *input* bytes and would run the expansion almost
-    # serially. An explicit round-robin repartition (AQE honors the
-    # user-specified count) spreads bucket lists — and their skewed
-    # expansion cost — across the cluster.
+    return expand_bucket_pairs(buckets)
+
+
+def expand_bucket_pairs(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """(… , ids: array) bucket rows → distinct in-bucket (id_a, id_b)
+    pairs with id_a < id_b (``ids`` must be sorted). Shared by every
+    bucketed blocking scheme (minhash bands, simhash chunks, hyperplane
+    signatures).
+
+    Pair expansion is output-bound (k² structs per bucket) while the
+    bucket rows themselves are few and small — AQE coalesces the
+    post-agg stage by *input* bytes and would run the expansion almost
+    serially. An explicit round-robin repartition (AQE honors the
+    user-specified count) spreads bucket lists — and their skewed
+    expansion cost — across the cluster. ``ids`` is a plain attribute,
+    so referencing it inside the lambdas is a column read, not a
+    re-evaluated expression."""
     buckets = buckets.repartition(
-        sigs.sparkSession.sparkContext.defaultParallelism
+        buckets.sparkSession.sparkContext.defaultParallelism
     )
-    # ids is a plain attribute (already sorted by the agg), so referencing
-    # it inside the lambdas is a column read, not a re-evaluated expression.
     pair_expr = (
-        "flatten(transform(ids, (x, i) ->"
-        " transform(slice(ids, i + 2, size(ids)),"
-        " y -> named_struct('id_a', x, 'id_b', y))))"
+        f"flatten(transform({ids_col}, (x, i) ->"
+        f" transform(slice({ids_col}, i + 2, size({ids_col})),"
+        f" y -> named_struct('id_a', x, 'id_b', y))))"
     )
     return (
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))

@@ -159,29 +159,66 @@ def sample_frames(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, tss, payloads = [], [], [], []
-            for _, row in pdf.iterrows():
-                dur = row["duration_ms"]
-                if row["payload"] is None or dur is None or pd.isna(dur):
-                    continue
-                n_frames = max(1, int(dur) // every_ms)
-                for i in range(n_frames):
-                    ids.append(row["media_id"])
-                    idxs.append(i)
-                    tss.append(i * every_ms)
-                    h = hashlib.sha256(bytes(row["payload"]) + i.to_bytes(4, "big"))
-                    payloads.append(h.digest())
+            # Vectorized row→frame expansion: frame counts, repeat
+            # indices and per-frame timestamps all come from numpy index
+            # arithmetic (no iterrows). Only the per-OUTPUT-frame digest
+            # below is Python — that list comprehension stands exactly
+            # where the real frame decode (pyav) would, and is bounded
+            # by output volume, not input rows.
+            dur = pd.to_numeric(pdf["duration_ms"], errors="coerce")
+            keep = dur.notna() & pdf["payload"].notna()
+            sub = pdf.loc[keep]
+            n_frames = np.maximum(
+                1, (dur.loc[keep].to_numpy(dtype=np.int64) // every_ms)
+            )
+            rep = np.repeat(np.arange(len(sub)), n_frames)
+            ends = np.cumsum(n_frames)
+            frame_idx = np.arange(int(ends[-1]) if len(ends) else 0) - np.repeat(
+                ends - n_frames, n_frames
+            )
+            payloads_in = sub["payload"].to_numpy()
+            payloads = [
+                hashlib.sha256(
+                    bytes(payloads_in[r]) + int(i).to_bytes(4, "big")
+                ).digest()
+                for r, i in zip(rep, frame_idx)
+            ]
             yield pd.DataFrame(
-                {"media_id": ids, "frame_idx": idxs, "ts_ms": tss, "payload": payloads}
+                {
+                    "media_id": sub["media_id"].to_numpy()[rep],
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "ts_ms": frame_idx.astype(np.int64) * every_ms,
+                    "payload": payloads,
+                }
             )
 
     return media.mapInPandas(op, FRAMES_SCHEMA)
 
 
-def media_repartition(media: DataFrame, target_bytes: int = 128 * 1024 * 1024) -> DataFrame:
+def media_repartition(
+    media: DataFrame,
+    target_bytes: int = 128 * 1024 * 1024,
+    sample_rows: int = 1024,
+) -> DataFrame:
     """Repartition a media table by estimated payload bytes so each task
-    handles ~target_bytes of binary data regardless of row width."""
-    stats = media.select(F.sum(F.length("payload")).alias("total")).first()
-    total = stats["total"] or 0
-    n = max(1, int(total // target_bytes) + 1)
+    handles ~target_bytes of binary data regardless of row width.
+
+    The estimate is row_count × avg(payload bytes over a bounded
+    sample): ``count()`` prunes every column (parquet answers it from
+    footer metadata — no payload IO) and the average reads only
+    ``sample_rows`` payloads. The previous ``sum(length(payload))``
+    was exact but scanned the entire binary column — a full extra pass
+    over precisely the data this operator exists to budget."""
+    n_rows = media.count()
+    if n_rows == 0:
+        return media.repartition(1)
+    row = (
+        media.select(F.length("payload").alias("b"))
+        .limit(sample_rows)
+        .agg(F.avg("b").alias("avg_b"))
+        .first()
+    )
+    avg_b = row["avg_b"] or 0.0
+    total = int(n_rows * avg_b)
+    n = max(1, total // target_bytes + 1)
     return media.repartition(n)

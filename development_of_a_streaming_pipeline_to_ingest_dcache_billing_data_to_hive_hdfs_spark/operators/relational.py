@@ -47,7 +47,21 @@ def salted_join(
     the table) or when AQE is unavailable (streaming micro-batches).
     Salt is derived from a per-row hash (deterministic, no RNG in the
     plan): rand() would break replay/retry determinism.
+
+    ``how`` is restricted to joins where replicating the ``other`` side
+    is sound: inner/left/left_semi/left_anti drop (or never emit) the
+    replicated side's unmatched rows, so the ``salt_buckets``-fold copy
+    is invisible. right/full/left_outer-of-the-replicated-side would
+    surface each unmatched ``other`` row once per salt bucket.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)}; got {how!r} — "
+            "the replicated build side would duplicate its unmatched rows "
+            "once per salt bucket under right/full outer joins"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
     lhs = skewed.withColumn("_salt", salt.cast("int"))
     rhs = other.withColumn(

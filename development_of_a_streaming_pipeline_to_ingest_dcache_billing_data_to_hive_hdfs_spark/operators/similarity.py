@@ -65,20 +65,39 @@ def embedding_near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "broadcast",
+    n_bits: int = 4,
+    n_tables: int = 16,
+    dim: int | None = None,
+    max_bucket_size: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """All pairs (id_a < id_b) whose cosine similarity ≥ threshold —
-    embedding-space near-duplicate detection.
+    embedding-space near-duplicate detection. Two strategies:
 
-    Shape: the corpus is L2-normalized once, collected to a dense
-    (n × d) float64 matrix, and broadcast; each partition then computes
-    its block of the similarity matrix as one BLAS matmul inside
-    Arrow-batched mapInPandas. That replaces 2 interpreted higher-order
-    dot products *per pair* with a vectorized block product per
-    partition (~20× faster at 2k × 64d), and the scan side stays fully
-    distributed. Constraint (documented, standard for broadcast-index
-    ANN): the index matrix must fit in executor memory — beyond that,
-    block by LSH buckets first (``lsh_cosine_topk``'s bucketing) and
-    apply this verifier within buckets."""
+    - ``broadcast`` (exact; small/medium corpora): the corpus is
+      L2-normalized, collected, and broadcast as a dense (n × d) index;
+      each partition computes its block of the similarity matrix as one
+      BLAS matmul inside Arrow-batched mapInPandas. Exact, but the
+      index must fit in driver+executor memory — this is the documented
+      small-N fast path, NOT the 100 TB path.
+    - ``blocked`` (approximate; the scale path): no collect anywhere —
+      random-hyperplane LSH signatures bucket the corpus
+      (``n_tables × n_bits`` sign bits), in-bucket pairs expand
+      JVM-side exactly like minhash-LSH banding, and an exact BLAS
+      cosine verifies every candidate, so precision is 1.0 and only
+      recall is approximate (tuned by tables × bits; pytest-measured
+      vs the exact baseline). Every stage is bounded: signatures are 3
+      integer columns, buckets group-by, verification touches candidate
+      pairs only.
+    """
+    if strategy == "blocked":
+        return _near_dup_blocked(
+            df, threshold, id_col, vec_col, n_bits, n_tables, dim,
+            max_bucket_size, seed,
+        )
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy {strategy!r}: broadcast | blocked")
     import pandas as pd
 
     pdf = df.select(F.col(id_col), F.col(vec_col)).toPandas()
@@ -104,6 +123,52 @@ def embedding_near_dup_pairs(
 
     scan = spread_partitions(df.select(F.col(id_col), F.col(vec_col)))
     return scan.mapInPandas(op, "id_a long, id_b long, cos double")
+
+
+def _near_dup_blocked(
+    df: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_bits: int,
+    n_tables: int,
+    dim: int | None,
+    max_bucket_size: int | None,
+    seed: int,
+) -> DataFrame:
+    """LSH-bucket blocking + per-candidate BLAS verify (see
+    embedding_near_dup_pairs). Candidate generation reuses the
+    minhash-LSH bucket machinery: groupBy (table, signature) collects
+    sorted member ids ONCE (no self-join, so the signature mapInPandas
+    pipeline runs a single time) and pairs expand JVM-side,
+    output-bound. Vectors re-attach to the candidate set only."""
+    from .dedup import expand_bucket_pairs
+
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cos double"
+            )
+        dim = first["d"]
+    planes = np.asarray(random_hyperplanes(dim, n_bits, n_tables, seed))
+    sigs = _lsh_signatures(df, planes, id_col, vec_col, "vid")
+    buckets = (
+        sigs.groupBy("t", "sig")
+        .agg(F.sort_array(F.collect_list("vid")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
+    pairs = expand_bucket_pairs(buckets)
+    vec_a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("q_vec"))
+    vec_b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("c_vec"))
+    cand = pairs.join(vec_a, "id_a").join(vec_b, "id_b")
+    return (
+        cosine_pairs_blas(cand)
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
 
 
 def _fit_centroids_kmeans(

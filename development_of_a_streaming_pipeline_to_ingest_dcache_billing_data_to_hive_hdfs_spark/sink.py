@@ -10,13 +10,14 @@ Reference parity: the four INSERT-INTO-partitioned-table sinks
   as a contract.
 - **Idempotence** (fixes SURVEY §3.4): the reference's foreachBatch is
   at-least-once — a mid-batch failure replays the batch and duplicates
-  earlier inserts. Here a per-sink ledger records committed batch ids;
-  a replayed batch id is skipped. Ledger writes are atomic
-  (write-temp + rename), and the data write happens before the ledger
-  append, so a crash between them re-runs the batch — the ledger check
-  plus per-batch output files (``batch_id`` in the file path would be the
-  cluster-grade variant with a cleanup pass; see compact.py) keeps
-  duplicates out of the committed view.
+  earlier inserts. Here two layers close the gap: a committed-batch
+  ledger skips whole replayed batch ids, and every data file a batch
+  writes carries the batch id in its NAME (stage → promote-with-rename,
+  ``write_partitioned_batch``), so a replay of a half-written batch
+  first deletes exactly that batch's files and then rewrites them —
+  duplicates cannot survive any crash point. This is the
+  FileOutputCommitter-v1 shape: data lands in a hidden staging dir,
+  promotion is per-file rename (a metadata op on HDFS-like stores).
 
 At 100 TB: appends are partition-local (no shuffle); one pass per batch
 over the parsed frame per route, with the parsed batch persisted by the
@@ -70,6 +71,69 @@ def write_partitioned(df: DataFrame, path: str, mode: str = "append") -> None:
     partition_date (≙ ``INSERT INTO t PARTITION (partition_date)``,
     `Dcache_kafka_to_hive.py:118-120`)."""
     df.write.mode(mode).partitionBy(PARTITION_FIELD).parquet(path)
+
+
+def _batch_prefix(batch_id: int) -> str:
+    return f"batch{batch_id}-"
+
+
+def cleanup_batch_files(path: str, batch_id: int) -> int:
+    """Delete every data file a previous (crashed) attempt of this batch
+    promoted into the table, plus any leftover staging dir. Returns the
+    number of files removed. File membership is name-based — the batch
+    id is embedded in every promoted file's name — so no data needs to
+    be read."""
+    import shutil
+
+    staging = os.path.join(path, f"._batch_staging_{batch_id}")
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    removed = 0
+    if not os.path.isdir(path):
+        return removed
+    prefix = _batch_prefix(batch_id)
+    for d in os.listdir(path):
+        pdir = os.path.join(path, d)
+        if not os.path.isdir(pdir) or d.startswith(("_", ".")):
+            continue
+        for f in os.listdir(pdir):
+            if f.startswith(prefix):
+                os.remove(os.path.join(pdir, f))
+                removed += 1
+    return removed
+
+
+def write_partitioned_batch(df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent micro-batch append: stage the batch's output under a
+    hidden per-batch dir, then promote each data file into its partition
+    dir under a batch-scoped NAME (``batch<id>-<part-file>``), after
+    removing anything an earlier crashed attempt of the same batch
+    already promoted.
+
+    Crash matrix: during staging → nothing visible (hidden dir), replay
+    cleans and rewrites; during promotion → some files visible, replay
+    deletes exactly this batch's files (name match) and re-promotes;
+    after promotion but before the caller's ledger commit → replay
+    rewrites byte-identical content (same checkpointed offset range).
+    Promotion is one rename per file — a metadata operation on
+    HDFS-like stores, the same pattern FileOutputCommitter v1 uses."""
+    import shutil
+
+    cleanup_batch_files(path, batch_id)
+    staging = os.path.join(path, f"._batch_staging_{batch_id}")
+    df.write.mode("overwrite").partitionBy(PARTITION_FIELD).parquet(staging)
+    prefix = _batch_prefix(batch_id)
+    for d in os.listdir(staging):
+        sdir = os.path.join(staging, d)
+        if not os.path.isdir(sdir):
+            continue  # _SUCCESS and friends
+        dest = os.path.join(path, d)
+        os.makedirs(dest, exist_ok=True)
+        for f in os.listdir(sdir):
+            if f.startswith(("_", ".")):
+                continue
+            os.replace(os.path.join(sdir, f), os.path.join(dest, prefix + f))
+    shutil.rmtree(staging)
 
 
 def write_partitioned_table(df: DataFrame, table: str, mode: str = "append") -> None:

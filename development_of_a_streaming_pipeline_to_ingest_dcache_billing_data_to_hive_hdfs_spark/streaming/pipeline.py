@@ -8,8 +8,11 @@ Reference parity: ``Streaming.to_hive`` + ``forEachBatch``
   range for each of its 4 INSERT actions (no cache — the single biggest
   perf defect, 4× the ingest work).
 - **Idempotent batches**: a committed-batch ledger skips replayed
-  batchIds, turning foreachBatch's at-least-once into effective
-  exactly-once at the table level (the reference duplicates on replay).
+  batchIds, and every route write embeds the batch id in its file names
+  with a pre-write cleanup of that batch's files
+  (sink.write_partitioned_batch) — so a crash after SOME route writes
+  cannot duplicate rows on replay. Together: exactly-once at the table
+  level across every crash point (the reference duplicates on replay).
 - **Bounded drain via ``trigger(availableNow=True)``** instead of the
   reference's ``awaitTermination(2 × trigger)`` wall-clock race
   (`:345-347`, docstring admits it "can happen that it streams twice").
@@ -27,7 +30,7 @@ from pyspark.sql import DataFrame
 from ..parse import parse_billing
 from ..route import route
 from ..schema import REJECTS_ROUTE
-from ..sink import BatchLedger, write_partitioned
+from ..sink import BatchLedger, write_partitioned_batch
 
 ROUTES = ("transfers", "requests", "storage", "removes", REJECTS_ROUTE)
 
@@ -51,7 +54,7 @@ class BillingPipeline:
         parsed.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             for name, df in route(parsed).items():
-                write_partitioned(df, self.table_path(name))
+                write_partitioned_batch(df, self.table_path(name), batch_id)
             self.ledger.commit(batch_id)
         finally:
             parsed.unpersist()

@@ -399,3 +399,62 @@ def test_quantized_topk_recall(spark):
     recall = len(exact_set & quant_set) / len(exact_set)
     # int8 rounding on 32-d near-orthogonal vectors: top-5 stays >=80%
     assert recall >= 0.8, recall
+
+
+def test_near_dup_blocked_finds_planted_dups(spark):
+    """The LSH-blocked near-dup path (no full-corpus collect) must find
+    exact and scaled duplicates (cos=1 pairs collide in every table),
+    verify candidates with true cosine, and reach the recall floor vs
+    the exact broadcast baseline on the fixture corpus."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((20, 16))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    rows.append((100, [float(x) for x in vecs[0]]))          # exact dup of 0
+    rows.append((101, [float(x) for x in vecs[1] * 3.0]))    # scaled dup of 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.99, strategy="blocked", dim=16
+        ).collect()
+    }
+    assert set(got) == {(0, 100), (1, 101)}
+    assert all(c > 0.999 for c in got.values())
+
+
+def test_near_dup_blocked_recall_vs_exact(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.35).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.35, strategy="blocked", dim=64
+        ).collect()
+    }
+    assert blocked <= exact                       # precision 1.0
+    if exact:
+        recall = len(blocked & exact) / len(exact)
+        assert recall >= 0.7, f"blocked near-dup recall too low: {recall}"
+
+
+def test_near_dup_rejects_unknown_strategy(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="strategy"):
+        embedding_near_dup_pairs(df, 0.5, strategy="bogus")

@@ -203,6 +203,16 @@ def test_salted_join_matches_plain_join(spark):
     plain_l = skewed.join(dim_small, "k", "left").count()
     salted_l = salted_join(skewed, dim_small, "k", salt_buckets=8, how="left").count()
     assert plain_l == salted_l
+    # semi/anti are sound under replication and must be accepted
+    plain_s = skewed.join(dim_small, "k", "left_semi").count()
+    salted_s = salted_join(skewed, dim_small, "k", salt_buckets=8, how="left_semi").count()
+    assert plain_s == salted_s
+    # right/full would duplicate the replicated side's unmatched rows
+    import pytest as _pytest
+
+    for bad in ("right", "full", "outer", "right_outer", "cross"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            salted_join(skewed, dim_small, "k", how=bad)
 
 
 def test_q4_semi_join_shape_in_plan(spark):

@@ -132,3 +132,45 @@ def test_compact_cluster_by_gives_disjoint_file_ranges(spark, tmp_path):
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next  # disjoint (range-partitioned) key coverage
     assert sorted(spark.read.parquet(pdir).collect()) == before_rows
+
+
+def test_compact_self_heals_crash_between_renames(spark, tmp_path):
+    """Crash window: old partition retired but new not yet promoted —
+    the next compact run must restore the original data and proceed."""
+    path = str(tmp_path / "t")
+    _write_many_small_files(spark, path, "2024-03-01", n=3)
+    pdir = os.path.join(path, "partition_date=2024-03-01")
+    before_rows = sorted(spark.read.parquet(path).collect())
+    # simulate: crash happened right after os.replace(pdir, retired)
+    os.replace(pdir, os.path.join(path, "._compact_old_2024-03-01"))
+    assert not os.path.isdir(pdir)
+    result = compact_table(spark, path, partitions=["2024-03-01"])
+    assert result == {"2024-03-01": 1}
+    assert sorted(spark.read.parquet(path).collect()) == before_rows
+
+
+def test_compact_self_heals_leftover_scratch(spark, tmp_path):
+    """Crash window: scratch write finished (or partial) but swap never
+    ran; stale retired dir from a completed swap also gets cleaned."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    _write_many_small_files(spark, path, "2024-03-01", n=3)
+    pdir = os.path.join(path, "partition_date=2024-03-01")
+    before_rows = sorted(spark.read.parquet(path).collect())
+    shutil.copytree(pdir, os.path.join(path, "._compact_new_2024-03-01"))
+    shutil.copytree(pdir, os.path.join(path, "._compact_old_2024-03-01"))
+    result = compact_table(spark, path, partitions=["2024-03-01"])
+    assert result == {"2024-03-01": 1}
+    assert sorted(spark.read.parquet(path).collect()) == before_rows
+    leftovers = [d for d in os.listdir(path) if d.startswith("._compact_")]
+    assert leftovers == []
+
+
+def test_list_partitions_ignores_scratch_dirs(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_many_small_files(spark, path, "2024-03-01", n=2)
+    # legacy-style scratch name that starts with the partition prefix
+    os.makedirs(os.path.join(path, "partition_date=2024-03-01._compacting"))
+    os.makedirs(os.path.join(path, "._compact_old_2024-02-01"))
+    assert list_partitions(spark, path) == ["2024-03-01"]

@@ -187,3 +187,54 @@ def test_stream_stream_interval_join(spark, tmp_path):
     rows = spark.sql("select * from ssj_out").collect()
     assert len(rows) == 1
     assert str(rows[0].r_ts).startswith("2024-03-01 10:30")
+
+
+def test_crash_after_partial_route_writes_no_duplicates(spark, tmp_path, monkeypatch):
+    """ADVICE crash window: die after 2 of 5 route writes, before the
+    ledger commit; the replayed batch must not duplicate the routes that
+    were already written (batch-scoped file names + pre-write cleanup)."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.streaming import (
+        pipeline as pipeline_mod,
+    )
+
+    warehouse = str(tmp_path / "wh")
+    recs = [
+        (billing_record("transfer", date="2024-03-01T10:00:00.000+0000"),),
+        (billing_record("transfer", date="2024-03-02T11:00:00.000+0000"),),
+        (billing_record("request", date="2024-03-01T12:00:00.000+0000"),),
+        (billing_record("store", date="2024-03-01T13:00:00.000+0000"),),
+        (billing_record("remove", date="2024-03-01T14:00:00.000+0000"),),
+    ]
+    batch = spark.createDataFrame(recs, ["value"])
+    pipe = BillingPipeline(source=None, warehouse_dir=warehouse)
+
+    real_write = pipeline_mod.write_partitioned_batch
+    calls = {"n": 0}
+
+    def dying_write(df, path, batch_id):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("simulated crash mid-batch")
+        real_write(df, path, batch_id)
+
+    monkeypatch.setattr(pipeline_mod, "write_partitioned_batch", dying_write)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        pipe.process_batch(batch, 3)
+    assert not pipe.ledger.is_committed(3)
+    # two routes were written once already
+    written_before = spark.read.parquet(pipe.table_path("transfers")).count()
+    assert written_before == 2
+
+    # replay of the SAME batch id after restart
+    monkeypatch.setattr(pipeline_mod, "write_partitioned_batch", real_write)
+    pipe.process_batch(batch, 3)
+    assert pipe.ledger.is_committed(3)
+    assert spark.read.parquet(pipe.table_path("transfers")).count() == 2
+    assert spark.read.parquet(pipe.table_path("requests")).count() == 1
+    assert spark.read.parquet(pipe.table_path("storage")).count() == 1
+    assert spark.read.parquet(pipe.table_path("removes")).count() == 1
+    # third delivery is ledger-skipped outright
+    pipe.process_batch(batch, 3)
+    assert spark.read.parquet(pipe.table_path("transfers")).count() == 2
