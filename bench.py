@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "q_llm_token_counts_bpe",
     "q_llm_multimodal_features",
     "q_llm_curation_pipeline",
+    "q_llm_near_dup_blocked",
+    "q_rel_q2_min_cost_supplier",
 ]
 
 
@@ -69,8 +71,26 @@ def main() -> None:
     # (cold VM disk reads dominate first touch: 26 s vs 3.4 s for the
     # same query) are all paid before timing — the timed numbers measure
     # steady-state query compute, as on a warm cluster.
+    # Failure isolation: one broken query must never zero the round's
+    # whole perf signal (round 2: a single plan-time AnalysisException in
+    # warm-up DNF'd the entire benchmark). Each query is wrapped; broken
+    # ones are reported in "errors" with the exception head (class +
+    # first message line — the diagnosis, not the plan dump) and skipped
+    # from the timed passes; the JSON line still prints.
+    errors: dict[str, str] = {}
+
+    def _err_head(exc: Exception) -> str:
+        head = f"{type(exc).__name__}: {exc}".split("\n")
+        return " ".join(head[:2])[:300]
+
+    runnable = []
     for name in BENCH_QUERIES:
-        ALL_QUERIES[name](spark, sf_dir).count()
+        try:
+            ALL_QUERIES[name](spark, sf_dir).count()
+            runnable.append(name)
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            errors[name] = _err_head(exc)
+            print(f"  warmup FAILED {name}: {errors[name]}", file=sys.stderr)
 
     # Three timed passes, min per query: single-shot numbers on a shared
     # box swing up to 10x from GC/VM noise and page-cache eviction (a
@@ -79,25 +99,29 @@ def main() -> None:
     # cluster would sustain).
     timings: dict[str, float] = {}
     for _pass in range(3):
-        for name in BENCH_QUERIES:
+        for name in runnable:
             t0 = time.perf_counter()
-            ALL_QUERIES[name](spark, sf_dir).count()
+            try:
+                ALL_QUERIES[name](spark, sf_dir).count()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = _err_head(exc)
+                print(f"  pass{_pass} FAILED {name}: {errors[name]}", file=sys.stderr)
+                continue
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
             print(f"  pass{_pass} {name}: {dt}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "catalog_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

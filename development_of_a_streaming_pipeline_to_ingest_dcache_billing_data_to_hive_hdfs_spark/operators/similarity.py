@@ -65,16 +65,22 @@ def embedding_near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    strategy: str = "broadcast",
+    strategy: str = "auto",
     n_bits: int = 4,
     n_tables: int = 16,
     dim: int | None = None,
     max_bucket_size: int | None = None,
     seed: int = 42,
+    broadcast_max_rows: int = 200_000,
 ) -> DataFrame:
     """All pairs (id_a < id_b) whose cosine similarity ≥ threshold —
-    embedding-space near-duplicate detection. Two strategies:
+    embedding-space near-duplicate detection. Strategies:
 
+    - ``auto`` (default): pick ``broadcast`` only when the corpus is
+      small enough to collect safely (``count() <= broadcast_max_rows``,
+      a metadata-cheap parquet count), else ``blocked``. A caller who
+      never thinks about strategy gets the no-collect plan at scale —
+      the exact path must be opted into, not stumbled into.
     - ``broadcast`` (exact; small/medium corpora): the corpus is
       L2-normalized, collected, and broadcast as a dense (n × d) index;
       each partition computes its block of the similarity matrix as one
@@ -91,13 +97,20 @@ def embedding_near_dup_pairs(
       integer columns, buckets group-by, verification touches candidate
       pairs only.
     """
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if df.select(id_col).limit(broadcast_max_rows + 1).count()
+            <= broadcast_max_rows
+            else "blocked"
+        )
     if strategy == "blocked":
         return _near_dup_blocked(
             df, threshold, id_col, vec_col, n_bits, n_tables, dim,
             max_bucket_size, seed,
         )
     if strategy != "broadcast":
-        raise ValueError(f"unknown strategy {strategy!r}: broadcast | blocked")
+        raise ValueError(f"unknown strategy {strategy!r}: auto | broadcast | blocked")
     import pandas as pd
 
     pdf = df.select(F.col(id_col), F.col(vec_col)).toPandas()

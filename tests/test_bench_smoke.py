@@ -1,0 +1,32 @@
+"""Smoke test for the benchmark query set.
+
+Round 2 lesson: a plan-time AnalysisException in ONE headline query
+DNF'd the whole benchmark because nothing ran the bench set before the
+driver did. This test executes every BENCH_QUERIES entry once at
+sf0.001, so a broken headline query fails the suite long before it can
+reach bench.py.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import ALL_QUERIES, BENCH_QUERIES
+
+from tests.conftest import SF_DIR
+
+
+def test_bench_set_is_registered():
+    missing = [n for n in BENCH_QUERIES if n not in ALL_QUERIES]
+    assert not missing, f"bench names not in catalog: {missing}"
+
+
+@pytest.mark.parametrize("name", BENCH_QUERIES)
+def test_bench_query_runs(spark, name):
+    n = ALL_QUERIES[name](spark, SF_DIR).count()
+    assert n >= 0
