@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     "q_llm_token_counts_bpe",
     "q_llm_multimodal_features",
     "q_llm_curation_pipeline",
-    "q_llm_near_dup_blocked",
+    "q_llm_near_dup_pairs_blocked",
     "q_rel_q2_min_cost_supplier",
 ]
 

@@ -2199,7 +2199,7 @@ def q_llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    pairs = embedding_near_dup_pairs(emb, threshold=0.35)
+    pairs = embedding_near_dup_pairs(emb, threshold=0.35, strategy="broadcast")
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
@@ -2229,7 +2229,9 @@ def q_llm_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    exact = embedding_near_dup_pairs(emb, threshold=0.35).select(
+    exact = embedding_near_dup_pairs(
+        emb, threshold=0.35, strategy="broadcast"
+    ).select(
         F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")
     )
     blocked = embedding_near_dup_pairs(
@@ -2306,6 +2308,21 @@ def _doc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+@register_bench_only("q_llm_near_dup_pairs_blocked")
+def q_llm_near_dup_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw blocked (LSH-bucket + BLAS-verify, no-collect) near-dup
+    pipeline — the performance-shaped output. The driver-checked
+    q_llm_near_dup_blocked twin runs this AND the exact baseline AND the
+    recall/precision comparison, which triples its runtime; benching the
+    twin would measure the harness, not the operator."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_near_dup_pairs(
+        emb, threshold=0.35, strategy="blocked", dim=64
     )
 
 
