@@ -21,6 +21,8 @@ NOTES = {
  "q_rel_q8_market_share": "8-table star: every dimension (part/orders-window/customer/region-filtered nation/supplier+nation) is a BroadcastHashJoin build, so the lineitem fact reaches the conditional-share aggregate without a single join shuffle; the only Exchange is the final 1-row-per-year groupBy.",
  "q_rel_q21_sole_blame": "EXISTS + NOT EXISTS as back-to-back LeftSemi/LeftAnti self-joins on l_orderkey with the other-supplier residual. At this SF AQE broadcasts all sides (zero shuffles before the s_name agg); past the broadcast threshold every side shares the same l_orderkey hash partitioning, so the three fact legs shuffle once each and the semi/anti/orders joins reuse it.",
  "q_rel_scalar_subquery": "Global-average scalar broadcast via nested-loop join: the 1-row aggregate broadcasts; the main part scan never shuffles before the final groupBy.",
+ "q_llm_near_dup_pairs_blocked": "Blocked near-dup, bucket-local verify: one Arrow pass computes all hyperplane signatures (vector carried n_tables times), one shuffle groups (table, signature) buckets, and the BLAS cosine verify runs inside each bucket so only threshold-passing pairs leave it — no per-candidate vector join, no pair-level distinct shuffle.",
+ "q_rel_q2_min_cost_supplier": "Derived-partsupp Q2: one lineitem groupBy builds the supply table; the per-part min-cost correlated subquery is decorrelated into a window over the same shuffled frame; region/nation/supplier dims broadcast.",
 }
 
 hdr = """# PLANS — physical-plan audit of headline queries (sf0.1, AQE final plans)
