@@ -465,13 +465,19 @@ def q_rel_semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rel_anti_join_customers",
     """
     SELECT c_custkey, c_mktsegment FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
     """,
 )
 def q_rel_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join ≙ NOT EXISTS."""
+    """Left-anti join ≙ NOT EXISTS. The subquery is restricted to the
+    urgent slice: at sf0.01 every customer has SOME order, so an
+    unrestricted NOT EXISTS returns 0 rows and the driver's hash check
+    is vacuous — the restriction keeps ~200 qualifying rows."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_mktsegment"
     )
@@ -779,12 +785,15 @@ def q_rel_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey FROM customer
     EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
     """,
 )
 def q_rel_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT over key sets. The right side is the above-300k order
+    keys: subtracting ALL order keys leaves 0 rows at sf0.01 (vacuous
+    driver check); this keeps a small non-empty difference."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
     return c.select("c_custkey").exceptAll(
         o.select(F.col("o_custkey").alias("c_custkey"))
     ).distinct()
@@ -2834,7 +2843,8 @@ def q_rel_q21_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM customer
           WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
                              WHERE c_acctbal > 0)) rich
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
     GROUP BY cntry
     """,
 )
@@ -2842,7 +2852,9 @@ def q_rel_q22_dormant_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (country code ≙ nationkey mod 5, since the
     synthetic schema has no phone column): uncorrelated scalar subquery
     (positive-balance average) broadcast as a 1-row cross join, then a
-    left-anti join against orders for customers who never ordered.
+    left-anti join against the urgent orders slice (every customer has
+    SOME order at sf0.01, so the classic no-orders-at-all predicate
+    returns 0 rows and the driver check is vacuous).
     The scalar is computed once; the anti join shuffles only the
     above-average slice of customers."""
     c = load_table(spark, sf_dir, "customer")
@@ -2855,7 +2867,7 @@ def q_rel_q22_dormant_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal") > F.col("avg_bal")
     )
     dormant = rich.join(
-        o.select("o_custkey"),
+        o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"),
         F.col("c_custkey") == F.col("o_custkey"),
         "left_anti",
     )
