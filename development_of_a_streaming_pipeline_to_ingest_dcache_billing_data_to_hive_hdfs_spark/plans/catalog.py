@@ -1906,7 +1906,7 @@ def q_llm_minhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production path is q_llm_minhash_pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs).localCheckpoint()
-    pairs = lsh_candidate_pairs(sigs)
+    pairs = lsh_candidate_pairs(sigs).localCheckpoint()
     est = (
         pairs.join(
             sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")),
@@ -1930,9 +1930,24 @@ def q_llm_minhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a", "id_b", "est_jaccard", ngram_jaccard().alias("exact_jaccard")
         )
     )
-    return exact.where(
+    violations = exact.where(
         F.abs(F.col("est_jaccard") - F.col("exact_jaccard")) > 0.35
     ).select("id_a", "id_b", "est_jaccard", "exact_jaccard")
+    # Degeneracy guard: the corpus has planted duplicates, so ZERO
+    # candidate pairs means the banding pipeline broke — emit a marker
+    # row (ids -1) so the expected-empty check fails instead of passing
+    # vacuously.
+    guard = (
+        pairs.agg(F.count("*").alias("n"))
+        .where(F.col("n") == 0)
+        .select(
+            F.lit(-1).cast("long").alias("id_a"),
+            F.lit(-1).cast("long").alias("id_b"),
+            F.lit(-1.0).alias("est_jaccard"),
+            F.lit(-1.0).alias("exact_jaccard"),
+        )
+    )
+    return violations.unionByName(guard)
 
 
 _EMPTY_CLUSTER_CHECK_ORACLE = """
@@ -1972,11 +1987,24 @@ def q_llm_cluster_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b", "cluster_a", "cluster_b")
     )
-    return labeled.where(
+    violations = labeled.where(
         F.col("cluster_a").isNull()
         | F.col("cluster_b").isNull()
         | (F.col("cluster_a") != F.col("cluster_b"))
     )
+    # Degeneracy guard: zero edges means the candidate pipeline broke
+    # (planted duplicates guarantee edges) — fail, don't vacuously pass.
+    guard = (
+        pairs.agg(F.count("*").alias("n"))
+        .where(F.col("n") == 0)
+        .select(
+            F.lit(-1).cast("long").alias("id_a"),
+            F.lit(-1).cast("long").alias("id_b"),
+            F.lit(-1).cast("long").alias("cluster_a"),
+            F.lit(-1).cast("long").alias("cluster_b"),
+        )
+    )
+    return violations.unionByName(guard)
 
 
 @register_bench_only("q_llm_simhash")
@@ -2076,8 +2104,14 @@ def _recall_violation(exact: DataFrame, approx: DataFrame, floor: float) -> Data
     stats = hits.agg(F.count("*").alias("n_hits")).crossJoin(
         e.agg(F.count("*").alias("n_exact"))
     )
+    # n_exact == 0 means the exact side itself broke (the corpus always
+    # has neighbors by construction): null recall would silently filter
+    # out — emit recall = -1 so degeneracy FAILS the expected-empty
+    # check instead of vacuously passing it.
     return stats.select(
-        (F.col("n_hits") / F.col("n_exact")).alias("recall"),
+        F.when(F.col("n_exact") == 0, F.lit(-1.0))
+        .otherwise(F.col("n_hits") / F.col("n_exact"))
+        .alias("recall"),
         F.lit(float(floor)).alias("recall_floor"),
     ).where(F.col("recall") < floor)
 
@@ -2403,7 +2437,17 @@ def q_llm_multimodal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("count") != 1)
         .select("media_id", F.lit("duplicate_row").alias("reason"))
     )
-    return pairwise.union(dupes)
+    # Degeneracy guard: documents always yield media rows, so an empty
+    # media frame means _doc_media broke — fail, don't vacuously pass.
+    guard = (
+        media.agg(F.count("*").alias("n"))
+        .where(F.col("n") == 0)
+        .select(
+            F.lit(-1).cast("long").alias("media_id"),
+            F.lit("degenerate_no_media").alias("reason"),
+        )
+    )
+    return pairwise.union(dupes).union(guard)
 
 
 @register(
