@@ -1,0 +1,109 @@
+"""Property-based operator invariants (hypothesis):
+
+- exact-decimal money sums are partition-order independent and agree
+  with an arbitrary-precision Python oracle (the invariant the whole
+  decimal sweep rests on — double sums are NOT partition-invariant);
+- the as-of join matches a brute-force per-row oracle on random data;
+- blocked near-dup pairs are a subset of the exact pair set (precision
+  1.0 by construction: every candidate is BLAS-verified).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.relational import (
+    asof_join,
+)
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+    embedding_near_dup_pairs,
+)
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
+    dec_price,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# 2-dp money values, the domain the decimal(18,4) cast is exact on.
+money = st.integers(min_value=-(10**7), max_value=10**7).map(lambda c: c / 100)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(money, min_size=1, max_size=60), st.sampled_from([1, 3, 17]))
+def test_decimal_sum_is_partition_invariant_and_exact(spark, values, parts):
+    df = spark.createDataFrame([(v,) for v in values], "v double").repartition(parts)
+    got = df.agg(
+        F.round(F.sum(dec_price("v")), 2).cast("double").alias("s")
+    ).collect()[0]["s"]
+    want = float(sum(Decimal(str(v)) for v in values).quantize(Decimal("0.01")))
+    assert got == want, (got, want, parts)
+
+
+ts_small = st.integers(min_value=0, max_value=50)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), ts_small), min_size=1, max_size=25),
+    st.lists(st.tuples(st.integers(0, 3), ts_small), min_size=0, max_size=25),
+)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], "lid long, k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(k, t) for k, t in rights], "k long, rts long"
+    )
+    got = {
+        r["lid"]: r["rts_asof"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts", right_cols=["rts"]
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        cands = [rt for rk, rt in rights if rk == k and rt <= t]
+        want = max(cands) if cands else None
+        assert got.get(i) == want, (i, k, t, got.get(i), want)
+
+
+vec = st.lists(
+    st.floats(min_value=-1, max_value=1, allow_nan=False, width=32),
+    min_size=8,
+    max_size=8,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(vec, min_size=2, max_size=20))
+def test_blocked_near_dup_is_subset_of_exact(spark, vecs):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    thr = 0.8
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            df, threshold=thr, strategy="blocked", dim=8, n_bits=2, n_tables=4
+        ).collect()
+    }
+    M = np.array([v for _, v in rows], dtype=np.float64)
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    sims = M @ M.T
+    exact = {
+        (a, b)
+        for a in range(len(rows))
+        for b in range(a + 1, len(rows))
+        if sims[a, b] >= thr - 1e-9
+    }
+    stray = blocked - exact
+    assert not stray, f"blocked produced non-exact pairs: {stray}"
