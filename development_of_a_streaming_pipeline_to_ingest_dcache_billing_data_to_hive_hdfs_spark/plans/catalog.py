@@ -2954,6 +2954,98 @@ def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rel_q9_product_profit",
+    f"""
+    WITH {_DUCK_PARTSUPP}
+    SELECT n_name,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))
+                          - CAST(ps_supplycost AS DECIMAL(18,4))
+                            * CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_profit,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q_rel_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus supply cost × quantity) by
+    supplier nation and order year, over the derived partsupp — the
+    two-fact-key join (partkey AND suppkey) the other TPC-H shapes
+    don't exercise. partsupp is one lineitem groupBy shared with the
+    wave-3 queries; part (name-filtered) and the supplier→nation chain
+    broadcast; profit sums run in exact decimal (reference absence —
+    relational surface per SURVEY §2.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = _derived_partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    o = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit = rev_dec() - dec_price("ps_supplycost") * dec_price("l_quantity")
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            round_sum_dec(profit).alias("sum_profit"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_rel_q12_late_shipments",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_linestatus
+    """,
+)
+def q_rel_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted to the synthetic columns (no
+    shipmode/commitdate/receiptdate): late shipments — lines shipped
+    more than 30 days after the order date — split into high/low
+    priority counts per linestatus. Fact-to-fact join under a
+    cross-table date-lag predicate + conditional integer aggregation
+    (exact in any engine)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
     "q_rel_q2_min_cost_supplier",
     f"""
     WITH {_DUCK_PARTSUPP}
@@ -3381,15 +3473,17 @@ _DRIVER_PRIORITY = [
     "q_rel_top3_parts_per_brand",
     "q_rel_window_ranks",
     # r2-green queries whose money aggregates moved to exact decimal
-    # this round — re-verify the edit (the rest of the decimal sweep is
-    # in the rotation above; all of it is also exact-checked at sf0.01
-    # by tests/test_money_exact.py)
+    # this round — re-verify the edit (the rest of the decimal sweep,
+    # incl. Q7/Q17 which don't fit the 50-slot window, is exact-checked
+    # at sf0.01 by tests/test_money_exact.py and at sf0.1 by the local
+    # full-catalog sweep)
     "q_billing_flagship_daily",
     "q_rel_q1_pricing_summary",
-    "q_rel_q7_volume_shipping",
     "q_rel_q8_market_share",
-    "q_rel_q17_small_qty_revenue",
     "q_rel_q22_dormant_prospects",
+    # new this round: Q9 (two-key partsupp join) and adapted Q12
+    "q_rel_q9_product_profit",
+    "q_rel_q12_late_shipments",
 ]
 
 
