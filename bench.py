@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "q_llm_curation_pipeline",
     "q_llm_near_dup_pairs_blocked",
     "q_rel_q2_min_cost_supplier",
+    "q_rel_q9_product_profit",
 ]
 
 

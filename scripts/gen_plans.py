@@ -23,6 +23,7 @@ NOTES = {
  "q_rel_scalar_subquery": "Global-average scalar broadcast via nested-loop join: the 1-row aggregate broadcasts; the main part scan never shuffles before the final groupBy.",
  "q_llm_near_dup_pairs_blocked": "Blocked near-dup, bucket-local verify: one Arrow pass computes all hyperplane signatures (vector carried n_tables times), one shuffle groups (table, signature) buckets, and the BLAS cosine verify runs inside each bucket so only threshold-passing pairs leave it — no per-candidate vector join, no pair-level distinct shuffle.",
  "q_rel_q2_min_cost_supplier": "Derived-partsupp Q2: one lineitem groupBy builds the supply table; the per-part min-cost correlated subquery is decorrelated into a window over the same shuffled frame; region/nation/supplier dims broadcast.",
+ "q_rel_q9_product_profit": "Q9 two-key profit join: the name-filtered part broadcast prunes lineitem FIRST, the (partkey, suppkey) partsupp join shuffles both sides on the compound key once, supplier/nation broadcast; exact-decimal profit sums fold into one two-phase aggregate.",
 }
 
 hdr = """# PLANS — physical-plan audit of headline queries (sf0.1, AQE final plans)
