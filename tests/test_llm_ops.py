@@ -450,6 +450,39 @@ def test_near_dup_blocked_recall_vs_exact(spark):
         assert recall >= 0.7, f"blocked near-dup recall too low: {recall}"
 
 
+def test_near_dup_auto_strategy_switches_on_corpus_size(spark):
+    """auto = broadcast (exact) under the row threshold, blocked above
+    it. Below: auto output equals the exact pair set. Above (forced by
+    a tiny threshold): auto output is the blocked path — a subset of
+    exact with the planted cos=1 dups always found."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((20, 16))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    rows.append((100, [float(x) for x in vecs[0]]))  # exact dup of 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(df, 0.9, strategy="broadcast").collect()
+    }
+    small = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(df, 0.9, strategy="auto").collect()
+    }
+    assert small == exact  # 21 rows <= default threshold -> exact path
+    big = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            df, 0.9, strategy="auto", broadcast_max_rows=5, dim=16
+        ).collect()
+    }
+    assert big <= exact  # over threshold -> blocked (verified) path
+    assert (0, 100) in big  # cos=1 collides in every table
+
+
 def test_near_dup_rejects_unknown_strategy(spark):
     from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
         embedding_near_dup_pairs,
