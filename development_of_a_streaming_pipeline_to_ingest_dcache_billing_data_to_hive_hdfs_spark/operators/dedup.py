@@ -293,6 +293,30 @@ def dedup_clusters(
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+def keep_representatives(
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The dedup END PRODUCT: the corpus minus every clustered document
+    except one representative per cluster (the min member id, matching
+    ``dedup_clusters``' label convention, so the choice is deterministic
+    in any engine). Documents in no cluster pass through untouched.
+
+    Scale shape: ``clusters`` holds only documents with at least one
+    near-dup (≪ corpus), its groupBy is on cluster_id, and the corpus
+    is touched once by a left-anti join against the (even smaller)
+    drop set — at a typical web-crawl dup rate the anti join's build
+    side is a fraction of the corpus and AQE broadcasts it."""
+    reps = clusters.groupBy("cluster_id").agg(F.min("id").alias("keep_id"))
+    drops = (
+        clusters.join(reps, "cluster_id")
+        .where(F.col("id") != F.col("keep_id"))
+        .select(F.col("id").alias("_drop_id"))
+    )
+    return df.join(
+        drops, df[id_col] == drops["_drop_id"], "left_anti"
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     char_shingles,
+    keep_representatives,
     estimated_jaccard,
     exact_dedup_groups,
     fingerprint,
@@ -2951,6 +2952,123 @@ def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("bigint")).alias("ps_availqty"),
         F.min("l_extendedprice").alias("ps_supplycost"),
     )
+
+
+_EMPTY_KEPT_CHECK_ORACLE = """
+    SELECT CAST(NULL AS VARCHAR) AS kind,
+           CAST(NULL AS DOUBLE) AS metric_value,
+           CAST(NULL AS DOUBLE) AS bound
+    WHERE FALSE
+"""
+
+
+@register("q_llm_dedup_kept_check", _EMPTY_KEPT_CHECK_ORACLE)
+def q_llm_dedup_kept_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-dedup invariant gate (expected EMPTY): run the
+    full near-dup chain (minhash → LSH pairs → connected components →
+    keep_representatives) and verify the RESULT, not the mechanism —
+    every cluster retains exactly one member in the kept corpus, and
+    the number of dropped documents equals (cluster members − cluster
+    count). Labels are engine-specific; these invariants are not.
+    Degeneracy-guarded: zero candidate pairs fails loudly."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs)).localCheckpoint()
+    from ..operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(pairs).localCheckpoint()
+    kept = keep_representatives(docs, clusters).localCheckpoint()
+    kept_ids = kept.select(F.col("doc_id").alias("id"), F.lit(1).alias("k"))
+    per_cluster = (
+        clusters.join(kept_ids, "id", "left")
+        .groupBy("cluster_id")
+        .agg(F.sum(F.coalesce(F.col("k"), F.lit(0))).alias("n_kept"))
+    )
+    bad_clusters = per_cluster.where(F.col("n_kept") != 1).select(
+        F.when(F.col("n_kept") == 0, "cluster_without_representative")
+        .otherwise("multiple_kept_in_cluster")
+        .alias("kind"),
+        F.col("n_kept").cast("double").alias("metric_value"),
+        F.lit(1.0).alias("bound"),
+    )
+    counts = (
+        docs.agg(F.count("*").alias("n_docs"))
+        .crossJoin(kept.agg(F.count("*").alias("n_kept_total")))
+        .crossJoin(
+            clusters.agg(
+                F.count("*").alias("n_members"),
+                F.count_distinct("cluster_id").alias("n_clusters"),
+            )
+        )
+    )
+    bad_counts = counts.where(
+        (F.col("n_docs") - F.col("n_kept_total"))
+        != (F.col("n_members") - F.col("n_clusters"))
+    ).select(
+        F.lit("drop_count_mismatch").alias("kind"),
+        (F.col("n_docs") - F.col("n_kept_total")).cast("double").alias("metric_value"),
+        (F.col("n_members") - F.col("n_clusters")).cast("double").alias("bound"),
+    )
+    guard = (
+        pairs.agg(F.count("*").alias("n"))
+        .where(F.col("n") == 0)
+        .select(
+            F.lit("degenerate_no_pairs").alias("kind"),
+            F.lit(-1.0).alias("metric_value"),
+            F.lit(0.0).alias("bound"),
+        )
+    )
+    return bad_clusters.unionByName(bad_counts).unionByName(guard)
+
+
+@register(
+    "q_llm_contamination",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tri AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tg
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i))
+    SELECT doc_id, CAST(COUNT(DISTINCT tg) AS BIGINT) AS n_probe_hits
+    FROM tri
+    WHERE tg IN ('stream table hash', 'row column sort',
+                 'window fast query', 'part filter scan')
+    GROUP BY doc_id
+    """,
+)
+def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: documents whose token trigrams
+    overlap a probe set (in production, n-grams of an eval benchmark —
+    the standard decontamination primitive for training corpora). The
+    trigram array builds JVM-side in the scan stage (transform over
+    sequence — no explode blow-up, no Python); the probe set is a
+    literal array here and becomes a broadcast semi join when the
+    benchmark is table-sized. One aggregate on doc_id; output is exact
+    integer counts, so the oracle diff is exact."""
+    probes = [
+        "stream table hash", "row column sort",
+        "window fast query", "part filter scan",
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    probe_arr = "array({})".format(
+        ", ".join("'{}'".format(p) for p in probes)
+    )
+    # toks is materialized as a column FIRST so the transform lambda
+    # reads a plain attribute — split() inlined into the lambda would
+    # re-tokenize the document per element (the O(len²) trap).
+    tri = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, greatest(size(toks) - 3, -1)),"
+            " i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"
+        ).alias("tgs"),
+    )
+    hits = tri.select(
+        "doc_id",
+        F.expr(
+            f"size(array_intersect(array_distinct(tgs), {probe_arr}))"
+        ).cast("long").alias("n_probe_hits"),
+    )
+    return hits.where(F.col("n_probe_hits") > 0)
 
 
 @register(

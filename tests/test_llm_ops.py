@@ -483,6 +483,24 @@ def test_near_dup_auto_strategy_switches_on_corpus_size(spark):
     assert (0, 100) in big  # cos=1 collides in every table
 
 
+def test_keep_representatives_drops_all_but_min_id(spark):
+    """Corpus-dedup end product: min-id per cluster kept, unclustered
+    docs untouched, drop count = members - clusters."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.dedup import (
+        keep_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    clusters = spark.createDataFrame(
+        # {1,3,5} and {2,6}; 0,4,7 unclustered
+        [(1, 1), (3, 1), (5, 1), (2, 2), (6, 2)], "id long, cluster_id long"
+    )
+    kept = sorted(r.doc_id for r in keep_representatives(docs, clusters).collect())
+    assert kept == [0, 1, 2, 4, 7]
+
+
 def test_near_dup_rejects_unknown_strategy(spark):
     from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
         embedding_near_dup_pairs,
