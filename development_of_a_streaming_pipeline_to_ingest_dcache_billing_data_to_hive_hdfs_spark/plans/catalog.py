@@ -39,7 +39,7 @@ from ..operators.dedup import (
     simhash,
 )
 from ..operators.multimodal import extract_features, media_repartition
-from ..operators.relational import asof_join, top_k_per_group
+from ..operators.relational import asof_join, salted_join, top_k_per_group
 from ..operators.similarity import (
     cosine_topk_bruteforce,
     embedding_near_dup_pairs,
@@ -3069,6 +3069,42 @@ def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_probe_hits"),
     )
     return hits.where(F.col("n_probe_hits") > 0)
+
+
+@register(
+    "q_rel_salted_join",
+    """
+    SELECT s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - CAST(l_discount AS DECIMAL(8,4))
+                                 AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+)
+def q_rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-resilient salted join (operators.salted_join): the fact
+    side carries a deterministic hash salt, the dim side replicates
+    once per salt bucket, so one pathological key spreads over
+    salt_buckets tasks instead of one straggler. Salting is
+    semantics-preserving, so the oracle is the PLAIN join — the driver
+    verifies the rewrite changes the distribution, not the answer.
+    (AQE skew-split covers most skew at runtime; explicit salting is
+    for a single key beyond partition-splitting, or streaming
+    micro-batches where AQE is off.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").withColumnRenamed(
+        "s_suppkey", "l_suppkey"
+    )
+    return (
+        salted_join(li, sup, on="l_suppkey")
+        .groupBy("s_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            round_sum_dec(rev_dec()).alias("revenue"),
+        )
+    )
 
 
 @register(
