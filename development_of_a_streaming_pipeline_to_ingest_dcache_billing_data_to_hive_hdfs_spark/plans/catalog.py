@@ -2943,6 +2943,12 @@ _DUCK_PARTSUPP = """
 """
 
 
+# Spark-side canonical derivation matching _DUCK_PARTSUPP. Every
+# consumer (Q2/Q9/Q11/Q16/Q20) inlines it WITH a broadcast group-key
+# prune pushed below the groupBy — their filters all restrict a group
+# key (partkey or suppkey), which commutes with the aggregate but is a
+# rewrite Catalyst won't perform across separately-built subtrees.
+# Kept as the reference form for un-filtered consumers.
 def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy(
@@ -3138,15 +3144,27 @@ def q_rel_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; profit sums run in exact decimal (reference absence —
     relational surface per SURVEY §2.4)."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = _derived_partsupp(spark, sf_dir)
     p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
     o = load_table(spark, sf_dir, "orders")
     sup = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
+    # The part-name filter is on the partsupp GROUP KEY, so pruning
+    # lineitem BEFORE the derivation groupBy yields identical groups for
+    # the retained partkeys — the derivation aggregates ~1% of lineitem
+    # instead of all of it (Catalyst can't push a join filter through a
+    # separately-scanned aggregate, so the prune is done by hand). The
+    # pruned frame then serves both the derivation and the fact side.
+    li_gear = li.join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).drop("p_partkey")
+    ps = li_gear.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min("l_extendedprice").alias("ps_supplycost"))
     profit = rev_dec() - dec_price("ps_supplycost") * dec_price("l_quantity")
     return (
-        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
-        .join(
+        li_gear.join(
             ps,
             (F.col("l_partkey") == F.col("ps_partkey"))
             & (F.col("l_suppkey") == F.col("ps_suppkey")),
@@ -3225,11 +3243,23 @@ def q_rel_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part MIN window over the already-joined slice — one shuffle on
     ps_partkey instead of re-deriving partsupp for the subquery (the
     p_size filter is per-part, so the min set is unchanged)."""
-    ps = _derived_partsupp(spark, sf_dir)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     p = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 15)
+    # p_size filters the partsupp GROUP KEY, so the broadcast prune is
+    # pushed below the derivation groupBy — the aggregate runs over the
+    # size-filtered slice of lineitem, not all of it (same hand-pushdown
+    # as Q9: Catalyst won't move a join filter through a separate
+    # aggregate subtree).
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select(F.col("p_partkey").alias("_pk"))),
+        F.col("l_partkey") == F.col("_pk"),
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min("l_extendedprice").alias("ps_supplycost"))
     regional = (
         ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -3271,12 +3301,28 @@ def q_rel_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice aggregates in two phases off a single derivation (at 100 TB
     you'd checkpoint the slice rather than recompute it for the total —
     noted, cheap here)."""
-    ps = _derived_partsupp(spark, sf_dir)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").where(F.col("n_nationkey") % 5 == 2)
+    # The nation slice restricts the derivation's SUPPLIER group key —
+    # semi-joining lineitem against the (broadcast) national supplier
+    # keyset before the groupBy derives only that slice's groups (same
+    # hand-pushdown as Q2/Q9: a join filter on a group key commutes
+    # with the aggregate, but Catalyst won't move it itself).
+    s_national = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select(F.col("s_suppkey").alias("_sk"))
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(s_national), F.col("l_suppkey") == F.col("_sk"), "left_semi"
+    )
     germany = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("ps_availqty"),
+            F.min("l_extendedprice").alias("ps_supplycost"),
+        )
         .select(
             "ps_partkey",
             (
@@ -3314,7 +3360,6 @@ def q_rel_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     size) with a NOT IN supplier exclusion (negative balance stands in
     for the missing comment column). NOT IN over a non-null key plans
     as a left-anti join; part broadcasts."""
-    ps = _derived_partsupp(spark, sf_dir)
     p = load_table(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#45")
         & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
@@ -3324,6 +3369,18 @@ def q_rel_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
+    # Part predicate restricts the partkey group key — semi-join
+    # lineitem against the broadcast part keyset below the derivation
+    # groupBy (hand-pushdown, as in Q2/Q9/Q11).
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select(F.col("p_partkey").alias("_pk"))),
+        F.col("l_partkey") == F.col("_pk"),
+        "left_semi",
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min("l_extendedprice").alias("ps_supplycost"))
     return (
         ps.join(bad_sup, ps.ps_suppkey == bad_sup.s_suppkey, "left_anti")
         .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
@@ -3354,20 +3411,30 @@ def q_rel_q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts drop out of the inner join exactly as the SQL
     comparison-with-NULL does; both IN clauses are left-semi joins.
     All-BIGINT comparison."""
-    ps = _derived_partsupp(spark, sf_dir)
-    li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     s_parts = (
         load_table(spark, sf_dir, "part")
         .where(F.col("p_name").like("s%"))
         .select("p_partkey")
     )
+    # Both the partsupp derivation and the per-part demand total are
+    # only consumed for 's%' partkeys — prune lineitem ONCE against the
+    # broadcast part keyset and derive both aggregates from the pruned
+    # frame (hand-pushdown through the group key, as in Q2/Q9/Q11/Q16).
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(s_parts.select(F.col("p_partkey").alias("_pk"))),
+        F.col("l_partkey") == F.col("_pk"),
+        "left_semi",
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("ps_availqty"))
     part_demand = li.groupBy(F.col("l_partkey").alias("d_partkey")).agg(
         F.sum(F.col("l_quantity").cast("bigint")).alias("part_qty")
     )
     qualifying = (
-        ps.join(F.broadcast(s_parts), ps.ps_partkey == s_parts.p_partkey, "left_semi")
-        .join(part_demand, F.col("ps_partkey") == F.col("d_partkey"))
+        ps.join(part_demand, F.col("ps_partkey") == F.col("d_partkey"))
         .where(F.col("ps_availqty") * 8 > F.col("part_qty"))
         .select("ps_suppkey")
     )
