@@ -45,8 +45,14 @@ def salted_join(
     cases at runtime; explicit salting remains the tool when a single
     key exceeds what partition-splitting can fix (e.g. one key = 30% of
     the table) or when AQE is unavailable (streaming micro-batches).
-    Salt is derived from a per-row hash (deterministic, no RNG in the
-    plan): rand() would break replay/retry determinism.
+    Salt is ``monotonically_increasing_id() mod salt_buckets`` — a
+    round-robin over each scan partition's row offset, so even a hot
+    key whose rows are EXACT duplicates (common in dedup-free ingest,
+    the very workload salting targets) spreads uniformly; a
+    content-hash salt would land every duplicate in ONE bucket and
+    reintroduce the straggler. Deterministic under a fixed input
+    layout and stable within a task attempt (no RNG in the plan):
+    rand() would break replay/retry determinism.
 
     ``how`` is restricted to joins where replicating the ``other`` side
     is sound: inner/left/left_semi/left_anti drop (or never emit) the
@@ -62,7 +68,7 @@ def salted_join(
             "the replicated build side would duplicate its unmatched rows "
             "once per salt bucket under right/full outer joins"
         )
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     lhs = skewed.withColumn("_salt", salt.cast("int"))
     rhs = other.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

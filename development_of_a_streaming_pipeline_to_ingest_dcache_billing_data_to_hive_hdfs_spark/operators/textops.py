@@ -9,7 +9,7 @@ has a DuckDB oracle twin in the catalog.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
@@ -150,3 +150,63 @@ def predicted_lang_col(col: str = "text") -> Column:
         lang = name.removeprefix("hits_")
         pred = F.when(scores[name] == best, F.lit(lang)).otherwise(pred)
     return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def raw_ngrams_col(toks_col: str = "toks", n: int = 3) -> Column:
+    """Raw token n-grams as ``"t1 t2 … tn"`` strings over an
+    ALREADY-MATERIALIZED token array column — select
+    ``F.split("text", " ").alias("toks")`` first; inlining the split
+    here would re-tokenize the document per element (the O(len²) trap).
+    Built JVM-side with one ``transform`` over an index ``sequence``
+    (no explode at this stage, no Python); raw ``split(text, ' ')``
+    tokens match ``string_split(text, ' ')`` in the DuckDB oracle.
+
+    Texts with fewer than ``n`` tokens get an EMPTY array explicitly:
+    ``sequence(0, size - n)`` is descending when ``size < n`` (e.g.
+    ``[0, -1]``), and under ANSI mode (Spark 4 default) the negative
+    index throws INVALID_ARRAY_INDEX instead of yielding null."""
+    idx_terms = ", ".join(f"{toks_col}[i + {j}]" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size({toks_col}) >= {n} THEN"
+        f" transform(sequence(0, size({toks_col}) - {n}),"
+        f" i -> concat_ws(' ', {idx_terms}))"
+        f" ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def contamination_screen(
+    docs: DataFrame,
+    probe_ngrams: DataFrame,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Benchmark-decontamination screen against a TABLE-sized probe set
+    (the scale path; the literal-array ``array_intersect`` variant in
+    the catalog covers hand-listed probe sets).
+
+    ``probe_ngrams`` is a one-column (``ngram``) frame of benchmark
+    n-grams. The corpus side explodes its n-grams — output-volume-bound,
+    the standard decontamination shape: O(total corpus tokens) rows that
+    stream through the join without ever materializing per-node — and
+    joins the (deduplicated) probe set, counting DISTINCT matched
+    n-grams per document.
+
+    A benchmark probe set is thousands-to-millions of n-grams — tiny
+    next to a 100 TB corpus — so it broadcasts by default and the join
+    is a map-side hash join with no corpus shuffle; the only exchange
+    is the final per-doc aggregate (partial count_distinct map-side).
+    Pass ``broadcast_probe=False`` for a pathologically large probe set
+    to fall back to a shuffle join."""
+    probes = probe_ngrams.select(F.col("ngram")).distinct()
+    if broadcast_probe:
+        probes = F.broadcast(probes)
+    grams = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    ).select("doc_id", F.explode(raw_ngrams_col("toks", n)).alias("ngram"))
+    return grams.join(probes, "ngram").groupBy("doc_id").agg(
+        F.count_distinct("ngram").alias("n_probe_hits")
+    )

@@ -47,8 +47,10 @@ from ..operators.similarity import (
 )
 from ..operators.textops import (
     bpe_ish_token_count,
+    contamination_screen,
     predicted_lang_col,
     quality_score_cols,
+    raw_ngrams_col,
     stopword_lang_scores,
     token_count_col,
 )
@@ -3042,14 +3044,17 @@ def q_llm_dedup_kept_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark-contamination screen: documents whose token trigrams
-    overlap a probe set (in production, n-grams of an eval benchmark —
-    the standard decontamination primitive for training corpora). The
-    trigram array builds JVM-side in the scan stage (transform over
-    sequence — no explode blow-up, no Python); the probe set is a
-    literal array here and becomes a broadcast semi join when the
-    benchmark is table-sized. One aggregate on doc_id; output is exact
-    integer counts, so the oracle diff is exact."""
+    """Benchmark-contamination screen, hand-listed probe set: documents
+    whose token trigrams overlap a literal probe array (the standard
+    decontamination primitive for training corpora). The trigram array
+    builds JVM-side in the scan stage (transform over sequence — no
+    explode blow-up, no Python; empty array for <3-token docs, which
+    under ANSI mode would otherwise throw INVALID_ARRAY_INDEX); the
+    whole screen is one codegen'd expression + one filter — no join,
+    no shuffle before the output. Table-sized probe sets use the
+    broadcast-join path instead (q_llm_contamination_probe /
+    operators.textops.contamination_screen). Output is exact integer
+    counts, so the oracle diff is exact."""
     probes = [
         "stream table hash", "row column sort",
         "window fast query", "part filter scan",
@@ -3062,11 +3067,7 @@ def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads a plain attribute — split() inlined into the lambda would
     # re-tokenize the document per element (the O(len²) trap).
     tri = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(0, greatest(size(toks) - 3, -1)),"
-            " i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"
-        ).alias("tgs"),
+        "doc_id", raw_ngrams_col("toks", 3).alias("tgs")
     )
     hits = tri.select(
         "doc_id",
@@ -3075,6 +3076,44 @@ def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_probe_hits"),
     )
     return hits.where(F.col("n_probe_hits") > 0)
+
+
+@register(
+    "q_llm_contamination_probe",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tri AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tg
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+      WHERE len(t) >= 3),
+    probe AS (
+      SELECT DISTINCT tg FROM tri WHERE doc_id % 97 = 0)
+    SELECT t.doc_id, CAST(COUNT(DISTINCT t.tg) AS BIGINT) AS n_probe_hits
+    FROM tri t JOIN probe p USING (tg)
+    WHERE t.doc_id % 97 <> 0
+    GROUP BY t.doc_id
+    """,
+)
+def q_llm_contamination_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen, TABLE-sized probe set — the
+    scale path (operators.textops.contamination_screen). The "benchmark"
+    is every trigram of a deterministic ~1% document slice
+    (doc_id % 97 = 0, the leaked-eval-set scenario); the rest of the
+    corpus is screened against it. The corpus side explodes its
+    trigrams (output-volume-bound, streams through the join); the probe
+    set — bounded by benchmark size, tiny next to a 100 TB corpus —
+    deduplicates and BROADCASTS, so the join is map-side hash with no
+    corpus shuffle; the only exchange is the per-doc count_distinct
+    aggregate. Exact integer output."""
+    docs = load_table(spark, sf_dir, "documents")
+    probe_docs = docs.where(F.col("doc_id") % 97 == 0)
+    probe_ngrams = probe_docs.select(
+        F.split("text", " ").alias("toks")
+    ).select(F.explode(raw_ngrams_col("toks", 3)).alias("ngram"))
+    return contamination_screen(
+        docs.where(F.col("doc_id") % 97 != 0), probe_ngrams, n=3
+    )
 
 
 @register(
@@ -3635,76 +3674,74 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # --------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver evaluates the FIRST 50
 # registered queries() entries, so registration order is a coverage
-# budget: the front of the dict carries (a) everything that had no
-# round-1 driver verdict — every q_llm_* operator, the TPC-H wave-2
-# shapes, the remaining relational extensions — and (b) the three
-# queries whose round-1 rows were red and are now fixed
-# (math_funcs / approx_percentiles / approx_distinct). Queries already
-# hash-green in CORRECTNESS_r01.json rotate behind them (their oracles
-# are unchanged and stay locally verified by tests/test_oracle_parity).
+# budget. Rotation discipline (enforced by tests/test_driver_rotation.py):
+# (a) queries with NO driver verdict yet — new this round or registered
+# after the previous driver run — go first; (b) queries whose last
+# verdict was a FAILURE being re-confirmed come next; (c) the rest of
+# the window back-fills with the OLDEST-verified green queries, so no
+# catalog query goes more than 2 rounds without a hard driver check.
+# Rotated-out queries stay locally verified every run by
+# tests/test_oracle_parity at sf0.001.
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # round-2 failures: confirm this round's fixes (asof NTZ cast,
-    # Q10 decimal revenue)
+    # never driver-verified: the 3 queries registered after the r3
+    # driver run, plus this round's new probe-table contamination path
+    "q_llm_contamination",
+    "q_llm_contamination_probe",
+    "q_llm_dedup_kept_check",
+    "q_rel_salted_join",
+    # the two round-2 failures, in-window one more round to confirm the
+    # fixes are stable (asof NTZ cast; Q10 exact-decimal revenue)
     "q_rel_asof_join",
     "q_rel_q10_returned_items",
-    # rotated back in: every query whose last driver verdict is r1 —
-    # no catalog query goes >2 rounds without a hard driver check
-    "q_billing_partition_days",
-    "q_billing_props_stats",
-    "q_billing_route_counts",
-    "q_billing_sessionization",
-    "q_rel_anti_join_customers",
-    "q_rel_array_funcs",
-    "q_rel_brand_revenue",
-    "q_rel_conditional_funcs",
-    "q_rel_cte_top_suppliers",
-    "q_rel_cube_lineitem",
-    "q_rel_date_funcs",
-    "q_rel_distinct_stats",
-    "q_rel_explode_array",
-    "q_rel_full_outer_join",
-    "q_rel_grouping_sets",
-    "q_rel_hash_sample",
-    "q_rel_in_subquery",
-    "q_rel_left_outer_join",
-    "q_rel_map_funcs",
-    "q_rel_order_gaps",
-    "q_rel_percentiles",
-    "q_rel_pivot_priority",
-    "q_rel_q14_promo_revenue",
-    "q_rel_q18_large_orders",
-    "q_rel_q19_disjunctive",
-    "q_rel_q3_top_orders",
-    "q_rel_q4_order_priority",
-    "q_rel_q5_nation_volume",
-    "q_rel_q6_forecast_revenue",
-    "q_rel_range_frame",
-    "q_rel_range_join",
-    "q_rel_rollup_orders",
-    "q_rel_running_totals",
-    "q_rel_semi_join_customers",
-    "q_rel_set_except",
-    "q_rel_set_intersect",
-    "q_rel_set_union",
-    "q_rel_stat_aggs",
-    "q_rel_string_agg",
-    "q_rel_string_funcs",
-    "q_rel_top3_parts_per_brand",
-    "q_rel_window_ranks",
-    # r2-green queries whose money aggregates moved to exact decimal
-    # this round — re-verify the edit (the rest of the decimal sweep,
-    # incl. Q7/Q17 which don't fit the 50-slot window, is exact-checked
-    # at sf0.01 by tests/test_money_exact.py and at sf0.1 by the local
-    # full-catalog sweep)
-    "q_billing_flagship_daily",
-    "q_rel_q1_pricing_summary",
-    "q_rel_q8_market_share",
-    "q_rel_q22_dormant_prospects",
-    # new this round: Q9 (two-key partsupp join) and adapted Q12
-    "q_rel_q9_product_profit",
-    "q_rel_q12_late_shipments",
+    # rotated back in: every query whose last driver verdict is r2 —
+    # no catalog query goes >2 rounds without a hard driver check.
+    # (All 44 fit: 6 + 44 = 50 = the driver window, exactly.)
+    "q_billing_hourly_windows",
+    "q_rel_approx_percentiles",
+    "q_rel_approx_distinct",
+    "q_rel_math_funcs",
+    "q_rel_correlated_subquery",
+    "q_rel_cross_join",
+    "q_rel_scalar_subquery",
+    "q_rel_latest_per_key",
+    "q_rel_unpivot",
+    "q_rel_stratified_sample",
+    "q_rel_q2_min_cost_supplier",
+    "q_rel_q7_volume_shipping",
+    "q_rel_q11_important_stock",
+    "q_rel_q13_order_histogram",
+    "q_rel_q15_top_supplier",
+    "q_rel_q16_supplier_count",
+    "q_rel_q17_small_qty_revenue",
+    "q_rel_q20_excess_inventory",
+    "q_rel_q21_sole_blame",
+    "q_llm_dedup_exact",
+    "q_llm_fingerprints",
+    "q_llm_token_counts",
+    "q_llm_token_counts_bpe",
+    "q_llm_text_quality",
+    "q_llm_lang_id",
+    "q_llm_shingle_stats",
+    "q_llm_minhash_check",
+    "q_llm_cluster_check",
+    "q_llm_simhash_check",
+    "q_llm_cosine_topk",
+    "q_llm_quantized_recall",
+    "q_llm_ivf_recall",
+    "q_llm_lsh_recall",
+    "q_llm_embedding_norms",
+    "q_llm_ngram_jaccard_pairs",
+    "q_llm_embedding_near_dup",
+    "q_llm_near_dup_blocked",
+    "q_llm_rolling_fingerprint",
+    "q_llm_multimodal_check",
+    "q_llm_curation_pipeline",
+    "q_llm_repetition_stats",
+    "q_llm_scrub_stats",
+    "q_llm_vocab_top20",
+    "q_llm_chunk_stats",
 ]
 
 

@@ -509,3 +509,53 @@ def test_near_dup_rejects_unknown_strategy(spark):
     df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="strategy"):
         embedding_near_dup_pairs(df, 0.5, strategy="bogus")
+
+
+def test_raw_ngrams_short_docs_ansi_safe(spark):
+    """Docs with < n tokens must yield an EMPTY n-gram array, not an
+    ANSI INVALID_ARRAY_INDEX: sequence(0, size-n) is descending for
+    short docs and the old guard indexed toks[-1]."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        raw_ngrams_col,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "one two three"),
+         (5, "a b c d")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select("doc_id", raw_ngrams_col("toks", 3).alias("tgs"))
+    got = {r.doc_id: r.tgs for r in out.collect()}
+    assert got == {
+        1: [], 2: [], 3: [],
+        4: ["one two three"],
+        5: ["a b c", "b c d"],
+    }
+
+
+def test_contamination_screen_probe_table(spark):
+    """Probe-table screen: exact hit counts on a crafted corpus,
+    short docs included (must not throw under ANSI)."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        contamination_screen,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # hits: 2 probe trigrams
+            (2, "quick brown fox"),             # hits: 1
+            (3, "totally clean document here"), # no hits
+            (4, "ok"),                          # short doc: no trigrams
+            (5, "quick brown fox quick brown fox x"),  # repeats: still 1 distinct
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [("the quick brown",), ("quick brown fox",), ("never present here",)],
+        "ngram string",
+    )
+    out = contamination_screen(docs, probes)
+    got = {r.doc_id: r.n_probe_hits for r in out.collect()}
+    assert got == {1: 2, 2: 1, 5: 1}

@@ -265,3 +265,32 @@ def test_scalar_subquery_broadcast_in_plan(spark):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_salted_join_spreads_identical_duplicate_rows(spark):
+    from pyspark.sql import functions as F
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.relational import (
+        salted_join,
+    )
+
+    # Hot key whose rows are EXACT duplicates — dedup-free ingest, the
+    # workload salting exists for. A content-hash salt maps all of them
+    # to one bucket (zero spread, straggler returns); the row-offset
+    # salt must use every bucket.
+    dup = spark.range(8000).select(F.lit(7).alias("k"), F.lit("same").alias("v"))
+    dim = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(8)).cast("int")
+    n_buckets = dup.select(salt.alias("_salt")).select(
+        F.count_distinct("_salt").alias("n")
+    ).first().n
+    assert n_buckets == 8, f"duplicate-row hot key used {n_buckets}/8 salt buckets"
+
+    # and the join answer is still the plain-join answer
+    plain = dup.join(dim, "k").agg(
+        F.count("*").alias("n"), F.sum("w").alias("s")
+    ).first()
+    salted = salted_join(dup, dim, "k", salt_buckets=8).agg(
+        F.count("*").alias("n"), F.sum("w").alias("s")
+    ).first()
+    assert (plain.n, plain.s) == (salted.n, salted.s)
