@@ -3,9 +3,17 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed end-to-end (plan + execute + collect-to-count). A
-warm-up pass on sf0.001 first touches the JVM/codegen paths so the timed
-numbers measure the queries, not session startup.
+Each query is timed end-to-end (plan + execute + noop-sink write). The
+consumer is ``df.write.format("noop")`` — it forces FULL evaluation of
+every output column. The previous ``.count()`` consumer let Catalyst
+prune aggregate columns a count never needs, under-measuring exactly the
+queries whose cost lives in the aggregates (the exact-decimal money
+sums). For one transition round the JSON also carries the legacy
+count-consumer timings ("count_consumer_*") so round-over-round
+continuity against the r1–r3 numbers is explicit.
+
+A warm-up pass at the TARGET SF first touches the JVM/codegen paths so
+the timed numbers measure the queries, not session startup.
 """
 
 from __future__ import annotations
@@ -56,7 +64,26 @@ BENCH_QUERIES = [
     "q_llm_near_dup_pairs_blocked",
     "q_rel_q2_min_cost_supplier",
     "q_rel_q9_product_profit",
+    "q_llm_contamination_probe",
+    # skew-stress pair: same 30%-hot-key shuffle join, plain (AQE skew
+    # split) vs explicitly salted — the salted operator's evidence row
+    "q_rel_skew_join_plain",
+    "q_rel_skew_join_salted",
 ]
+
+
+def consume(df) -> None:
+    """Force FULL evaluation of every output column: the noop sink runs
+    the whole plan and discards rows. ``count()`` would let Catalyst
+    drop aggregate columns (a count needs no values), under-measuring
+    aggregate-heavy queries."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def consume_count(df) -> None:
+    """Legacy r1–r3 consumer, kept one transition round for
+    round-over-round continuity reporting."""
+    df.count()
 
 
 def main() -> None:
@@ -87,7 +114,7 @@ def main() -> None:
     runnable = []
     for name in BENCH_QUERIES:
         try:
-            ALL_QUERIES[name](spark, sf_dir).count()
+            consume(ALL_QUERIES[name](spark, sf_dir))
             runnable.append(name)
         except Exception as exc:  # noqa: BLE001 — isolate per query
             errors[name] = _err_head(exc)
@@ -98,19 +125,42 @@ def main() -> None:
     # 3.0s query has measured 36s when the host stalls mid-pass); the
     # min approximates steady-state per-query latency (what a warm
     # cluster would sustain).
-    timings: dict[str, float] = {}
-    for _pass in range(3):
-        for name in runnable:
-            t0 = time.perf_counter()
-            try:
-                ALL_QUERIES[name](spark, sf_dir).count()
-            except Exception as exc:  # noqa: BLE001
-                errors[name] = _err_head(exc)
-                print(f"  pass{_pass} FAILED {name}: {errors[name]}", file=sys.stderr)
-                continue
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
-            print(f"  pass{_pass} {name}: {dt}s", file=sys.stderr)
+    def timed_passes(
+        sink, tag: str, names: list[str], errs: dict[str, str]
+    ) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        alive = list(names)
+        for _pass in range(3):
+            for name in list(alive):
+                t0 = time.perf_counter()
+                try:
+                    sink(ALL_QUERIES[name](spark, sf_dir))
+                except Exception as exc:  # noqa: BLE001
+                    errs[name] = _err_head(exc)
+                    # a query that fails in ANY pass is failed, period:
+                    # drop its stale min so errors and timings stay
+                    # disjoint (a query must not count as both timed
+                    # and broken in the same payload)
+                    timings.pop(name, None)
+                    alive.remove(name)
+                    print(
+                        f"  {tag} pass{_pass} FAILED {name}: {errs[name]}",
+                        file=sys.stderr,
+                    )
+                    continue
+                dt = round(time.perf_counter() - t0, 3)
+                timings[name] = min(timings.get(name, dt), dt)
+                print(f"  {tag} pass{_pass} {name}: {dt}s", file=sys.stderr)
+        return timings
+
+    timings = timed_passes(consume, "noop", runnable, errors)
+    # transition-round continuity: the legacy count-consumer numbers the
+    # r1 BASELINE.md totals were measured with (one extra pass set; the
+    # page cache is already warm so the delta is pure consumer effect).
+    # Count-pass failures stay out of the primary errors channel — a
+    # query is "broken" iff its REAL (noop) run fails.
+    count_errors: dict[str, str] = {}
+    count_timings = timed_passes(consume_count, "count", runnable, count_errors)
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -119,9 +169,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "consumer": "noop-write (full evaluation of every output column)",
+        "count_consumer_total": round(sum(count_timings.values()), 3),
+        "count_consumer_queries": count_timings,
     }
     if errors:
         payload["errors"] = errors
+    if count_errors:
+        payload["count_consumer_errors"] = count_errors
     print(json.dumps(payload))
     spark.stop()
 

@@ -2383,6 +2383,67 @@ def q_llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, fake=True)
 
 
+def _skewed_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem with a manufactured pathological hot key: ~30% of all
+    rows remapped to supplier 1 (deterministic on l_orderkey, no RNG).
+    The skew-stress twins below join it to supplier; the supplier side
+    carries a SHUFFLE_HASH hint so the join actually shuffles on the hot
+    key instead of broadcasting the dim away (broadcast would hide the
+    skew this fixture exists to create)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.withColumn(
+        "l_suppkey",
+        F.when(F.pmod(F.col("l_orderkey"), F.lit(10)) < 3, F.lit(1).cast("long"))
+        .otherwise(F.col("l_suppkey")),
+    )
+
+
+@register_bench_only("q_rel_skew_join_plain")
+def q_rel_skew_join_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-stress baseline: plain shuffle join on a 30%-hot key, skew
+    mitigation left to AQE's skew-join split (enabled in the session
+    factory; it splits oversized partitions of SMJ/SHJ at runtime). The
+    salted twin measures whether explicit salting still buys anything
+    on top. Values are engine-specific only in partitioning, not
+    content; correctness of salting is driver-checked by
+    q_rel_salted_join — this pair exists for BENCH timings."""
+    sup = load_table(spark, sf_dir, "supplier").withColumnRenamed(
+        "s_suppkey", "l_suppkey"
+    )
+    return (
+        _skewed_lineitem(spark, sf_dir)
+        .join(sup.hint("shuffle_hash"), "l_suppkey")
+        .groupBy("s_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("l_extendedprice").alias("gross"),
+        )
+    )
+
+
+@register_bench_only("q_rel_skew_join_salted")
+def q_rel_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-stress treatment: the same 30%-hot-key join through
+    salted_join (row-offset round-robin salt, 32 buckets — the hot key
+    spreads over 32 tasks before AQE even looks at it)."""
+    sup = load_table(spark, sf_dir, "supplier").withColumnRenamed(
+        "s_suppkey", "l_suppkey"
+    )
+    return (
+        salted_join(
+            _skewed_lineitem(spark, sf_dir),
+            sup.hint("shuffle_hash"),
+            on="l_suppkey",
+            salt_buckets=32,
+        )
+        .groupBy("s_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("l_extendedprice").alias("gross"),
+        )
+    )
+
+
 _EMPTY_MULTIMODAL_CHECK_ORACLE = """
     SELECT CAST(NULL AS BIGINT) AS media_id, CAST(NULL AS VARCHAR) AS reason
     WHERE FALSE
