@@ -15,6 +15,11 @@ upgraded, per SURVEY §2.6 and §4:
   is both a straggler and a >HDFS-block file. Here the file count is
   ``ceil(partition_bytes / target_bytes)`` (default 512 MB) via
   ``coalesce`` — no shuffle at all.
+
+All file operations route through the ``fs`` abstraction (fs.py): the
+two-rename swap and its crash self-heal run unchanged against bare
+local paths and ``hdfs://``/``file://`` URIs (rename is a metadata op
+on HDFS — exactly what the swap protocol assumes).
 """
 
 from __future__ import annotations
@@ -26,6 +31,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .fs import get_filesystem
 from .schema import PARTITION_FIELD
 
 DEFAULT_TARGET_BYTES = 512 * 1024 * 1024
@@ -43,61 +49,58 @@ def resolve_partition_policy(policy: str, today: dt.date | None = None) -> list[
     return [p.strip() for p in policy.split(",") if p.strip()]
 
 
-def list_partitions(spark: SparkSession, path: str) -> list[str]:
+def list_partitions(spark: SparkSession, path: str, fs=None) -> list[str]:
     """Enumerate partition_date values of a path-based table from the
     directory layout. Pure metadata — no data scan, no RDD (the reference
     collects an RDD off SHOW PARTITIONS, `:369-372`)."""
-    if not os.path.isdir(path):
-        return []
+    fs = fs or get_filesystem(path, spark)
     prefix = PARTITION_FIELD + "="
     return sorted(
-        d[len(prefix):] for d in os.listdir(path)
-        if d.startswith(prefix)
-        and os.path.isdir(os.path.join(path, d))
+        d[len(prefix):]
+        for d, is_dir in fs.list_entries(path)
+        if is_dir
+        and d.startswith(prefix)
         # a crashed legacy swap could leave 'partition_date=X._compacting';
         # never parse scratch suffixes as partition values
         and "._" not in d
     )
 
 
-def partition_bytes(path: str, partition: str) -> int:
+def partition_bytes(path: str, partition: str, fs=None) -> int:
+    fs = fs or get_filesystem(path)
     pdir = os.path.join(path, f"{PARTITION_FIELD}={partition}")
-    total = 0
-    for root, _dirs, files in os.walk(pdir):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
-    return total
+    return sum(
+        size
+        for name, size in fs.list_files_recursive(pdir)
+        if not name.startswith(("_", "."))
+    )
 
 
-def recover_crashed_compactions(path: str, only: str | None = None) -> list[str]:
+def recover_crashed_compactions(path: str, only: str | None = None, fs=None) -> list[str]:
     """Finish any swap a previous compaction crashed in the middle of.
     A '._compact_old_P' dir with the partition present means the swap
     completed but cleanup didn't (drop the retired copy); WITHOUT the
     partition it means the crash hit between the two renames (restore
     the original). Stale '._compact_new_P' scratch writes are dropped.
     Returns the partition values that were restored."""
-    import shutil
-
-    if not os.path.isdir(path):
-        return []
+    fs = fs or get_filesystem(path)
     restored = []
-    for d in os.listdir(path):
+    for d, _is_dir in fs.list_entries(path):
         if d.startswith("._compact_old_"):
             p = d[len("._compact_old_"):]
             if only is not None and p != only:
                 continue
             pdir = os.path.join(path, f"{PARTITION_FIELD}={p}")
-            if os.path.isdir(pdir):
-                shutil.rmtree(os.path.join(path, d))
+            if fs.is_dir(pdir):
+                fs.delete(os.path.join(path, d), recursive=True)
             else:
-                os.replace(os.path.join(path, d), pdir)
+                fs.rename(os.path.join(path, d), pdir)
                 restored.append(p)
         elif d.startswith("._compact_new_"):
             p = d[len("._compact_new_"):]
             if only is not None and p != only:
                 continue
-            shutil.rmtree(os.path.join(path, d))
+            fs.delete(os.path.join(path, d), recursive=True)
     return restored
 
 
@@ -107,6 +110,7 @@ def compact_partition(
     partition: str,
     target_bytes: int = DEFAULT_TARGET_BYTES,
     cluster_by: list[str] | None = None,
+    fs=None,
 ) -> int:
     """Rewrite one day-partition to ~target_bytes files. Returns the file
     count written. ≙ `Dcache_kafka_to_hive.py:376-385` minus the staging
@@ -118,8 +122,7 @@ def compact_partition(
     range predicates on those columns then skip whole files at plan time
     instead of scanning the day. Costs one shuffle (vs the shuffle-free
     coalesce); worth it for the clustering read-pattern at scale."""
-    import shutil
-
+    fs = fs or get_filesystem(path, spark)
     pdir = os.path.join(path, f"{PARTITION_FIELD}={partition}")
     # Scratch dirs live beside the partition, dot-prefixed: Spark's file
     # listing skips hidden dirs and list_partitions never sees them (a
@@ -127,8 +130,8 @@ def compact_partition(
     # bogus partition value by any reader that lists the table).
     tmp = os.path.join(path, f"._compact_new_{partition}")
     retired = os.path.join(path, f"._compact_old_{partition}")
-    recover_crashed_compactions(path, only=partition)
-    n_files = max(1, math.ceil(partition_bytes(path, partition) / target_bytes))
+    recover_crashed_compactions(path, only=partition, fs=fs)
+    n_files = max(1, math.ceil(partition_bytes(path, partition, fs=fs) / target_bytes))
     df = spark.read.parquet(pdir)
     if cluster_by:
         cols = [F.col(c) for c in cluster_by]
@@ -138,13 +141,13 @@ def compact_partition(
     # Rewrite through the scratch dir then swap with two renames
     # (retire-old → promote-new → delete-old). The partition is absent
     # only between the two renames — metadata ops — instead of for the
-    # whole rmtree of the old data; any crash leaves either the original
+    # whole delete of the old data; any crash leaves either the original
     # or the compacted data recoverable (and the self-heal above
     # finishes the job on the next run).
     df.write.mode("overwrite").parquet(tmp)
-    os.replace(pdir, retired)
-    os.replace(tmp, pdir)
-    shutil.rmtree(retired)
+    fs.rename(pdir, retired)
+    fs.rename(tmp, pdir)
+    fs.delete(retired, recursive=True)
     return n_files
 
 
@@ -154,17 +157,19 @@ def compact_table(
     partitions: list[str] | None = None,
     target_bytes: int = DEFAULT_TARGET_BYTES,
     cluster_by: list[str] | None = None,
+    fs=None,
 ) -> dict[str, int]:
     """Compact the given (or all) partitions of one table path. Partition
     enumeration happens here, per table — the reference's cross-table
     partition-list reuse bug (`:366-372`) cannot recur. Crashed swaps
     from a previous run are healed BEFORE enumeration, so a partition
     stranded mid-swap is restored and compacted rather than skipped."""
-    recover_crashed_compactions(path)
-    parts = partitions if partitions is not None else list_partitions(spark, path)
-    existing = set(list_partitions(spark, path))
+    fs = fs or get_filesystem(path, spark)
+    recover_crashed_compactions(path, fs=fs)
+    parts = partitions if partitions is not None else list_partitions(spark, path, fs=fs)
+    existing = set(list_partitions(spark, path, fs=fs))
     return {
-        p: compact_partition(spark, path, p, target_bytes, cluster_by)
+        p: compact_partition(spark, path, p, target_bytes, cluster_by, fs=fs)
         for p in parts
         if p in existing
     }

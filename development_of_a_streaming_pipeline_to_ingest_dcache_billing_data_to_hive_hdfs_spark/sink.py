@@ -19,6 +19,11 @@ Reference parity: the four INSERT-INTO-partitioned-table sinks
   FileOutputCommitter-v1 shape: data lands in a hidden staging dir,
   promotion is per-file rename (a metadata op on HDFS-like stores).
 
+All file operations route through the ``fs`` abstraction (fs.py), so
+the exactly-once protocol runs unchanged against bare local paths AND
+``hdfs://``/``s3a://``/``file://`` URIs — the reference's actual
+deployment target is Hive-on-HDFS.
+
 At 100 TB: appends are partition-local (no shuffle); one pass per batch
 over the parsed frame per route, with the parsed batch persisted by the
 caller (streaming/pipeline.py) so the 4 route writes share one parse.
@@ -28,39 +33,41 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 from pyspark.sql import DataFrame
 
+from .fs import get_filesystem
 from .schema import PARTITION_FIELD
 
 
 class BatchLedger:
     """Crash-safe record of committed (sink, batch_id) pairs.
 
-    Local-filesystem implementation; on a cluster the same protocol runs
-    against HDFS (create-temp + atomic rename). The ledger is tiny (one
-    int per committed batch) and read once per batch.
+    The ledger is tiny (one int per committed batch), read once per
+    batch, written via create-temp + rename. On HDFS-like stores the
+    overwrite rename is delete-then-rename — a crash in that window
+    leaves NO ledger, which replays every batch; the name-scoped batch
+    files (write_partitioned_batch) make that replay duplicate-free, so
+    the window is safe.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, fs=None):
         self.path = path
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.fs = fs or get_filesystem(path)
+        parent = os.path.dirname(path)
+        if parent:
+            self.fs.mkdirs(parent)
 
     def committed(self) -> set[int]:
         try:
-            with open(self.path) as f:
-                return set(json.load(f))
+            return set(json.loads(self.fs.read_text(self.path)))
         except (FileNotFoundError, json.JSONDecodeError):
             return set()
 
     def commit(self, batch_id: int) -> None:
         ids = self.committed()
         ids.add(batch_id)
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path) or ".")
-        with os.fdopen(fd, "w") as f:
-            json.dump(sorted(ids), f)
-        os.replace(tmp, self.path)
+        self.fs.write_text_atomic(self.path, json.dumps(sorted(ids)))
 
     def is_committed(self, batch_id: int) -> bool:
         return batch_id in self.committed()
@@ -77,33 +84,34 @@ def _batch_prefix(batch_id: int) -> str:
     return f"batch{batch_id}-"
 
 
-def cleanup_batch_files(path: str, batch_id: int) -> int:
+def cleanup_batch_files(path: str, batch_id: int, fs=None) -> int:
     """Delete every data file a previous (crashed) attempt of this batch
     promoted into the table, plus any leftover staging dir. Returns the
     number of files removed. File membership is name-based — the batch
     id is embedded in every promoted file's name — so no data needs to
     be read."""
-    import shutil
-
+    fs = fs or get_filesystem(path)
     staging = os.path.join(path, f"._batch_staging_{batch_id}")
-    if os.path.isdir(staging):
-        shutil.rmtree(staging)
+    if fs.is_dir(staging):
+        fs.delete(staging, recursive=True)
     removed = 0
-    if not os.path.isdir(path):
+    if not fs.is_dir(path):
         return removed
     prefix = _batch_prefix(batch_id)
-    for d in os.listdir(path):
-        pdir = os.path.join(path, d)
-        if not os.path.isdir(pdir) or d.startswith(("_", ".")):
+    for d, d_is_dir in fs.list_entries(path):
+        if not d_is_dir or d.startswith(("_", ".")):
             continue
-        for f in os.listdir(pdir):
-            if f.startswith(prefix):
-                os.remove(os.path.join(pdir, f))
+        pdir = os.path.join(path, d)
+        for f, f_is_dir in fs.list_entries(pdir):
+            if not f_is_dir and f.startswith(prefix):
+                fs.delete(os.path.join(pdir, f))
                 removed += 1
     return removed
 
 
-def write_partitioned_batch(df: DataFrame, path: str, batch_id: int) -> None:
+def write_partitioned_batch(
+    df: DataFrame, path: str, batch_id: int, fs=None
+) -> None:
     """Idempotent micro-batch append: stage the batch's output under a
     hidden per-batch dir, then promote each data file into its partition
     dir under a batch-scoped NAME (``batch<id>-<part-file>``), after
@@ -117,23 +125,22 @@ def write_partitioned_batch(df: DataFrame, path: str, batch_id: int) -> None:
     rewrites byte-identical content (same checkpointed offset range).
     Promotion is one rename per file — a metadata operation on
     HDFS-like stores, the same pattern FileOutputCommitter v1 uses."""
-    import shutil
-
-    cleanup_batch_files(path, batch_id)
+    fs = fs or get_filesystem(path, df.sparkSession)
+    cleanup_batch_files(path, batch_id, fs=fs)
     staging = os.path.join(path, f"._batch_staging_{batch_id}")
     df.write.mode("overwrite").partitionBy(PARTITION_FIELD).parquet(staging)
     prefix = _batch_prefix(batch_id)
-    for d in os.listdir(staging):
-        sdir = os.path.join(staging, d)
-        if not os.path.isdir(sdir):
+    for d, d_is_dir in fs.list_entries(staging):
+        if not d_is_dir:
             continue  # _SUCCESS and friends
+        sdir = os.path.join(staging, d)
         dest = os.path.join(path, d)
-        os.makedirs(dest, exist_ok=True)
-        for f in os.listdir(sdir):
-            if f.startswith(("_", ".")):
+        fs.mkdirs(dest)
+        for f, f_is_dir in fs.list_entries(sdir):
+            if f_is_dir or f.startswith(("_", ".")):
                 continue
-            os.replace(os.path.join(sdir, f), os.path.join(dest, prefix + f))
-    shutil.rmtree(staging)
+            fs.rename(os.path.join(sdir, f), os.path.join(dest, prefix + f))
+    fs.delete(staging, recursive=True)
 
 
 def write_partitioned_table(df: DataFrame, table: str, mode: str = "append") -> None:

@@ -27,6 +27,7 @@ import os
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
+from ..fs import get_filesystem
 from ..parse import parse_billing
 from ..route import route
 from ..schema import REJECTS_ROUTE
@@ -36,12 +37,24 @@ ROUTES = ("transfers", "requests", "storage", "removes", REJECTS_ROUTE)
 
 
 class BillingPipeline:
-    """Wires a billing stream source to partitioned Parquet route sinks."""
+    """Wires a billing stream source to partitioned Parquet route sinks.
+
+    ``warehouse_dir`` may be a bare local path or any Hadoop-mountable
+    URI (``hdfs://``, ``file://``, ``s3a://``): one FS handle is
+    resolved up front (fs.py) and shared by the ledger and every route
+    sink, so the exactly-once protocol runs identically on all of them."""
 
     def __init__(self, source: DataFrame, warehouse_dir: str):
         self.source = source
         self.warehouse = warehouse_dir
-        self.ledger = BatchLedger(os.path.join(warehouse_dir, "_ledger.json"))
+        # source may be None in replay-only tests; URI warehouses then
+        # resolve the Hadoop FS from the active session inside fs.py
+        self.fs = get_filesystem(
+            warehouse_dir, source.sparkSession if source is not None else None
+        )
+        self.ledger = BatchLedger(
+            os.path.join(warehouse_dir, "_ledger.json"), fs=self.fs
+        )
 
     def table_path(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
@@ -54,7 +67,9 @@ class BillingPipeline:
         parsed.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             for name, df in route(parsed).items():
-                write_partitioned_batch(df, self.table_path(name), batch_id)
+                write_partitioned_batch(
+                    df, self.table_path(name), batch_id, fs=self.fs
+                )
             self.ledger.commit(batch_id)
         finally:
             parsed.unpersist()

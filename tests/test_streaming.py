@@ -211,11 +211,11 @@ def test_crash_after_partial_route_writes_no_duplicates(spark, tmp_path, monkeyp
     real_write = pipeline_mod.write_partitioned_batch
     calls = {"n": 0}
 
-    def dying_write(df, path, batch_id):
+    def dying_write(df, path, batch_id, fs=None):
         calls["n"] += 1
         if calls["n"] > 2:
             raise RuntimeError("simulated crash mid-batch")
-        real_write(df, path, batch_id)
+        real_write(df, path, batch_id, fs=fs)
 
     monkeypatch.setattr(pipeline_mod, "write_partitioned_batch", dying_write)
     import pytest as _pytest
