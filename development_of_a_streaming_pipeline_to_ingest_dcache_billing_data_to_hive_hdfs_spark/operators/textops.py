@@ -210,3 +210,50 @@ def contamination_screen(
     return grams.join(probes, "ngram").groupBy("doc_id").agg(
         F.count_distinct("ngram").alias("n_probe_hits")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int,
+    *,
+    shard_col: str = "source",
+    doc_id_col: str = "doc_id",
+    token_count: Column | None = None,
+) -> DataFrame:
+    """Sequence packing for pretraining-batch prep: assign each document
+    to a fixed token-budget training sequence ("pack") via OFFSET BIN
+    PACKING — pack = floor(preceding-cumsum / budget) in a stable order
+    — the standard scalable approximation of greedy packing (greedy's
+    fill decision is inherently sequential; the offset rule is one
+    window expression and within one doc of greedy's fill).
+
+    Scale shape: the running sum is windowed PER SHARD (``shard_col``),
+    so packing parallelizes across shards — one shuffle on the shard
+    key, no global sort, no single-task bottleneck. Real pipelines
+    shard by source/domain anyway to keep mixtures controllable; a
+    single global ordering would serialize 100 TB through one task.
+
+    A document longer than the budget overflows its pack boundary (it
+    still gets exactly one pack id); packs are split, not documents —
+    matching loss-masked packed-sequence training where a too-long doc
+    is truncated downstream by the tokenizer, not the packer.
+
+    Returns ``docs`` (id, shard, n_tokens) + ``pack_id``.
+    """
+    n_tokens = token_count if token_count is not None else token_count_col()
+    toks = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.col(shard_col).alias("shard"),
+        n_tokens.cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.withColumn(
+        "pack_id", F.floor(cum_before / F.lit(budget_tokens)).cast("long")
+    )

@@ -559,3 +559,34 @@ def test_contamination_screen_probe_table(spark):
     out = contamination_screen(docs, probes)
     got = {r.doc_id: r.n_probe_hits for r in out.collect()}
     assert got == {1: 2, 2: 1, 5: 1}
+
+
+def test_pack_sequences_offset_bin_packing(spark):
+    """Exact pack assignment on a crafted corpus: per-shard preceding
+    cumsum over doc_id order, floor-divided by the budget; oversized
+    docs overflow their pack but still get exactly one pack id."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # shard a: tokens 6,4,3 with budget 8 → cum_before 0,6,10
+            (1, "a", "t1 t2 t3 t4 t5 t6"),
+            (2, "a", "t1 t2 t3 t4"),
+            (3, "a", "t1 t2 t3"),
+            # shard b: one oversized doc (10 > 8) then a small one
+            (4, "b", "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+            (5, "b", "t1"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = pack_sequences(docs, budget_tokens=8)
+    got = {r.doc_id: (r.shard, r.n_tokens, r.pack_id) for r in out.collect()}
+    assert got == {
+        1: ("a", 6, 0),
+        2: ("a", 4, 0),   # cum_before 6 < 8
+        3: ("a", 3, 1),   # cum_before 10 → pack 1
+        4: ("b", 10, 0),  # oversized: one pack id, overflows boundary
+        5: ("b", 1, 1),   # cum_before 10 → pack 1
+    }
