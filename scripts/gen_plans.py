@@ -24,6 +24,10 @@ NOTES = {
  "q_llm_near_dup_pairs_blocked": "Blocked near-dup, bucket-local verify: one Arrow pass computes all hyperplane signatures (vector carried n_tables times), one shuffle groups (table, signature) buckets, and the BLAS cosine verify runs inside each bucket so only threshold-passing pairs leave it — no per-candidate vector join, no pair-level distinct shuffle.",
  "q_rel_q2_min_cost_supplier": "Derived-partsupp Q2: one lineitem groupBy builds the supply table; the per-part min-cost correlated subquery is decorrelated into a window over the same shuffled frame; region/nation/supplier dims broadcast.",
  "q_rel_q9_product_profit": "Q9 two-key profit join: the name-filtered part broadcast prunes lineitem FIRST, the (partkey, suppkey) partsupp join shuffles both sides on the compound key once, supplier/nation broadcast; exact-decimal profit sums fold into one two-phase aggregate.",
+ "q_llm_contamination_probe": "Table-sized decontamination probe: corpus trigrams explode in the scan stage and stream through a BroadcastHashJoin against the deduplicated probe set (no corpus shuffle for the join); the only Exchange feeds the per-doc count_distinct aggregate.",
+ "q_llm_sequence_packing": "Offset bin packing: one shuffle on the source shard feeds the per-shard running-sum window, and the pack aggregate reuses the same partitioning - no global sort, no single-task cumsum.",
+ "q_rel_skew_join_plain": "Skew-stress baseline: SHUFFLE_HASH join on a 30%-hot key; AQE's skew-join split carves the oversized partition at runtime. Measured vs the salted twin: at sf0.1 AQE alone matches salting (bench r4), so explicit salting is reserved for AQE-off contexts (streaming micro-batches) or keys beyond partition-splitting.",
+ "q_rel_skew_join_salted": "Skew-stress treatment: row-offset round-robin salt spreads the hot key over 32 (key, salt) buckets before the shuffle; the dim side replicates once per salt value. Same answer as the plain join; ~10% slower at sf0.1 where AQE already handles the skew - the operator is the AQE-unavailable escape hatch, and the bench pair documents that honestly.",
 }
 
 hdr = """# PLANS — physical-plan audit of headline queries (sf0.1, AQE final plans)
@@ -36,7 +40,10 @@ span annotations) is shown, not the pre-execution placeholder.
 out = [hdr]
 for name, note in NOTES.items():
     df = ALL_QUERIES[name](spark, sf)
-    df.count()  # finalize AQE
+    # finalize AQE with the same full-evaluation consumer bench.py uses
+    # (a count() would let Catalyst prune aggregate columns and could
+    # show a thinner plan than the one the bench actually times)
+    df.write.format("noop").mode("overwrite").save()
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
