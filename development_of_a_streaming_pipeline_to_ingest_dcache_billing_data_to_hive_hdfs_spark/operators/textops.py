@@ -257,3 +257,54 @@ def pack_sequences(
     return toks.withColumn(
         "pack_id", F.floor(cum_before / F.lit(budget_tokens)).cast("long")
     )
+
+
+def holdout_split_col(
+    col: str = "text", val_pct: int = 10, test_pct: int = 10
+) -> Column:
+    """CONTENT-ADDRESSED train/val/test split: bucket = the first 4 hex
+    digits of md5(text) mod 100, split by bucket range. Hashing the
+    CONTENT (not the row id, not a seeded rand()) means (a) byte-equal
+    duplicates always land in the SAME split — near-miss dedup can't
+    leak a train doc into test; (b) assignment is stable under
+    repartitioning, re-ingestion, and engine changes (md5 is portable —
+    the DuckDB oracle reproduces it exactly); (c) no RNG in the plan,
+    so replays and retries are deterministic. Pure scan-stage
+    expression, codegen'd, no shuffle."""
+    bucket = F.conv(F.substring(F.md5(F.col(col)), 1, 4), 16, 10).cast(
+        "int"
+    ) % 100
+    return (
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    *,
+    shard_col: str = "source",
+    doc_id_col: str = "doc_id",
+    token_count: Column | None = None,
+) -> DataFrame:
+    """Token-budget mixture sampling: keep documents per shard, in
+    stable ``doc_id`` order, until the shard's TOKEN budget is reached —
+    the data-mixing primitive (a target mixture is specified in tokens
+    per source, not row fractions, because document lengths differ
+    across sources; row-fraction sampling like ``sampleBy`` skews the
+    realized token mixture toward long-doc sources).
+
+    Exactly ``pack_sequences`` keeping pack 0: a doc survives iff the
+    preceding per-shard token cumsum is under budget. Same scale shape —
+    one shuffle on the shard key, per-shard window, no global sort. The
+    last kept doc may overflow the budget (docs are kept whole)."""
+    packed = pack_sequences(
+        docs,
+        budget_tokens,
+        shard_col=shard_col,
+        doc_id_col=doc_id_col,
+        token_count=token_count,
+    )
+    return packed.where(F.col("pack_id") == 0).drop("pack_id")

@@ -48,11 +48,13 @@ from ..operators.similarity import (
 from ..operators.textops import (
     bpe_ish_token_count,
     contamination_screen,
+    holdout_split_col,
     pack_sequences,
     predicted_lang_col,
     quality_score_cols,
     raw_ngrams_col,
     stopword_lang_scores,
+    token_budget_sample,
     token_count_col,
 )
 from ..sources.tables import load_table
@@ -3770,6 +3772,99 @@ def q_llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_holdout_split",
+    """
+    WITH split_docs AS (
+      SELECT source,
+             CASE
+               WHEN CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER)
+                    % 100 < 10 THEN 'test'
+               WHEN CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER)
+                    % 100 < 20 THEN 'val'
+               ELSE 'train'
+             END AS split,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             t -> t <> '')) AS n_tokens
+      FROM documents)
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM split_docs
+    GROUP BY source, split
+    """,
+)
+def q_llm_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed train/val/test split
+    (operators.textops.holdout_split_col): split = md5(text) hex bucket
+    mod 100 → 10% test / 10% val / 80% train. Hashing the CONTENT means
+    byte-equal duplicates always share a split (dedup can't leak train
+    docs into test), assignment survives repartitioning and
+    re-ingestion, and there is no RNG in the plan. The split column is
+    a codegen'd scan-stage expression; the only shuffle is the audit
+    aggregate. md5 is portable, so the oracle reproduces the assignment
+    bit-exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            holdout_split_col().alias("split"),
+            token_count_col().cast("long").alias("n_tokens"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "q_llm_mixture_budget",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             t -> t <> '')) AS n_tokens
+      FROM documents),
+    kept AS (
+      SELECT source, doc_id, n_tokens
+      FROM (
+        SELECT source, doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+        FROM toks)
+      WHERE cum_before < 4096)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+    FROM kept
+    GROUP BY source
+    """,
+)
+def q_llm_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling
+    (operators.textops.token_budget_sample): each source contributes
+    documents, in stable doc_id order, until a 4096-token budget — the
+    data-mixing primitive. Budgets are specified in TOKENS per source
+    because document lengths differ across sources: row-fraction
+    sampling (sampleBy) skews the realized token mixture toward
+    long-doc sources. Same scale shape as sequence packing (it IS
+    pack 0): one shuffle on the shard key, per-shard window, no global
+    sort. Exact integer output."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = token_budget_sample(docs, budget_tokens=4096, shard_col="source")
+    return (
+        kept.groupBy(F.col("shard").alias("source"))
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: billing-core semantics in one plan."""
     return q_billing_flagship_daily(spark, sf_dir)
@@ -3794,6 +3889,8 @@ _DRIVER_PRIORITY = [
     "q_llm_contamination",
     "q_llm_contamination_probe",
     "q_llm_sequence_packing",
+    "q_llm_holdout_split",
+    "q_llm_mixture_budget",
     "q_llm_dedup_kept_check",
     "q_rel_salted_join",
     # the two round-2 failures, in-window one more round to confirm the
@@ -3801,10 +3898,11 @@ _DRIVER_PRIORITY = [
     "q_rel_asof_join",
     "q_rel_q10_returned_items",
     # rotated back in: queries whose last driver verdict is r2 — no
-    # catalog query goes >2 rounds without a hard driver check. 43 of
-    # the 44 r2-green queries fit (7 + 43 = 50); q_llm_chunk_stats
-    # yields its slot to the new packing query and rotates next round
-    # (it stays pytest-oracle-verified at sf0.001 every run).
+    # catalog query goes >2 rounds without a hard driver check. 41 of
+    # the 44 r2-green queries fit (9 + 41 = 50); chunk_stats /
+    # scrub_stats / vocab_top20 yield their slots to the new packing /
+    # holdout / mixture queries and rotate next round (they stay
+    # pytest-oracle-verified at sf0.001 every run).
     "q_billing_hourly_windows",
     "q_rel_approx_percentiles",
     "q_rel_approx_distinct",
@@ -3846,8 +3944,6 @@ _DRIVER_PRIORITY = [
     "q_llm_multimodal_check",
     "q_llm_curation_pipeline",
     "q_llm_repetition_stats",
-    "q_llm_scrub_stats",
-    "q_llm_vocab_top20",
 ]
 
 

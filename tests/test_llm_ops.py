@@ -590,3 +590,60 @@ def test_pack_sequences_offset_bin_packing(spark):
         4: ("b", 10, 0),  # oversized: one pack id, overflows boundary
         5: ("b", 1, 1),   # cum_before 10 → pack 1
     }
+
+
+def test_holdout_split_content_addressed(spark):
+    """Byte-equal duplicates always share a split; assignment is stable
+    under repartitioning; realized fractions are in the right ballpark."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        holdout_split_col,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = docs.select("doc_id", "text", holdout_split_col().alias("split"))
+    # duplicates share a split: every distinct text maps to ONE split
+    multi = (
+        out.groupBy("text")
+        .agg(F.count_distinct("split").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert multi == 0
+    # stable under repartitioning
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {
+        r.doc_id: r.split
+        for r in docs.repartition(17)
+        .select("doc_id", holdout_split_col().alias("split"))
+        .collect()
+    }
+    assert a == b
+    # rough proportions (md5 buckets over 500 docs: generous tolerance)
+    frac = {
+        r.split: r.n / 500
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert 0.6 < frac.get("train", 0) < 0.95
+    assert 0.02 < frac.get("val", 0) < 0.2
+    assert 0.02 < frac.get("test", 0) < 0.2
+
+
+def test_token_budget_sample_exact(spark):
+    """Exact keep-set on a crafted corpus: docs kept whole, in doc_id
+    order, until the shard's token budget; last kept doc may overflow."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "t1 t2 t3 t4"),          # cum_before 0 → keep
+            (2, "a", "t1 t2 t3 t4 t5 t6"),    # cum_before 4 → keep (overflows)
+            (3, "a", "t1"),                   # cum_before 10 ≥ 8 → drop
+            (4, "b", "t1 t2"),                # keep
+            (5, "b", "t1 t2 t3 t4 t5 t6 t7"), # cum_before 2 → keep
+        ],
+        "doc_id long, source string, text string",
+    )
+    kept = token_budget_sample(docs, budget_tokens=8)
+    assert {r.doc_id for r in kept.collect()} == {1, 2, 4, 5}
