@@ -11,8 +11,11 @@ from ..operators.dedup import (
 )
 from ..operators.textops import (
     bpe_ish_token_count,
+    holdout_split_col,
     predicted_lang_col,
     quality_score_cols,
+    raw_ngrams_col,
+    scrub_text,
     stopword_lang_scores,
     token_count_col,
     tokens_col,
@@ -32,5 +35,8 @@ __all__ = [
     "quality_score_cols",
     "stopword_lang_scores",
     "predicted_lang_col",
+    "raw_ngrams_col",
+    "holdout_split_col",
+    "scrub_text",
     "COSINE_EXPR",
 ]
