@@ -1,0 +1,144 @@
+"""MERGE INTO (upsert) for day-partitioned parquet tables, copy-on-write.
+
+The reference's warehouse is INSERT-only Hive tables
+(`Dcache_kafka_to_hive.py:115-141`); correcting a mis-parsed day or
+re-ingesting a late feed means hand-written overwrite jobs. This module
+adds the missing warehouse op: key-matched upsert with partition-scoped
+rewrite — the copy-on-write MERGE shape Delta/Iceberg popularized,
+expressed on plain parquet + dynamic partition overwrite.
+
+Scale shape:
+- Only AFFECTED partitions are read and rewritten (partition pruning on
+  the read, dynamic overwrite on the write); untouched partitions'
+  files are not opened, moved, or rewritten.
+- The merge itself is one anti-join (target-minus-matched) + union —
+  broadcastable when the update batch is small (the common case:
+  a correction feed vs a 100 TB table), AQE decides.
+- Driver-side state is bounded by the PARTITION count of the update
+  batch (a list of day strings), never by row count.
+
+Atomicity: each partition commits through the parquet committer's
+stage-and-rename; cross-partition atomicity is NOT provided (same
+contract as Hive's INSERT OVERWRITE — a crash mid-merge can leave some
+partitions merged and others not; re-running the same merge converges,
+because upsert is idempotent for identical inputs).
+
+Key scoping: with ``scope="partitions"`` (default) a key is assumed to
+stay in its partition (billing facts: the business key contains the
+event date). If an update MOVES a key to a different partition, the old
+partition is not touched and would keep the stale copy —
+``scope="table"`` handles that: it locates partitions currently holding
+matched keys (one bounded semi-join job) and rewrites those too,
+deleting any partition left empty by the move.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .fs import get_filesystem
+from .schema import PARTITION_FIELD
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    *,
+    version_col: str | None = None,
+    scope: str = "partitions",
+    fs=None,
+) -> list[str]:
+    """Upsert ``updates`` into the partitioned table at ``path``:
+    matched keys (equality on ``key_cols``) are replaced by their update
+    row, unmatched update rows are inserted. Returns the partition
+    values rewritten (sorted).
+
+    ``version_col``: resolve duplicate keys WITHIN the update batch by
+    keeping the highest version (last-write-wins); without it the batch
+    is trusted to be key-unique (a duplicate would insert twice).
+    ``scope``: "partitions" (keys never change partition — cheapest) or
+    "table" (also rewrites partitions a matched key moved away from).
+    """
+    if scope not in ("partitions", "table"):
+        raise ValueError(f"scope must be 'partitions' or 'table', got {scope!r}")
+    fs = fs or get_filesystem(path, spark)
+    pf = PARTITION_FIELD
+    if pf not in updates.columns:
+        raise ValueError(f"updates must carry the partition column {pf!r}")
+    if version_col is not None:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+        updates = (
+            updates.withColumn("_mrg_rn", F.row_number().over(w))
+            .where(F.col("_mrg_rn") == 1)
+            .drop("_mrg_rn")
+        )
+
+    if not fs.is_dir(path):  # first write: the merge is a plain insert
+        updates.write.mode("overwrite").partitionBy(pf).parquet(path)
+        return sorted(
+            str(r[0]) for r in updates.select(pf).distinct().collect()
+        )
+
+    # driver-side lists are PARTITION-cardinality (days), never rows.
+    # Values normalize to STRINGS everywhere: an updates frame read back
+    # from parquet carries the partition column DATE-typed, and a
+    # date-vs-string mismatch between `affected` and `written` would
+    # make the vacated-partition cleanup delete live data.
+    up_parts = {str(r[0]) for r in updates.select(pf).distinct().collect()}
+    target_all = spark.read.parquet(path)
+    if scope == "table":
+        moved = {
+            str(r[0])
+            for r in target_all.join(
+                updates.select(*key_cols).distinct(), key_cols, "left_semi"
+            )
+            .select(pf)
+            .distinct()
+            .collect()
+        }
+        affected = sorted(up_parts | moved)
+    else:
+        affected = sorted(up_parts)
+
+    # align the update frame to the on-disk schema (partition column
+    # reads back typed — e.g. DATE — while writers carry strings)
+    target = target_all.where(F.col(pf).cast("string").isin(affected))
+    extra = set(updates.columns) - set(target.columns)
+    if version_col in extra:
+        # a pure resolution column (not stored in the table): its job —
+        # last-write-wins within the batch — is done, drop it
+        updates = updates.drop(version_col)
+        extra.discard(version_col)
+    if extra:
+        raise ValueError(f"updates carry columns absent from the table: {sorted(extra)}")
+    aligned = updates
+    for f_ in target.schema.fields:
+        if f_.name not in aligned.columns:
+            raise ValueError(f"updates missing table column {f_.name!r}")
+        aligned = aligned.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
+    aligned = aligned.select(target.columns)
+
+    merged = target.join(
+        aligned.select(*key_cols).distinct(), key_cols, "left_anti"
+    ).unionByName(aligned)
+    merged.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # dynamic overwrite only rewrites partitions PRESENT in merged;
+        # a partition fully vacated by a table-scope move would be
+        # absent and must be deleted explicitly below
+        written = {
+            str(r[0]) for r in merged.select(pf).distinct().collect()
+        }
+        merged.write.mode("overwrite").partitionBy(pf).parquet(path)
+    finally:
+        merged.unpersist()
+    for p in affected:
+        if p not in written:
+            fs.delete(os.path.join(path, f"{pf}={p}"), recursive=True)
+    return affected

@@ -1,0 +1,173 @@
+"""merge_into: copy-on-write upsert semantics, partition-scoped rewrite
+(untouched partitions' files are byte-identical afterwards), version
+resolution, cross-partition key moves, first-write path."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.merge import (
+    merge_into,
+)
+
+PF = "partition_date"
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [
+            (1, "2024-03-01", 10.0),
+            (2, "2024-03-01", 20.0),
+            (3, "2024-03-02", 30.0),
+            (4, "2024-03-03", 40.0),
+        ],
+        f"event_id long, {PF} string, value double",
+    )
+
+
+def _files(root, part):
+    pdir = os.path.join(root, f"{PF}={part}")
+    return sorted(
+        f for f in os.listdir(pdir) if not f.startswith(("_", "."))
+    )
+
+
+def test_merge_upsert_basics(spark, tmp_path):
+    path = str(tmp_path / "t")
+    merge_into(spark, path, _base(spark), ["event_id"])  # first write
+    before_03 = _files(path, "2024-03-03")
+
+    updates = spark.createDataFrame(
+        [
+            (2, "2024-03-01", 99.0),   # update existing
+            (5, "2024-03-02", 50.0),   # insert into existing partition
+            (6, "2024-03-04", 60.0),   # insert into NEW partition
+        ],
+        f"event_id long, {PF} string, value double",
+    )
+    rewritten = merge_into(spark, path, updates, ["event_id"])
+    assert rewritten == ["2024-03-01", "2024-03-02", "2024-03-04"]
+
+    got = {
+        r.event_id: (str(r[PF]), r.value)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        1: ("2024-03-01", 10.0),
+        2: ("2024-03-01", 99.0),
+        3: ("2024-03-02", 30.0),
+        4: ("2024-03-03", 40.0),
+        5: ("2024-03-02", 50.0),
+        6: ("2024-03-04", 60.0),
+    }
+    # untouched partition not rewritten: same data files, byte-for-byte names
+    assert _files(path, "2024-03-03") == before_03
+
+
+def test_merge_version_resolution(spark, tmp_path):
+    """Duplicate keys within the update batch: the highest version_col
+    wins; a resolution-only version column (absent from the table
+    schema) is dropped after resolving. Without version_col, an
+    extra column is a loud error, not a silent schema drift."""
+    path = str(tmp_path / "t")
+    merge_into(spark, path, _base(spark), ["event_id"])
+    dup_updates = spark.createDataFrame(
+        [
+            (2, "2024-03-01", 111.0, 1),
+            (2, "2024-03-01", 222.0, 7),  # higher version wins
+        ],
+        f"event_id long, {PF} string, value double, version int",
+    )
+    with pytest.raises(ValueError, match="absent from the table"):
+        merge_into(spark, path, dup_updates, ["event_id"])
+    merge_into(spark, path, dup_updates, ["event_id"], version_col="version")
+    got = {
+        r.event_id: r.value for r in spark.read.parquet(path).collect()
+    }
+    assert got[2] == 222.0
+    assert len(got) == 4  # no duplicate insert of key 2
+
+
+def test_merge_scope_table_moves_key(spark, tmp_path):
+    path = str(tmp_path / "t")
+    merge_into(spark, path, _base(spark), ["event_id"])
+    # event 4 moves from 03-03 (where it is the ONLY row) to 03-01
+    updates = spark.createDataFrame(
+        [(4, "2024-03-01", 44.0)],
+        f"event_id long, {PF} string, value double",
+    )
+    rewritten = merge_into(spark, path, updates, ["event_id"], scope="table")
+    assert rewritten == ["2024-03-01", "2024-03-03"]
+    rows = spark.read.parquet(path).collect()
+    got = {r.event_id: (str(r[PF]), r.value) for r in rows}
+    assert got[4] == ("2024-03-01", 44.0)
+    assert len(rows) == 4  # no stale duplicate of event 4
+    # the fully-vacated partition directory is gone
+    assert not os.path.isdir(os.path.join(path, f"{PF}=2024-03-03"))
+
+
+def test_merge_scope_partitions_documents_stale_copy(spark, tmp_path):
+    """The documented limitation: partition scope does NOT chase a key
+    that moved partitions — the stale copy survives (use scope='table')."""
+    path = str(tmp_path / "t")
+    merge_into(spark, path, _base(spark), ["event_id"])
+    updates = spark.createDataFrame(
+        [(4, "2024-03-01", 44.0)],
+        f"event_id long, {PF} string, value double",
+    )
+    merge_into(spark, path, updates, ["event_id"], scope="partitions")
+    n4 = spark.read.parquet(path).where("event_id = 4").count()
+    assert n4 == 2  # old copy in 03-03 + new copy in 03-01
+
+
+def test_merge_rejects_bad_input(spark, tmp_path):
+    path = str(tmp_path / "t")
+    merge_into(spark, path, _base(spark), ["event_id"])
+    with pytest.raises(ValueError, match="scope"):
+        merge_into(spark, path, _base(spark), ["event_id"], scope="bogus")
+    with pytest.raises(ValueError, match="partition column"):
+        merge_into(
+            spark,
+            path,
+            _base(spark).drop(PF),
+            ["event_id"],
+        )
+
+
+def test_merge_on_hadoop_fs_uri(spark, tmp_path):
+    """The merge runs against URI paths through the FS layer (same code
+    path as hdfs://), including vacated-partition deletion."""
+    path = f"file://{tmp_path}/t"
+    merge_into(spark, path, _base(spark), ["event_id"])
+    updates = spark.createDataFrame(
+        [(4, "2024-03-01", 44.0)],
+        f"event_id long, {PF} string, value double",
+    )
+    rewritten = merge_into(spark, path, updates, ["event_id"], scope="table")
+    assert rewritten == ["2024-03-01", "2024-03-03"]
+    assert spark.read.parquet(path).where("event_id = 4").count() == 1
+    assert not os.path.isdir(str(tmp_path / "t" / f"{PF}=2024-03-03"))
+
+
+def test_merge_with_date_typed_updates(spark, tmp_path):
+    """Regression: an updates frame READ BACK from parquet carries
+    partition_date as DATE, not string — the partition bookkeeping must
+    not mistake type for identity (it once deleted a freshly written
+    partition because 'date(2024,3,1) not in {"2024-03-01"}')."""
+    path = str(tmp_path / "t")
+    merge_into(spark, path, _base(spark), ["event_id"])
+    # round-trip through parquet: partition col comes back DATE-typed
+    fix = (
+        spark.read.parquet(path)
+        .where("event_id = 2")
+        .withColumn("value", F.lit(99.0))
+    )
+    assert str(fix.schema[PF].dataType) != "StringType()"
+    rewritten = merge_into(spark, path, fix, ["event_id"])
+    assert rewritten == ["2024-03-01"]
+    after = spark.read.parquet(path)
+    assert after.count() == 4
+    assert after.where("event_id = 2").first().value == 99.0
