@@ -18,14 +18,23 @@ Reference parity: ``Streaming.to_hive`` + ``forEachBatch``
   (`:345-347`, docstring admits it "can happen that it streams twice").
 - **Rejects sink**: unknown msgTypes and corrupt JSON land in a
   dead-letter table instead of vanishing (`:120,127,134,141` drop them).
+- **Per-batch observability**: each route write carries an
+  ``Observation`` (metrics piggyback on the write action itself — no
+  second scan, unlike a ``df.count()`` probe), and the per-route row
+  counts land in ``_metrics/batch-<id>.json`` beside the ledger. The
+  reference emits nothing — a silent night of zero-row batches and a
+  dead feed look identical there.
 """
 
 from __future__ import annotations
 
+import datetime as dt
+import json
 import os
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
 
 from ..fs import get_filesystem
 from ..parse import parse_billing
@@ -66,13 +75,58 @@ class BillingPipeline:
         parsed = parse_billing(batch_df)
         parsed.persist(StorageLevel.MEMORY_AND_DISK)
         try:
+            route_rows: dict[str, int] = {}
             for name, df in route(parsed).items():
+                # Observation rides the write action — the count costs a
+                # map-side aggregate inside the job that runs anyway; a
+                # df.count() probe would re-scan the route frame.
+                obs = Observation(f"route_{name}_b{batch_id}")
+                df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
                 write_partitioned_batch(
                     df, self.table_path(name), batch_id, fs=self.fs
                 )
+                route_rows[name] = obs.get["n_rows"]
+            self._write_metrics(batch_id, route_rows)
             self.ledger.commit(batch_id)
         finally:
             parsed.unpersist()
+
+    # ---- per-batch metrics ------------------------------------------
+
+    def _metrics_dir(self) -> str:
+        return os.path.join(self.warehouse, "_metrics")
+
+    def _write_metrics(self, batch_id: int, route_rows: dict[str, int]) -> None:
+        """One JSON file per committed batch (atomic write; a replayed
+        batch overwrites its own file, so metrics stay exactly-once with
+        the data). Written BEFORE the ledger commit: a crash between the
+        two replays the batch and rewrites identical metrics."""
+        payload = {
+            "batch_id": batch_id,
+            "routes": route_rows,
+            "total_rows": sum(route_rows.values()),
+            "written_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+        }
+        self.fs.mkdirs(self._metrics_dir())
+        self.fs.write_text_atomic(
+            os.path.join(self._metrics_dir(), f"batch-{batch_id}.json"),
+            json.dumps(payload, sort_keys=True),
+        )
+
+    def metrics(self) -> list[dict]:
+        """All committed batches' metrics, ordered by batch id — the
+        feed-health surface (a dead feed shows zero-row batches here
+        instead of silence)."""
+        out = []
+        for name, is_dir in self.fs.list_entries(self._metrics_dir()):
+            if is_dir or not name.startswith("batch-"):
+                continue
+            out.append(
+                json.loads(
+                    self.fs.read_text(os.path.join(self._metrics_dir(), name))
+                )
+            )
+        return sorted(out, key=lambda m: m["batch_id"])
 
     def run_available_now(self, checkpoint_dir: str) -> None:
         """Drain everything currently available, then stop — the idiomatic

@@ -238,3 +238,36 @@ def test_crash_after_partial_route_writes_no_duplicates(spark, tmp_path, monkeyp
     # third delivery is ledger-skipped outright
     pipe.process_batch(batch, 3)
     assert spark.read.parquet(pipe.table_path("transfers")).count() == 2
+
+
+def test_per_batch_metrics_written(spark, tmp_path):
+    """Each committed batch leaves _metrics/batch-<id>.json with exact
+    per-route row counts (observation riding the write action); a
+    replayed batch overwrites, never duplicates."""
+    warehouse = str(tmp_path / "wh")
+    recs = [
+        (billing_record("transfer", date="2024-03-01T10:00:00.000+0000"),),
+        (billing_record("transfer", date="2024-03-02T11:00:00.000+0000"),),
+        (billing_record("request", date="2024-03-01T12:00:00.000+0000"),),
+        ("{not json",),
+    ]
+    batch = spark.createDataFrame(recs, ["value"])
+    pipe = BillingPipeline(source=None, warehouse_dir=warehouse)
+    pipe.process_batch(batch, 0)
+
+    got = pipe.metrics()
+    assert len(got) == 1
+    m = got[0]
+    assert m["batch_id"] == 0
+    assert m["routes"]["transfers"] == 2
+    assert m["routes"]["requests"] == 1
+    assert m["routes"]["rejects"] == 1
+    assert m["routes"]["storage"] == 0
+    assert m["total_rows"] == 4
+
+    # ledger-skipped replay leaves metrics untouched; a second batch appends
+    pipe.process_batch(batch, 0)
+    assert len(pipe.metrics()) == 1
+    pipe.process_batch(batch, 1)
+    ms = pipe.metrics()
+    assert [m["batch_id"] for m in ms] == [0, 1]
