@@ -11,7 +11,12 @@ from __future__ import annotations
 import argparse
 import os
 
-from ..compact import DEFAULT_TARGET_BYTES, compact_table, resolve_partition_policy
+from ..compact import (
+    DEFAULT_TARGET_BYTES,
+    compact_table,
+    expire_partitions,
+    resolve_partition_policy,
+)
 from ..session import get_spark_session
 from .locking import run_lock
 
@@ -27,6 +32,9 @@ def def_arguments() -> argparse.ArgumentParser:
                    help="comma-separated columns: range-partition + sort the "
                         "rewrite so files carry disjoint min/max key ranges "
                         "(file-level data skipping); default: shuffle-free coalesce")
+    p.add_argument("--retain-days", type=int, default=None,
+                   help="drop partitions older than N days before compacting "
+                        "(retention; default: keep everything)")
     p.add_argument("--lock-path", default="/tmp/dcache_compact.lock")
     p.add_argument("--status-path", default=None)
     p.add_argument("--loglevel", default="WARN")
@@ -45,6 +53,9 @@ def main(argv: list[str] | None = None) -> None:
         spark = get_spark_session(app_name="dcache_compact", loglevel=args.loglevel)
         for table in args.tables.split(","):
             path = os.path.join(args.warehouse, table.strip())
+            if args.retain_days is not None:
+                dropped = expire_partitions(spark, path, keep_days=args.retain_days)
+                print(f"{table}: expired {dropped}")
             result = compact_table(
                 spark, path, partitions, args.target_bytes, cluster_by
             )

@@ -151,6 +151,41 @@ def compact_partition(
     return n_files
 
 
+def expire_partitions(
+    spark: SparkSession,
+    path: str,
+    *,
+    before: str | None = None,
+    keep_days: int | None = None,
+    today: dt.date | None = None,
+    fs=None,
+) -> list[str]:
+    """Retention: drop day-partitions strictly OLDER than the cutoff —
+    ``before`` (an exclusive YYYY-MM-DD bound) or ``keep_days`` (cutoff
+    = today − keep_days). Returns the partition values dropped (sorted).
+
+    Pure metadata + delete: partition enumeration from the directory
+    layout, lexicographic compare (ISO dates order correctly as
+    strings), recursive delete per expired partition through the FS
+    abstraction — no data is read at any scale. A crashed compaction's
+    scratch dirs are healed FIRST so a partition stranded mid-swap is
+    restored before the cutoff is applied (its retired copy would
+    otherwise dodge or double the delete)."""
+    if (before is None) == (keep_days is None):
+        raise ValueError("pass exactly one of before= / keep_days=")
+    if keep_days is not None:
+        base = today or dt.date.today()
+        before = (base - dt.timedelta(days=keep_days)).isoformat()
+    fs = fs or get_filesystem(path, spark)
+    recover_crashed_compactions(path, fs=fs)
+    dropped = sorted(
+        p for p in list_partitions(spark, path, fs=fs) if p < before
+    )
+    for p in dropped:
+        fs.delete(os.path.join(path, f"{PARTITION_FIELD}={p}"), recursive=True)
+    return dropped
+
+
 def compact_table(
     spark: SparkSession,
     path: str,

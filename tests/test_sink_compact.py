@@ -174,3 +174,43 @@ def test_list_partitions_ignores_scratch_dirs(spark, tmp_path):
     os.makedirs(os.path.join(path, "partition_date=2024-03-01._compacting"))
     os.makedirs(os.path.join(path, "._compact_old_2024-02-01"))
     assert list_partitions(spark, path) == ["2024-03-01"]
+
+
+def test_expire_partitions_retention(spark, tmp_path):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.compact import (
+        expire_partitions,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sink import (
+        write_partitioned,
+    )
+    import datetime as dt
+    import os
+    import pytest
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"2024-03-0{d}") for i, d in enumerate([1, 1, 2, 3, 4], 1)],
+        "event_id long, partition_date string",
+    )
+    write_partitioned(df, path)
+
+    with pytest.raises(ValueError, match="exactly one"):
+        expire_partitions(spark, path)
+    with pytest.raises(ValueError, match="exactly one"):
+        expire_partitions(spark, path, before="2024-03-03", keep_days=1)
+
+    dropped = expire_partitions(spark, path, before="2024-03-03")
+    assert dropped == ["2024-03-01", "2024-03-02"]
+    left = spark.read.parquet(path)
+    assert {str(r.partition_date) for r in left.collect()} == {
+        "2024-03-03", "2024-03-04",
+    }
+    # keep_days form with pinned 'today': cutoff 2024-03-04 drops 03-03
+    dropped2 = expire_partitions(
+        spark, path, keep_days=1, today=dt.date(2024, 3, 5)
+    )
+    assert dropped2 == ["2024-03-03"]
+    assert not os.path.isdir(os.path.join(path, "partition_date=2024-03-03"))
+    # idempotent: nothing older remains
+    assert expire_partitions(spark, path, before="2024-03-04") == []
