@@ -171,3 +171,29 @@ def test_merge_with_date_typed_updates(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == 4
     assert after.where("event_id = 2").first().value == 99.0
+
+
+def test_merge_cli_end_to_end(spark, tmp_path):
+    """The run_merge CLI applies a parquet correction feed under the
+    ingest lock."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.cli import (
+        run_merge,
+    )
+
+    wh = str(tmp_path / "wh")
+    merge_into(spark, os.path.join(wh, "transfers"), _base(spark), ["event_id"])
+    upd_path = str(tmp_path / "updates")
+    spark.createDataFrame(
+        [(2, "2024-03-01", 99.0)],
+        f"event_id long, {PF} string, value double",
+    ).write.parquet(upd_path)
+    run_merge.main([
+        "--warehouse", wh, "--table", "transfers",
+        "--updates-path", upd_path, "--keys", "event_id",
+        "--lock-path", str(tmp_path / "m.lock"),
+    ])
+    got = {
+        r.event_id: r.value
+        for r in spark.read.parquet(os.path.join(wh, "transfers")).collect()
+    }
+    assert got[2] == 99.0 and len(got) == 4

@@ -107,3 +107,65 @@ def test_blocked_near_dup_is_subset_of_exact(spark, vecs):
     }
     stray = blocked - exact
     assert not stray, f"blocked produced non-exact pairs: {stray}"
+
+
+# ---------------------------------------------------------------------------
+# merge_into vs a dict model: for ANY base table and update sequence,
+# table-scope upsert must equal "dict.update per batch, last version wins
+# within a batch" — including keys that move partitions.
+# ---------------------------------------------------------------------------
+
+_mrow = st.tuples(
+    st.integers(min_value=0, max_value=9),                     # key
+    st.sampled_from(["2024-03-01", "2024-03-02", "2024-03-03"]),  # partition
+    st.integers(min_value=0, max_value=999),                   # value
+    st.integers(min_value=0, max_value=9),                     # version
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(_mrow, min_size=1, max_size=12, unique_by=lambda r: r[0]),
+    batches=st.lists(
+        # unique (key, version) per batch: a version TIE on the same key
+        # resolves arbitrarily in the engine (row_number over equal
+        # versions) but deterministically in the dict model
+        st.lists(
+            _mrow, min_size=1, max_size=6, unique_by=lambda r: (r[0], r[3])
+        ),
+        min_size=1,
+        max_size=2,
+    ),
+)
+def test_merge_matches_dict_model(spark, tmp_path_factory, base, batches):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.merge import (
+        merge_into,
+    )
+
+    path = str(tmp_path_factory.mktemp("merge") / "t")
+    schema = "event_id long, partition_date string, value long, version long"
+    merge_into(spark, path, spark.createDataFrame(base, schema), ["event_id"])
+    model = {k: (p, v, ver) for k, p, v, ver in base}
+    for batch in batches:
+        merge_into(
+            spark,
+            path,
+            spark.createDataFrame(batch, schema),
+            ["event_id"],
+            version_col="version",
+            scope="table",
+        )
+        best = {}
+        for k, p, v, ver in batch:  # last-write-wins by version within batch
+            if k not in best or ver > best[k][2]:
+                best[k] = (p, v, ver)
+        model.update(best)
+    got = {
+        r.event_id: (str(r.partition_date), r.value, r.version)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == model
