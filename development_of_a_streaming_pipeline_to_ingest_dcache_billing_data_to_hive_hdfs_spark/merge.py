@@ -52,6 +52,7 @@ def merge_into(
     *,
     version_col: str | None = None,
     scope: str = "partitions",
+    allow_new_columns: bool = False,
     fs=None,
 ) -> list[str]:
     """Upsert ``updates`` into the partitioned table at ``path``:
@@ -64,6 +65,13 @@ def merge_into(
     is trusted to be key-unique (a duplicate would insert twice).
     ``scope``: "partitions" (keys never change partition — cheapest) or
     "table" (also rewrites partitions a matched key moved away from).
+    ``allow_new_columns``: schema evolution — update columns absent from
+    the table are ADDED (surviving target rows get nulls). Only the
+    rewritten partitions carry the wider schema, the standard parquet
+    evolution contract: readers of the mixed table must pass
+    ``mergeSchema`` (or declare a schema) until every partition has
+    been rewritten. Without the flag an extra column is a loud error,
+    not silent schema drift.
     """
     if scope not in ("partitions", "table"):
         raise ValueError(f"scope must be 'partitions' or 'table', got {scope!r}")
@@ -115,8 +123,10 @@ def merge_into(
         # last-write-wins within the batch — is done, drop it
         updates = updates.drop(version_col)
         extra.discard(version_col)
-    if extra:
+    if extra and not allow_new_columns:
         raise ValueError(f"updates carry columns absent from the table: {sorted(extra)}")
+    for c in sorted(extra):  # schema evolution: surviving rows get nulls
+        target = target.withColumn(c, F.lit(None).cast(updates.schema[c].dataType))
     aligned = updates
     for f_ in target.schema.fields:
         if f_.name not in aligned.columns:

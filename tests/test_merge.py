@@ -197,3 +197,29 @@ def test_merge_cli_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(wh, "transfers")).collect()
     }
     assert got[2] == 99.0 and len(got) == 4
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """allow_new_columns adds update-only columns; surviving target rows
+    get nulls, and mixed-schema reads need mergeSchema (the standard
+    parquet evolution contract)."""
+    path = str(tmp_path / "t")
+    merge_into(spark, path, _base(spark), ["event_id"])
+    updates = spark.createDataFrame(
+        [(2, "2024-03-01", 99.0, "corrected")],
+        f"event_id long, {PF} string, value double, note string",
+    )
+    with pytest.raises(ValueError, match="absent from the table"):
+        merge_into(spark, path, updates, ["event_id"])
+    rewritten = merge_into(
+        spark, path, updates, ["event_id"], allow_new_columns=True
+    )
+    assert rewritten == ["2024-03-01"]
+    got = {
+        r.event_id: (r.value, r.note)
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert got[2] == (99.0, "corrected")
+    assert got[1] == (10.0, None)   # surviving row in rewritten partition
+    assert got[3] == (30.0, None)   # untouched partition: column null via mergeSchema
+    assert len(got) == 4
