@@ -72,6 +72,62 @@ BENCH_QUERIES = [
 ]
 
 
+def bench_ingest(spark, n_records: int = 50_000) -> dict:
+    """Streaming-ingest throughput probe: N synthetic billing JSON lines
+    (deterministic mix of the 4 msgTypes + rejects) drained through the
+    full pipeline — parse-once, route, idempotent partitioned sinks,
+    per-batch metrics — via availableNow. Reports end-to-end rows/sec,
+    the number the reference's 4×-reparse foreachBatch directly hurts
+    (BASELINE.md 'Ingest redundancy factor')."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sources.stream import (
+        billing_stream_source,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.streaming.pipeline import (
+        BillingPipeline,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        inp = os.path.join(tmp, "in")
+        os.makedirs(inp)
+        types = ["transfer", "request", "store", "remove", "mystery"]
+        with open(os.path.join(inp, "events.json"), "w") as f:
+            for i in range(n_records):
+                day = i % 7 + 1
+                f.write(
+                    _json.dumps(
+                        {
+                            "msgType": types[i % len(types)],
+                            "date": f"2024-03-0{day}T1{i % 10}:00:00.000+0000",
+                            "cellName": f"pool-{i % 16}",
+                            "fileSize": float(i),
+                            "queuingTime": i % 100,
+                            "status": {"msg": "ok", "code": 0},
+                        }
+                    )
+                    + "\n"
+                )
+        pipe = BillingPipeline(
+            billing_stream_source(spark, "file", path=inp),
+            os.path.join(tmp, "wh"),
+        )
+        t0 = time.perf_counter()
+        pipe.run_available_now(os.path.join(tmp, "ck"))
+        dt = time.perf_counter() - t0
+        total = sum(m["total_rows"] for m in pipe.metrics())
+        return {
+            "rows": total,
+            "seconds": round(dt, 3),
+            "rows_per_sec": round(total / dt, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def consume(df) -> None:
     """Force FULL evaluation of every output column: the noop sink runs
     the whole plan and discards rows. ``count()`` would let Catalyst
@@ -173,6 +229,10 @@ def main() -> None:
         "count_consumer_total": round(sum(count_timings.values()), 3),
         "count_consumer_queries": count_timings,
     }
+    try:
+        payload["ingest"] = bench_ingest(spark)
+    except Exception as exc:  # noqa: BLE001 — the probe must not DNF the bench
+        errors["_ingest_bench"] = _err_head(exc)
     if errors:
         payload["errors"] = errors
     if count_errors:

@@ -30,3 +30,14 @@ def test_bench_set_is_registered():
 def test_bench_query_runs(spark, name):
     n = ALL_QUERIES[name](spark, SF_DIR).count()
     assert n >= 0
+
+
+def test_bench_ingest_probe_runs(spark):
+    """The ingest-throughput probe must produce a nonzero rows/sec and
+    drain every record (a broken probe would silently drop the bench's
+    streaming evidence)."""
+    from bench import bench_ingest
+
+    out = bench_ingest(spark, n_records=500)
+    assert out["rows"] == 500
+    assert out["rows_per_sec"] > 0
