@@ -16,7 +16,7 @@ Four tiers, all shuffle-architected for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -356,3 +356,71 @@ def simhash_bands(sigs: DataFrame, id_col: str = "doc_id", chunks: int = 4) -> D
             )
         ).alias("chunk_id", "chunk_val"),
     )
+
+
+class FingerprintStore:
+    """Incremental corpus dedup against a PERSISTENT seen-fingerprint
+    store — the continuously-ingested-corpus shape: every arriving batch
+    is screened against everything ever kept, without ever rescanning or
+    reshuffling the historical corpus.
+
+    The store is a catalog table BUCKETED on ``fp`` (md5 of normalized
+    text). That layout is the whole trick at 100 TB:
+
+    - the seen-check anti-join reads the store bucket-locally (NO
+      Exchange on the store side — only the new batch, which is small,
+      shuffles to the store's bucketing);
+    - appends preserve the bucket layout (``insertInto`` on a bucketed
+      table), so the store never needs a maintenance re-shuffle.
+
+    A bloom-filter sidecar could pre-drop obvious misses, but with the
+    bucketed layout the anti-join is already batch-bound, so the filter
+    is an optimization, not a requirement. Within-batch duplicates
+    resolve first (min id wins) so a batch can't admit two copies of
+    the same text.
+    """
+
+    def __init__(self, spark: SparkSession, table: str, n_buckets: int = 64):
+        self.spark = spark
+        self.table = table
+        self.n_buckets = n_buckets
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.table)
+
+    def screen(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> DataFrame:
+        """Rows of ``docs`` whose text has NEVER been seen (not in the
+        store, not earlier in this batch). Does not mutate the store —
+        call ``commit`` with (a subset of) the result to admit them."""
+        fp = docs.select(
+            F.col(id_col), fingerprint(text_col).alias("fp")
+        )
+        # within-batch exact dedup: deterministic min-id representative
+        fresh = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+        if self.exists():
+            fresh = fresh.join(
+                self.spark.table(self.table).select("fp"), "fp", "left_anti"
+            )
+        return docs.join(fresh.select(id_col), id_col, "left_semi")
+
+    def commit(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> None:
+        """Admit these documents' fingerprints. First commit creates the
+        bucketed table; later commits append WITHOUT reshuffling the
+        store (insertInto preserves bucketing)."""
+        from ..sink import write_bucketed_table
+
+        fps = docs.select(
+            fingerprint(text_col).alias("fp"),
+            F.col(id_col).alias("first_doc_id"),
+        ).dropDuplicates(["fp"])
+        if not self.exists():
+            write_bucketed_table(
+                fps, self.table, ["fp"], n_buckets=self.n_buckets,
+                sort_cols=["fp"],
+            )
+        else:
+            fps.write.insertInto(self.table)

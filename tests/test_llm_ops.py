@@ -647,3 +647,79 @@ def test_token_budget_sample_exact(spark):
     )
     kept = token_budget_sample(docs, budget_tokens=8)
     assert {r.doc_id for r in kept.collect()} == {1, 2, 4, 5}
+
+
+def test_fingerprint_store_incremental_dedup(spark):
+    """Incremental dedup across batches: batch 2 drops texts already
+    admitted by batch 1 (and within-batch duplicates), the store append
+    preserves bucketing, and the seen-check never shuffles the store
+    side (bucket-local or broadcast-probe plan)."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.dedup import (
+        FingerprintStore,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS fp_store_test")
+    store = FingerprintStore(spark, "fp_store_test", n_buckets=4)
+    try:
+        b1 = spark.createDataFrame(
+            [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+            "doc_id long, text string",
+        )
+        fresh1 = store.screen(b1)
+        assert {r.doc_id for r in fresh1.collect()} == {1, 2}  # 3 is a within-batch dup
+        store.commit(fresh1)
+
+        b2 = spark.createDataFrame(
+            [(10, "alpha text"),   # seen in batch 1
+             (11, "gamma text"),   # new
+             (12, "gamma text")],  # within-batch dup
+            "doc_id long, text string",
+        )
+        fresh2 = store.screen(b2)
+        assert {r.doc_id for r in fresh2.collect()} == {11}
+        store.commit(fresh2)
+        assert spark.table("fp_store_test").count() == 3  # alpha, beta, gamma
+
+        # replaying batch 2 admits nothing (idempotent corpus build)
+        assert store.screen(b2).count() == 0
+
+        # plan (at-scale shape: broadcast off): the store scan must hang
+        # off the anti-join with NO Exchange between them — the bucketed
+        # layout means only the probe side shuffles
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                store.screen(b2)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        lines = plan.splitlines()
+
+        def depth(line: str) -> int:
+            body = line.lstrip(" :+-")
+            return (len(line) - len(body)) // 3
+
+        scan_i = next(
+            i for i, l in enumerate(lines)
+            if "fp_store_test" in l and "Scan" in l
+        )
+        # walk the parent chain: nearest shallower line each step
+        d = depth(lines[scan_i])
+        chain = []
+        for i in range(scan_i - 1, -1, -1):
+            if depth(lines[i]) < d:
+                chain.append(lines[i])
+                d = depth(lines[i])
+                if "Join" in lines[i]:
+                    break
+        assert any("Join" in l for l in chain), plan
+        assert not any("Exchange" in l for l in chain), (
+            "store side reshuffled:\n" + plan
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fp_store_test")
