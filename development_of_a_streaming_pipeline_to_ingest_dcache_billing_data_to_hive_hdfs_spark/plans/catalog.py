@@ -3865,6 +3865,53 @@ def q_llm_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_incremental_dedup_check",
+    f"""
+    WITH seen AS (
+      SELECT DISTINCT md5({_NORM_SQL_DUCK}) AS fp
+      FROM documents WHERE doc_id % 2 = 0),
+    batch AS (
+      SELECT doc_id, source, md5({_NORM_SQL_DUCK}) AS fp
+      FROM documents WHERE doc_id % 2 = 1),
+    batch_fresh AS (
+      SELECT b.source, b.fp, MIN(b.doc_id) AS keep_id
+      FROM batch b
+      WHERE b.fp NOT IN (SELECT fp FROM seen)
+      GROUP BY b.source, b.fp)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_fresh
+    FROM batch_fresh
+    GROUP BY source
+    """,
+)
+def q_llm_incremental_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-batch dedup semantics, driver-checkable as a
+    pure query: the even-doc_id half of the corpus plays the already-
+    admitted fingerprint store, the odd half is the arriving batch —
+    keep a batch doc iff its normalized-text fingerprint is unseen,
+    after within-batch min-id dedup. Same plan shape as the persistent
+    FingerprintStore operator (anti-join on the 128-bit fp; the store
+    side stays shuffle-free when bucketed — pytest-verified by a plan
+    walk); here the store is derived so DuckDB can replay it exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    seen = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(fingerprint().alias("fp"))
+        .distinct()
+    )
+    batch = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", fingerprint().alias("fp")
+    )
+    fresh = (
+        batch.join(seen, "fp", "left_anti")
+        .groupBy("source", "fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    return fresh.groupBy("source").agg(F.count("*").alias("n_fresh"))
+
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: billing-core semantics in one plan."""
     return q_billing_flagship_daily(spark, sf_dir)
@@ -3891,6 +3938,7 @@ _DRIVER_PRIORITY = [
     "q_llm_sequence_packing",
     "q_llm_holdout_split",
     "q_llm_mixture_budget",
+    "q_llm_incremental_dedup_check",
     "q_llm_dedup_kept_check",
     "q_rel_salted_join",
     # the two round-2 failures, in-window one more round to confirm the
@@ -3943,7 +3991,6 @@ _DRIVER_PRIORITY = [
     "q_llm_rolling_fingerprint",
     "q_llm_multimodal_check",
     "q_llm_curation_pipeline",
-    "q_llm_repetition_stats",
 ]
 
 
