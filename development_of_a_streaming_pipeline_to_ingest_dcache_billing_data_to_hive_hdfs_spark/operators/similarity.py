@@ -23,10 +23,15 @@ from pyspark.sql import functions as F
 from .dedup import spread_partitions
 
 
+# nullif guards the zero-norm vector: under ANSI mode (Spark 4 default)
+# even DOUBLE division by zero throws DIVIDE_BY_ZERO, so one all-zeros
+# embedding would kill the whole job; null cosine instead drops the pair
+# from every threshold/rank downstream (the numpy paths guard the same
+# case with np.maximum(norm, 1e-12)).
 COSINE_EXPR = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v) / "
-    "(sqrt(aggregate({a}, 0D, (s, v) -> s + v * v)) * "
-    " sqrt(aggregate({b}, 0D, (s, v) -> s + v * v)))"
+    "nullif(sqrt(aggregate({a}, 0D, (s, v) -> s + v * v)) * "
+    " sqrt(aggregate({b}, 0D, (s, v) -> s + v * v)), 0.0D)"
 )
 
 

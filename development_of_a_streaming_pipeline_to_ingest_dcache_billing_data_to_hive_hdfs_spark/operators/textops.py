@@ -95,9 +95,12 @@ def stopword_lang_scores(col: str = "text") -> dict[str, Column]:
 def repeated_token_ratio(col: str = "text") -> Column:
     """Fraction of tokens that repeat an earlier token — the cheapest
     Gopher-style repetition signal: 1 − |distinct tokens| / |tokens|.
-    Pure array expression, evaluated in the scan stage, no shuffle."""
+    Pure array expression, evaluated in the scan stage, no shuffle.
+    NULL for empty texts: under ANSI mode (Spark 4 default) the bare
+    division would throw DIVIDE_BY_ZERO on the first empty document."""
     t = tokens_col(col)
-    return 1 - F.size(F.array_distinct(t)) / F.size(t)
+    n = F.size(t)
+    return F.when(n > 0, 1 - F.size(F.array_distinct(t)) / n)
 
 
 def bigrams_col(col: str = "text") -> Column:

