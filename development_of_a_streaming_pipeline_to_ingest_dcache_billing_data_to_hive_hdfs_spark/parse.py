@@ -29,8 +29,14 @@ CORRUPT_FIELD = "_corrupt_value"
 def partition_date_col(date_col: str = "date") -> Column:
     """Derived day-partition key ≙ ``SUBSTR(date, 1, 10)``
     (`Dcache_kafka_to_hive.py:119,126,133,140`). Late/old records land in
-    their own (old) day partition — semantics preserved."""
-    return F.substring(F.col(date_col), 1, 10)
+    their own (old) day partition — semantics preserved.
+
+    Validated: a record whose date prefix is not a real YYYY-MM-DD gets a
+    NULL partition key (→ the route table's default partition) instead of
+    minting a junk ``partition_date=not-a-date`` directory that every
+    partition listing would then parse as a day."""
+    day = F.substring(F.col(date_col), 1, 10)
+    return F.when(F.try_to_date(day).isNotNull(), day)
 
 
 def parse_billing(df: DataFrame, value_col: str = "value") -> DataFrame:
@@ -63,7 +69,12 @@ def parse_billing(df: DataFrame, value_col: str = "value") -> DataFrame:
         F.col("r.protocolInfo.host").alias("protocolInfo_host"),
         F.col(f"r.{CORRUPT_FIELD}").alias(CORRUPT_FIELD),
     )
+    # try_to_timestamp, not to_timestamp: under ANSI mode (Spark 4
+    # default) a single valid-JSON record with a malformed date string
+    # would throw CAST_INVALID_INPUT and kill the micro-batch — and keep
+    # killing it on every replay (a streaming poison pill). NULL event_ts
+    # instead; the record still routes by msgType.
     return (
         flat.withColumn(PARTITION_FIELD, partition_date_col())
-        .withColumn("event_ts", F.to_timestamp(F.col("date")))
+        .withColumn("event_ts", F.try_to_timestamp(F.col("date")))
     )

@@ -85,3 +85,33 @@ def test_non_object_json_is_rejected(spark, bad):
     df = spark.createDataFrame([(bad,)], ["value"])
     routed = route(parse_billing(df))
     assert routed["rejects"].count() == 1
+
+
+def test_malformed_date_is_not_a_poison_pill(spark):
+    """A valid-JSON record with a garbage date must not kill the batch
+    (ANSI to_timestamp would throw on every replay): it parses with a
+    NULL event_ts and a NULL partition key (default partition), instead
+    of minting a junk partition_date=<garbage> directory."""
+    import json as _json
+
+    recs = [
+        (_json.dumps({"msgType": "transfer", "date": "not-a-date",
+                      "cellName": "c"}),),
+        (_json.dumps({"msgType": "transfer", "date": "2024-13-99T10:00:00",
+                      "cellName": "c"}),),   # shape ok, impossible date
+        (_json.dumps({"msgType": "transfer",
+                      "date": "2024-03-01T10:00:00.000+0000",
+                      "cellName": "c"}),),
+    ]
+    out = parse_billing(spark.createDataFrame(recs, ["value"])).select(
+        "date", "partition_date", "event_ts", "_corrupt_value"
+    ).collect()
+    by_date = {r.date: r for r in out}
+    assert by_date["not-a-date"].partition_date is None
+    assert by_date["not-a-date"].event_ts is None
+    assert by_date["2024-13-99T10:00:00"].partition_date is None
+    good = by_date["2024-03-01T10:00:00.000+0000"]
+    assert good.partition_date == "2024-03-01"
+    assert good.event_ts is not None
+    # none of them are corrupt-JSON rows
+    assert all(r._corrupt_value is None for r in out)
