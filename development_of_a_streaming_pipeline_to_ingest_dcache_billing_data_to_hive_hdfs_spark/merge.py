@@ -87,7 +87,14 @@ def merge_into(
             .drop("_mrg_rn")
         )
 
-    if not fs.is_dir(path):  # first write: the merge is a plain insert
+    # first write iff no partition directory exists yet — the path dir
+    # ALONE does not mean data (a sibling ledger/_metrics file creates
+    # the directory first; reading parquet from it would throw)
+    has_data = fs.is_dir(path) and any(
+        is_dir and name.startswith(pf + "=")
+        for name, is_dir in fs.list_entries(path)
+    )
+    if not has_data:  # first write: the merge is a plain insert
         updates.write.mode("overwrite").partitionBy(pf).parquet(path)
         return sorted(
             str(r[0]) for r in updates.select(pf).distinct().collect()

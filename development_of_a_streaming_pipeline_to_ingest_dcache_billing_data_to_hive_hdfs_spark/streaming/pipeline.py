@@ -150,3 +150,68 @@ class BillingPipeline:
             .trigger(processingTime=f"{trigger_seconds} seconds")
             .start()
         )
+
+
+class UpsertStreamWriter:
+    """Streaming upsert sink: each micro-batch MERGEs into a partitioned
+    table instead of appending — the CDC-ingestion shape (a change feed
+    of keyed records where later versions replace earlier ones), which
+    the append-only billing pipeline deliberately is not.
+
+    Exactly-once composition: a committed-batch ledger skips replayed
+    batch ids outright, and ``merge_into`` itself is idempotent for
+    identical inputs (same batch → same anti-join + overwrite result),
+    so a crash BETWEEN the merge and the ledger commit replays to the
+    same table state. Within a batch, duplicate keys resolve by
+    ``version_col`` (last-write-wins) when given.
+
+    Scale shape is merge_into's: only partitions present in the batch
+    (plus, with ``scope="table"``, partitions a key moved away from)
+    are rewritten; driver state stays partition-cardinality."""
+
+    def __init__(
+        self,
+        source: DataFrame,
+        path: str,
+        key_cols: list[str],
+        *,
+        version_col: str | None = None,
+        scope: str = "partitions",
+    ):
+        from ..merge import merge_into  # late: avoid cycle at import
+
+        self._merge = merge_into
+        self.source = source
+        self.path = path
+        self.key_cols = key_cols
+        self.version_col = version_col
+        self.scope = scope
+        self.fs = get_filesystem(
+            path, source.sparkSession if source is not None else None
+        )
+        self.ledger = BatchLedger(
+            os.path.join(path, "_upsert_ledger.json"), fs=self.fs
+        )
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.ledger.is_committed(batch_id):
+            return
+        self._merge(
+            batch_df.sparkSession,
+            self.path,
+            batch_df,
+            self.key_cols,
+            version_col=self.version_col,
+            scope=self.scope,
+            fs=self.fs,
+        )
+        self.ledger.commit(batch_id)
+
+    def run_available_now(self, checkpoint_dir: str) -> None:
+        q = (
+            self.source.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

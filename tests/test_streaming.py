@@ -271,3 +271,76 @@ def test_per_batch_metrics_written(spark, tmp_path):
     pipe.process_batch(batch, 1)
     ms = pipe.metrics()
     assert [m["batch_id"] for m in ms] == [0, 1]
+
+
+def test_upsert_stream_writer_cdc(spark, tmp_path):
+    """Streaming CDC upsert: two micro-batches of keyed changes, later
+    versions replace earlier rows, replayed batches are ledger-skipped."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.streaming.pipeline import (
+        UpsertStreamWriter,
+    )
+
+    path = str(tmp_path / "accounts")
+    w = UpsertStreamWriter(
+        source=None, path=path, key_cols=["acct_id"], version_col="ver"
+    )
+    b0 = spark.createDataFrame(
+        [(1, "2024-03-01", 100.0, 1), (2, "2024-03-01", 200.0, 1),
+         (3, "2024-03-02", 300.0, 1)],
+        "acct_id long, partition_date string, balance double, ver long",
+    )
+    w.process_batch(b0, 0)
+    # batch 1: update acct 2 (two versions in-batch), insert acct 4
+    b1 = spark.createDataFrame(
+        [(2, "2024-03-01", 250.0, 2), (2, "2024-03-01", 275.0, 3),
+         (4, "2024-03-03", 400.0, 1)],
+        "acct_id long, partition_date string, balance double, ver long",
+    )
+    w.process_batch(b1, 1)
+    got = {
+        r.acct_id: (r.balance, r.ver)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {1: (100.0, 1), 2: (275.0, 3), 3: (300.0, 1), 4: (400.0, 1)}
+    # ledger-skipped replay leaves state untouched
+    w.process_batch(b1, 1)
+    assert {
+        r.acct_id: r.ver for r in spark.read.parquet(path).collect()
+    }[2] == 3
+    # a NEW writer against the same path re-reads the ledger
+    w2 = UpsertStreamWriter(
+        source=None, path=path, key_cols=["acct_id"], version_col="ver"
+    )
+    assert w2.ledger.is_committed(1)
+
+
+def test_upsert_stream_writer_through_stream(spark, tmp_path):
+    """The real readStream->foreachBatch path: a file stream of keyed
+    change records upserts into the table."""
+    import json as _json
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.streaming.pipeline import (
+        UpsertStreamWriter,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    recs = [
+        {"acct_id": 1, "partition_date": "2024-03-01", "balance": 10.0, "ver": 1},
+        {"acct_id": 1, "partition_date": "2024-03-01", "balance": 20.0, "ver": 2},
+        {"acct_id": 2, "partition_date": "2024-03-02", "balance": 30.0, "ver": 1},
+    ]
+    (inp / "a.json").write_text("\n".join(_json.dumps(r) for r in recs))
+    src = (
+        spark.readStream.schema(
+            "acct_id long, partition_date string, balance double, ver long"
+        ).json(str(inp))
+    )
+    path = str(tmp_path / "accounts")
+    w = UpsertStreamWriter(src, path, ["acct_id"], version_col="ver")
+    w.run_available_now(str(tmp_path / "ck"))
+    got = {
+        r.acct_id: (r.balance, r.ver)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {1: (20.0, 2), 2: (30.0, 1)}
