@@ -32,6 +32,9 @@ def def_arguments() -> argparse.ArgumentParser:
                    help="comma-separated columns: range-partition + sort the "
                         "rewrite so files carry disjoint min/max key ranges "
                         "(file-level data skipping); default: shuffle-free coalesce")
+    p.add_argument("--only-needed", action="store_true",
+                   help="skip partitions already at their target file "
+                        "layout (metadata check, no data read)")
     p.add_argument("--retain-days", type=int, default=None,
                    help="drop partitions older than N days before compacting "
                         "(retention; default: keep everything)")
@@ -57,7 +60,8 @@ def main(argv: list[str] | None = None) -> None:
                 dropped = expire_partitions(spark, path, keep_days=args.retain_days)
                 print(f"{table}: expired {dropped}")
             result = compact_table(
-                spark, path, partitions, args.target_bytes, cluster_by
+                spark, path, partitions, args.target_bytes, cluster_by,
+                only_needed=args.only_needed,
             )
             print(f"{table}: compacted {result}")
 

@@ -151,6 +151,25 @@ def compact_partition(
     return n_files
 
 
+def table_stats(
+    spark: SparkSession, path: str, fs=None
+) -> dict[str, dict[str, int]]:
+    """Per-partition file-layout health: data-file count and bytes —
+    the input to 'which partitions actually need compacting'. Pure
+    metadata (FS listing), no data read at any scale."""
+    fs = fs or get_filesystem(path, spark)
+    out: dict[str, dict[str, int]] = {}
+    for p in list_partitions(spark, path, fs=fs):
+        pdir = os.path.join(path, f"{PARTITION_FIELD}={p}")
+        files = [
+            (n, sz)
+            for n, sz in fs.list_files_recursive(pdir)
+            if not n.startswith(("_", "."))
+        ]
+        out[p] = {"n_files": len(files), "bytes": sum(sz for _n, sz in files)}
+    return out
+
+
 def expire_partitions(
     spark: SparkSession,
     path: str,
@@ -192,19 +211,35 @@ def compact_table(
     partitions: list[str] | None = None,
     target_bytes: int = DEFAULT_TARGET_BYTES,
     cluster_by: list[str] | None = None,
+    only_needed: bool = False,
     fs=None,
 ) -> dict[str, int]:
     """Compact the given (or all) partitions of one table path. Partition
     enumeration happens here, per table — the reference's cross-table
     partition-list reuse bug (`:366-372`) cannot recur. Crashed swaps
     from a previous run are healed BEFORE enumeration, so a partition
-    stranded mid-swap is restored and compacted rather than skipped."""
+    stranded mid-swap is restored and compacted rather than skipped.
+
+    ``only_needed``: skip partitions already at their target layout
+    (file count ≤ ceil(bytes/target)) — an FS-metadata check, so nightly
+    maintenance over a mostly-compacted table rewrites only the
+    fragmented days instead of re-shuffling every byte it owns. Not
+    applied when ``cluster_by`` is set (the stats can't see whether the
+    existing files are clustered)."""
     fs = fs or get_filesystem(path, spark)
     recover_crashed_compactions(path, fs=fs)
     parts = partitions if partitions is not None else list_partitions(spark, path, fs=fs)
     existing = set(list_partitions(spark, path, fs=fs))
+    parts = [p for p in parts if p in existing]
+    if only_needed and not cluster_by:
+        stats = table_stats(spark, path, fs=fs)
+        parts = [
+            p
+            for p in parts
+            if stats[p]["n_files"]
+            > max(1, math.ceil(stats[p]["bytes"] / target_bytes))
+        ]
     return {
         p: compact_partition(spark, path, p, target_bytes, cluster_by, fs=fs)
         for p in parts
-        if p in existing
     }

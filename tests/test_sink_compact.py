@@ -214,3 +214,50 @@ def test_expire_partitions_retention(spark, tmp_path):
     assert not os.path.isdir(os.path.join(path, "partition_date=2024-03-03"))
     # idempotent: nothing older remains
     assert expire_partitions(spark, path, before="2024-03-04") == []
+
+
+def test_compact_only_needed_skips_compacted_partitions(spark, tmp_path):
+    """only_needed: a partition already at its target layout keeps its
+    exact files; a fragmented one is rewritten."""
+    import os
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.compact import (
+        compact_table,
+        table_stats,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sink import (
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    frag = spark.createDataFrame(
+        [(i, "2024-03-01") for i in range(40)],
+        "event_id long, partition_date string",
+    ).repartition(8)  # 8 files in one partition
+    write_partitioned(frag, path)
+    tidy = spark.createDataFrame(
+        [(100, "2024-03-02")], "event_id long, partition_date string"
+    ).coalesce(1)
+    write_partitioned(tidy, path)
+    compact_table(spark, path)  # both now at 1 file
+    stats = table_stats(spark, path)
+    assert {p: s["n_files"] for p, s in stats.items()} == {
+        "2024-03-01": 1, "2024-03-02": 1,
+    }
+
+    def files(p):
+        d = os.path.join(path, f"partition_date={p}")
+        return sorted(f for f in os.listdir(d) if not f.startswith(("_", ".")))
+
+    before = {p: files(p) for p in stats}
+    # fragment 03-01 again with an append
+    write_partitioned(
+        spark.createDataFrame(
+            [(200, "2024-03-01")], "event_id long, partition_date string"
+        ).coalesce(1),
+        path,
+    )
+    result = compact_table(spark, path, only_needed=True)
+    assert set(result) == {"2024-03-01"}           # only the fragmented day
+    assert files("2024-03-02") == before["2024-03-02"]  # untouched files
+    assert spark.read.parquet(path).count() == 42
