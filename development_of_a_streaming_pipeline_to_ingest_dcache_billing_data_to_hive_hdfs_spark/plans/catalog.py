@@ -3912,6 +3912,64 @@ def q_llm_incremental_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 
+@register(
+    "q_rel_bitwise_funcs",
+    """
+    SELECT o_orderstatus,
+           CAST(bit_and(o_custkey & 1023) AS BIGINT) AS and_k,
+           CAST(bit_or(o_custkey & 1023) AS BIGINT) AS or_k,
+           CAST(bit_xor(o_custkey & 1023) AS BIGINT) AS xor_k,
+           CAST(SUM(bit_count(CAST(o_custkey AS BIGINT))) AS BIGINT)
+             AS sum_bits,
+           CAST(MAX(o_custkey << 2) AS BIGINT) AS max_shl,
+           CAST(MIN(o_custkey >> 1) AS BIGINT) AS min_shr
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_rel_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate family: &, <<, >>, bit_count and the
+    bit_and/bit_or/bit_xor aggregates — sketch/bitmap building blocks.
+    All codegen'd long arithmetic; one two-phase aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_custkey").bitwiseAND(F.lit(1023))
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and(k).alias("and_k"),
+        F.bit_or(k).alias("or_k"),
+        F.bit_xor(k).alias("xor_k"),
+        F.sum(F.bit_count(F.col("o_custkey"))).cast("long").alias("sum_bits"),
+        F.max(F.shiftleft("o_custkey", 2)).cast("long").alias("max_shl"),
+        F.min(F.shiftright("o_custkey", 1)).cast("long").alias("min_shr"),
+    )
+
+
+@register(
+    "q_rel_regex_funcs",
+    r"""
+    SELECT p_partkey,
+           regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER)
+             AS n_vowels,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_name, '^(red|blue|green)') AS is_color_first
+    FROM part WHERE p_partkey <= 200
+    """,
+)
+def q_rel_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family: group extraction, match counting,
+    replace-all, anchored match — patterns chosen lookaround-free so
+    the identical regex runs in DuckDB's RE2 (Spark regexp_replace is
+    replace-all by default = DuckDB's 'g' flag)."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_count("p_name", F.lit(r"[aeiou]")).cast("int").alias("n_vowels"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike(r"^(red|blue|green)").alias("is_color_first"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: billing-core semantics in one plan."""
     return q_billing_flagship_daily(spark, sf_dir)
@@ -3939,6 +3997,8 @@ _DRIVER_PRIORITY = [
     "q_llm_holdout_split",
     "q_llm_mixture_budget",
     "q_llm_incremental_dedup_check",
+    "q_rel_bitwise_funcs",
+    "q_rel_regex_funcs",
     "q_llm_dedup_kept_check",
     "q_rel_salted_join",
     # the two round-2 failures, in-window one more round to confirm the
@@ -3987,10 +4047,8 @@ _DRIVER_PRIORITY = [
     "q_llm_embedding_norms",
     "q_llm_ngram_jaccard_pairs",
     "q_llm_embedding_near_dup",
-    "q_llm_near_dup_blocked",
     "q_llm_rolling_fingerprint",
     "q_llm_multimodal_check",
-    "q_llm_curation_pipeline",
 ]
 
 
