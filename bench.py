@@ -216,7 +216,10 @@ def main() -> None:
     # Count-pass failures stay out of the primary errors channel — a
     # query is "broken" iff its REAL (noop) run fails.
     count_errors: dict[str, str] = {}
-    count_timings = timed_passes(consume_count, "count", runnable, count_errors)
+    count_runnable = [n for n in runnable if n not in errors]
+    count_timings = timed_passes(
+        consume_count, "count", count_runnable, count_errors
+    )
 
     total = round(sum(timings.values()), 3)
     payload = {

@@ -38,7 +38,14 @@ def def_arguments() -> argparse.ArgumentParser:
     p.add_argument("--retain-days", type=int, default=None,
                    help="drop partitions older than N days before compacting "
                         "(retention; default: keep everything)")
-    p.add_argument("--lock-path", default="/tmp/dcache_compact.lock")
+    p.add_argument("--expire-default-partition", action="store_true",
+                   help="with --retain-days, also drop the NULL "
+                        "(__HIVE_DEFAULT_PARTITION__) partition, which has "
+                        "no date and can never age past the cutoff")
+    p.add_argument("--lock-path", default="/tmp/dcache_warehouse.lock",
+                   help="one lock shared by ingest/compaction/merge: any "
+                        "two of them racing the same table can interleave "
+                        "with a partition swap or dynamic overwrite")
     p.add_argument("--status-path", default=None)
     p.add_argument("--loglevel", default="WARN")
     return p
@@ -57,7 +64,10 @@ def main(argv: list[str] | None = None) -> None:
         for table in args.tables.split(","):
             path = os.path.join(args.warehouse, table.strip())
             if args.retain_days is not None:
-                dropped = expire_partitions(spark, path, keep_days=args.retain_days)
+                dropped = expire_partitions(
+                    spark, path, keep_days=args.retain_days,
+                    include_default_partition=args.expire_default_partition,
+                )
                 print(f"{table}: expired {dropped}")
             result = compact_table(
                 spark, path, partitions, args.target_bytes, cluster_by,

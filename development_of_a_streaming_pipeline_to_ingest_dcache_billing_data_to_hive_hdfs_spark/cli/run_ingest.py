@@ -26,7 +26,10 @@ def def_arguments() -> argparse.ArgumentParser:
     p.add_argument("--input-path", help="file-source input dir")
     p.add_argument("--trigger-s", type=int, default=0,
                    help="0 = drain available data and exit (availableNow)")
-    p.add_argument("--lock-path", default="/tmp/dcache_ingest.lock")
+    p.add_argument("--lock-path", default="/tmp/dcache_warehouse.lock",
+                   help="one lock shared by ingest/compaction/merge: any "
+                        "two of them racing the same table can interleave "
+                        "with a partition swap or dynamic overwrite")
     p.add_argument("--status-path", default=None)
     p.add_argument("--loglevel", default="WARN")
     return p

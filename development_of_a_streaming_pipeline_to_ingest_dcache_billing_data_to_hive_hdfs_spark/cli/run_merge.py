@@ -33,7 +33,10 @@ def def_arguments() -> argparse.ArgumentParser:
                    default="partitions",
                    help="'table' also rewrites partitions a matched key "
                         "moved away from")
-    p.add_argument("--lock-path", default="/tmp/dcache_ingest.lock")
+    p.add_argument("--lock-path", default="/tmp/dcache_warehouse.lock",
+                   help="one lock shared by ingest/compaction/merge: any "
+                        "two of them racing the same table can interleave "
+                        "with a partition swap or dynamic overwrite")
     p.add_argument("--status-path", default=None)
     p.add_argument("--loglevel", default="WARN")
     return p

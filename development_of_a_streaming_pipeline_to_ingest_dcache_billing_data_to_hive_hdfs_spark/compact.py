@@ -35,6 +35,8 @@ from .fs import get_filesystem
 from .schema import PARTITION_FIELD
 
 DEFAULT_TARGET_BYTES = 512 * 1024 * 1024
+# Hive's directory name for a NULL partition value (malformed-date rows)
+DEFAULT_PARTITION_NAME = "__HIVE_DEFAULT_PARTITION__"
 
 
 def resolve_partition_policy(policy: str, today: dt.date | None = None) -> list[str] | None:
@@ -152,14 +154,24 @@ def compact_partition(
 
 
 def table_stats(
-    spark: SparkSession, path: str, fs=None
+    spark: SparkSession,
+    path: str,
+    partitions: list[str] | None = None,
+    fs=None,
 ) -> dict[str, dict[str, int]]:
     """Per-partition file-layout health: data-file count and bytes —
     the input to 'which partitions actually need compacting'. Pure
-    metadata (FS listing), no data read at any scale."""
+    metadata (FS listing), no data read at any scale; pass
+    ``partitions`` to stat only those (a nightly --partition yesterday
+    run must not list every file of every day the table owns)."""
     fs = fs or get_filesystem(path, spark)
     out: dict[str, dict[str, int]] = {}
-    for p in list_partitions(spark, path, fs=fs):
+    parts = (
+        partitions
+        if partitions is not None
+        else list_partitions(spark, path, fs=fs)
+    )
+    for p in parts:
         pdir = os.path.join(path, f"{PARTITION_FIELD}={p}")
         files = [
             (n, sz)
@@ -177,6 +189,7 @@ def expire_partitions(
     before: str | None = None,
     keep_days: int | None = None,
     today: dt.date | None = None,
+    include_default_partition: bool = False,
     fs=None,
 ) -> list[str]:
     """Retention: drop day-partitions strictly OLDER than the cutoff —
@@ -198,8 +211,20 @@ def expire_partitions(
     fs = fs or get_filesystem(path, spark)
     recover_crashed_compactions(path, fs=fs)
     dropped = sorted(
-        p for p in list_partitions(spark, path, fs=fs) if p < before
+        p
+        for p in list_partitions(spark, path, fs=fs)
+        if p < before and p != DEFAULT_PARTITION_NAME
     )
+    # the NULL (__HIVE_DEFAULT_PARTITION__) partition has no date, so the
+    # lexicographic cutoff can NEVER expire it ('_' > '9') — without the
+    # explicit opt-in it would grow unboundedly while --retain-days
+    # reports success
+    if include_default_partition:
+        ddir = os.path.join(
+            path, f"{PARTITION_FIELD}={DEFAULT_PARTITION_NAME}"
+        )
+        if fs.is_dir(ddir):
+            dropped.append(DEFAULT_PARTITION_NAME)
     for p in dropped:
         fs.delete(os.path.join(path, f"{PARTITION_FIELD}={p}"), recursive=True)
     return dropped
@@ -232,7 +257,7 @@ def compact_table(
     existing = set(list_partitions(spark, path, fs=fs))
     parts = [p for p in parts if p in existing]
     if only_needed and not cluster_by:
-        stats = table_stats(spark, path, fs=fs)
+        stats = table_stats(spark, path, partitions=parts, fs=fs)
         parts = [
             p
             for p in parts

@@ -43,6 +43,27 @@ from pyspark.sql import functions as F
 from .fs import get_filesystem
 from .schema import PARTITION_FIELD
 
+# Hive's directory name for a NULL partition value — where records with
+# an unparseable partition key live (parse.partition_date_col).
+DEFAULT_PARTITION_NAME = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _part_name(value) -> str:
+    """Directory-name form of a partition VALUE (None → Hive default)."""
+    return DEFAULT_PARTITION_NAME if value is None else str(value)
+
+
+def _dyn_writer(df: DataFrame, pf: str):
+    """Partitioned overwrite writer with dynamic mode pinned PER WRITE:
+    relying on the ambient session conf would truncate the whole table
+    under Spark's default (static) overwrite mode when a consumer builds
+    its own session — whole-table loss from a one-row upsert."""
+    return (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(pf)
+    )
+
 
 def merge_into(
     spark: SparkSession,
@@ -95,35 +116,43 @@ def merge_into(
         for name, is_dir in fs.list_entries(path)
     )
     if not has_data:  # first write: the merge is a plain insert
-        updates.write.mode("overwrite").partitionBy(pf).parquet(path)
+        _dyn_writer(updates, pf).parquet(path)
         return sorted(
-            str(r[0]) for r in updates.select(pf).distinct().collect()
+            _part_name(r[0])
+            for r in updates.select(pf).distinct().collect()
         )
 
-    # driver-side lists are PARTITION-cardinality (days), never rows.
-    # Values normalize to STRINGS everywhere: an updates frame read back
-    # from parquet carries the partition column DATE-typed, and a
-    # date-vs-string mismatch between `affected` and `written` would
-    # make the vacated-partition cleanup delete live data.
-    up_parts = {str(r[0]) for r in updates.select(pf).distinct().collect()}
+    # Driver-side lists are PARTITION-cardinality (days), never rows.
+    # Values normalize to STRINGS (an updates frame read back from
+    # parquet carries the partition column DATE-typed), and NULL is
+    # tracked EXPLICITLY: records with a null partition key (e.g. the
+    # malformed-date rows parse.partition_date_col routes to the default
+    # partition) must filter via isNull — str(None) would produce a
+    # 'None' sentinel that matches nothing, the target filter would then
+    # exclude the live default-partition rows, and the dynamic overwrite
+    # would wipe them (observed data loss before this handling).
+    def _collect_parts(df):
+        vals = {r[0] for r in df.select(pf).distinct().collect()}
+        return {str(v) for v in vals if v is not None}, None in vals
+
+    up_parts, up_null = _collect_parts(updates)
     target_all = spark.read.parquet(path)
     if scope == "table":
-        moved = {
-            str(r[0])
-            for r in target_all.join(
+        moved, moved_null = _collect_parts(
+            target_all.join(
                 updates.select(*key_cols).distinct(), key_cols, "left_semi"
             )
-            .select(pf)
-            .distinct()
-            .collect()
-        }
-        affected = sorted(up_parts | moved)
+        )
+        affected, has_null = sorted(up_parts | moved), up_null or moved_null
     else:
-        affected = sorted(up_parts)
+        affected, has_null = sorted(up_parts), up_null
 
     # align the update frame to the on-disk schema (partition column
     # reads back typed — e.g. DATE — while writers carry strings)
-    target = target_all.where(F.col(pf).cast("string").isin(affected))
+    part_filter = F.col(pf).cast("string").isin(affected)
+    if has_null:
+        part_filter = part_filter | F.col(pf).isNull()
+    target = target_all.where(part_filter)
     extra = set(updates.columns) - set(target.columns)
     if version_col in extra:
         # a pure resolution column (not stored in the table): its job —
@@ -149,13 +178,17 @@ def merge_into(
         # dynamic overwrite only rewrites partitions PRESENT in merged;
         # a partition fully vacated by a table-scope move would be
         # absent and must be deleted explicitly below
-        written = {
-            str(r[0]) for r in merged.select(pf).distinct().collect()
-        }
-        merged.write.mode("overwrite").partitionBy(pf).parquet(path)
+        written_parts, written_null = _collect_parts(merged)
+        _dyn_writer(merged, pf).parquet(path)
     finally:
         merged.unpersist()
-    for p in affected:
-        if p not in written:
+    affected_dirs = list(affected) + (
+        [DEFAULT_PARTITION_NAME] if has_null else []
+    )
+    written_dirs = written_parts | (
+        {DEFAULT_PARTITION_NAME} if written_null else set()
+    )
+    for p in affected_dirs:
+        if p not in written_dirs:
             fs.delete(os.path.join(path, f"{pf}={p}"), recursive=True)
-    return affected
+    return sorted(affected_dirs)

@@ -45,14 +45,14 @@ def salted_join(
     cases at runtime; explicit salting remains the tool when a single
     key exceeds what partition-splitting can fix (e.g. one key = 30% of
     the table) or when AQE is unavailable (streaming micro-batches).
-    Salt is ``monotonically_increasing_id() mod salt_buckets`` — a
-    round-robin over each scan partition's row offset, so even a hot
-    key whose rows are EXACT duplicates (common in dedup-free ingest,
-    the very workload salting targets) spreads uniformly; a
-    content-hash salt would land every duplicate in ONE bucket and
-    reintroduce the straggler. Deterministic under a fixed input
-    layout and stable within a task attempt (no RNG in the plan):
-    rand() would break replay/retry determinism.
+    Salt = (content-hash + row-offset round-robin) mod salt_buckets:
+    the row-offset term spreads even a hot key whose rows are EXACT
+    duplicates (common in dedup-free ingest, the very workload salting
+    targets — a pure content-hash salt lands every duplicate in ONE
+    bucket and reintroduces the straggler), while the content-hash term
+    keeps distinct rows' salts stable across task retries on scan
+    inputs. No RNG in the plan: rand() would break replay/retry
+    determinism outright.
 
     ``how`` is restricted to joins where replicating the ``other`` side
     is sound: inner/left/left_semi/left_anti drop (or never emit) the
@@ -68,7 +68,18 @@ def salted_join(
             "the replicated build side would duplicate its unmatched rows "
             "once per salt bucket under right/full outer joins"
         )
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    # content-hash term: stable per row across retries for scan inputs;
+    # row-offset term: spreads byte-identical duplicate rows. Both terms
+    # reduce mod buckets BEFORE adding (their raw sum could overflow a
+    # long, which throws under ANSI mode). For shuffle-derived inputs the
+    # offset term's order-stability relies on Spark's indeterminate-stage
+    # rollback (fetch failures re-run the whole consumer stage).
+    b = F.lit(salt_buckets)
+    salt = F.pmod(
+        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), b)
+        + F.pmod(F.monotonically_increasing_id(), b),
+        b,
+    )
     lhs = skewed.withColumn("_salt", salt.cast("int"))
     rhs = other.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

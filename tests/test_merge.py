@@ -223,3 +223,53 @@ def test_merge_schema_evolution(spark, tmp_path):
     assert got[1] == (10.0, None)   # surviving row in rewritten partition
     assert got[3] == (30.0, None)   # untouched partition: column null via mergeSchema
     assert len(got) == 4
+
+
+def test_merge_null_partition_rows_survive(spark, tmp_path):
+    """Regression (review-confirmed data loss): rows living in the NULL
+    (__HIVE_DEFAULT_PARTITION__) partition — where malformed-date
+    records are routed — must survive a merge whose batch touches that
+    partition, and must be updatable/chaseable like any other rows."""
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "2024-03-01", 10.0), (2, None, 20.0), (3, None, 30.0)],
+        f"event_id long, {PF} string, value double",
+    )
+    merge_into(spark, path, base, ["event_id"])
+    assert spark.read.parquet(path).count() == 3
+
+    # batch inserts ONE unrelated null-partition row: 2 and 3 must live
+    upd = spark.createDataFrame(
+        [(9, None, 90.0)], f"event_id long, {PF} string, value double"
+    )
+    rewritten = merge_into(spark, path, upd, ["event_id"])
+    assert rewritten == ["__HIVE_DEFAULT_PARTITION__"]
+    got = {r.event_id: r.value for r in spark.read.parquet(path).collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 30.0, 9: 90.0}
+
+    # update a null-partition row in place
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(2, None, 22.0)], f"event_id long, {PF} string, value double"
+        ),
+        ["event_id"],
+    )
+    got = {r.event_id: r.value for r in spark.read.parquet(path).collect()}
+    assert got[2] == 22.0 and len(got) == 4
+
+    # table scope: move a key OUT of the null partition; stale copy gone
+    merge_into(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(3, "2024-03-02", 33.0)], f"event_id long, {PF} string, value double"
+        ),
+        ["event_id"],
+        scope="table",
+    )
+    rows = spark.read.parquet(path).collect()
+    got = {r.event_id: (r[PF] and str(r[PF]), r.value) for r in rows}
+    assert got[3] == ("2024-03-02", 33.0)
+    assert len(rows) == 4

@@ -261,3 +261,33 @@ def test_compact_only_needed_skips_compacted_partitions(spark, tmp_path):
     assert set(result) == {"2024-03-01"}           # only the fragmented day
     assert files("2024-03-02") == before["2024-03-02"]  # untouched files
     assert spark.read.parquet(path).count() == 42
+
+
+def test_expire_default_partition_opt_in(spark, tmp_path):
+    """The NULL partition has no date, so the lexicographic cutoff can
+    never expire it — only the explicit opt-in drops it."""
+    import os
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.compact import (
+        expire_partitions,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sink import (
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "2024-03-01"), (2, None)], "event_id long, partition_date string"
+    )
+    write_partitioned(df, path)
+    ddir = os.path.join(path, "partition_date=__HIVE_DEFAULT_PARTITION__")
+    assert os.path.isdir(ddir)
+    # cutoff far in the future: dated partition drops, default survives
+    assert expire_partitions(spark, path, before="2099-01-01") == ["2024-03-01"]
+    assert os.path.isdir(ddir)
+    # opt-in drops it
+    dropped = expire_partitions(
+        spark, path, before="2099-01-01", include_default_partition=True
+    )
+    assert dropped == ["__HIVE_DEFAULT_PARTITION__"]
+    assert not os.path.isdir(ddir)
