@@ -27,7 +27,7 @@ NOTES = {
  "q_llm_contamination_probe": "Table-sized decontamination probe: corpus trigrams explode in the scan stage and stream through a BroadcastHashJoin against the deduplicated probe set (no corpus shuffle for the join); the only Exchange feeds the per-doc count_distinct aggregate.",
  "q_llm_sequence_packing": "Offset bin packing: one shuffle on the source shard feeds the per-shard running-sum window, and the pack aggregate reuses the same partitioning - no global sort, no single-task cumsum.",
  "q_rel_skew_join_plain": "Skew-stress baseline: SHUFFLE_HASH join on a 30%-hot key; AQE's skew-join split carves the oversized partition at runtime. Measured vs the salted twin: at sf0.1 AQE alone matches salting (bench r4), so explicit salting is reserved for AQE-off contexts (streaming micro-batches) or keys beyond partition-splitting.",
- "q_rel_skew_join_salted": "Skew-stress treatment: row-offset round-robin salt spreads the hot key over 32 (key, salt) buckets before the shuffle; the dim side replicates once per salt value. Same answer as the plain join; ~10% slower at sf0.1 where AQE already handles the skew - the operator is the AQE-unavailable escape hatch, and the bench pair documents that honestly.",
+ "q_rel_skew_join_salted": "Skew-stress treatment: the (content-hash + row-offset) salt spreads the hot key over 32 (key, salt) buckets before the shuffle; the dim side replicates once per salt value. Same answer as the plain join; ~10% slower at sf0.1 where AQE already handles the skew - the operator is the AQE-unavailable escape hatch, and the bench pair documents that honestly.",
 }
 
 hdr = """# PLANS — physical-plan audit of headline queries (sf0.1, AQE final plans)
