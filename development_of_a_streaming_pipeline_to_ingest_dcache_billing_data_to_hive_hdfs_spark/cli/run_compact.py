@@ -52,7 +52,11 @@ def def_arguments() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> None:
-    args = def_arguments().parse_args(argv)
+    parser = def_arguments()
+    args = parser.parse_args(argv)
+    if args.expire_default_partition and args.retain_days is None:
+        parser.error("--expire-default-partition requires --retain-days "
+                     "(retention is what triggers expiry)")
     partitions = resolve_partition_policy(args.partition)
     cluster_by = (
         [c.strip() for c in args.cluster_by.split(",") if c.strip()]

@@ -68,14 +68,21 @@ def list_partitions(spark: SparkSession, path: str, fs=None) -> list[str]:
     )
 
 
-def partition_bytes(path: str, partition: str, fs=None) -> int:
-    fs = fs or get_filesystem(path)
+def _partition_files(fs, path: str, partition: str) -> list[tuple[str, int]]:
+    """(name, size) of the DATA files of one partition — the single
+    definition of 'data file' (hidden/underscore names excluded) shared
+    by sizing and health stats."""
     pdir = os.path.join(path, f"{PARTITION_FIELD}={partition}")
-    return sum(
-        size
+    return [
+        (name, size)
         for name, size in fs.list_files_recursive(pdir)
         if not name.startswith(("_", "."))
-    )
+    ]
+
+
+def partition_bytes(path: str, partition: str, fs=None) -> int:
+    fs = fs or get_filesystem(path)
+    return sum(size for _n, size in _partition_files(fs, path, partition))
 
 
 def recover_crashed_compactions(path: str, only: str | None = None, fs=None) -> list[str]:
@@ -112,11 +119,14 @@ def compact_partition(
     partition: str,
     target_bytes: int = DEFAULT_TARGET_BYTES,
     cluster_by: list[str] | None = None,
+    known_bytes: int | None = None,
     fs=None,
 ) -> int:
     """Rewrite one day-partition to ~target_bytes files. Returns the file
     count written. ≙ `Dcache_kafka_to_hive.py:376-385` minus the staging
-    table and the repartition(1) shuffle.
+    table and the repartition(1) shuffle. ``known_bytes``: partition size
+    already measured by the caller (only_needed's stats pass) — skips a
+    second full metadata listing of the same directory.
 
     ``cluster_by``: optionally range-partition + sort the rewrite on the
     given columns, so each output file covers a disjoint key range and
@@ -133,7 +143,12 @@ def compact_partition(
     tmp = os.path.join(path, f"._compact_new_{partition}")
     retired = os.path.join(path, f"._compact_old_{partition}")
     recover_crashed_compactions(path, only=partition, fs=fs)
-    n_files = max(1, math.ceil(partition_bytes(path, partition, fs=fs) / target_bytes))
+    size = (
+        known_bytes
+        if known_bytes is not None
+        else partition_bytes(path, partition, fs=fs)
+    )
+    n_files = max(1, math.ceil(size / target_bytes))
     df = spark.read.parquet(pdir)
     if cluster_by:
         cols = [F.col(c) for c in cluster_by]
@@ -172,12 +187,7 @@ def table_stats(
         else list_partitions(spark, path, fs=fs)
     )
     for p in parts:
-        pdir = os.path.join(path, f"{PARTITION_FIELD}={p}")
-        files = [
-            (n, sz)
-            for n, sz in fs.list_files_recursive(pdir)
-            if not n.startswith(("_", "."))
-        ]
+        files = _partition_files(fs, path, p)
         out[p] = {"n_files": len(files), "bytes": sum(sz for _n, sz in files)}
     return out
 
@@ -227,7 +237,7 @@ def expire_partitions(
             dropped.append(DEFAULT_PARTITION_NAME)
     for p in dropped:
         fs.delete(os.path.join(path, f"{PARTITION_FIELD}={p}"), recursive=True)
-    return dropped
+    return sorted(dropped)
 
 
 def compact_table(
@@ -256,6 +266,7 @@ def compact_table(
     parts = partitions if partitions is not None else list_partitions(spark, path, fs=fs)
     existing = set(list_partitions(spark, path, fs=fs))
     parts = [p for p in parts if p in existing]
+    known: dict[str, int] = {}
     if only_needed and not cluster_by:
         stats = table_stats(spark, path, partitions=parts, fs=fs)
         parts = [
@@ -264,7 +275,11 @@ def compact_table(
             if stats[p]["n_files"]
             > max(1, math.ceil(stats[p]["bytes"] / target_bytes))
         ]
+        known = {p: stats[p]["bytes"] for p in parts}
     return {
-        p: compact_partition(spark, path, p, target_bytes, cluster_by, fs=fs)
+        p: compact_partition(
+            spark, path, p, target_bytes, cluster_by,
+            known_bytes=known.get(p), fs=fs,
+        )
         for p in parts
     }

@@ -49,10 +49,10 @@ def salted_join(
     the row-offset term spreads even a hot key whose rows are EXACT
     duplicates (common in dedup-free ingest, the very workload salting
     targets — a pure content-hash salt lands every duplicate in ONE
-    bucket and reintroduces the straggler), while the content-hash term
-    keeps distinct rows' salts stable across task retries on scan
-    inputs. No RNG in the plan: rand() would break replay/retry
-    determinism outright.
+    bucket and reintroduces the straggler), while the key-hash term
+    keeps the salt content-anchored and retry-stable on scan inputs.
+    No RNG in the plan: rand() would break replay/retry determinism
+    outright.
 
     ``how`` is restricted to joins where replicating the ``other`` side
     is sound: inner/left/left_semi/left_anti drop (or never emit) the
@@ -68,15 +68,17 @@ def salted_join(
             "the replicated build side would duplicate its unmatched rows "
             "once per salt bucket under right/full outer joins"
         )
-    # content-hash term: stable per row across retries for scan inputs;
-    # row-offset term: spreads byte-identical duplicate rows. Both terms
-    # reduce mod buckets BEFORE adding (their raw sum could overflow a
-    # long, which throws under ANSI mode). For shuffle-derived inputs the
-    # offset term's order-stability relies on Spark's indeterminate-stage
+    # key-hash term: stable per row across retries for scan inputs (and
+    # hashing ONLY the key — not every column — stays cheap on wide rows
+    # and never hits xxhash64's MapType restriction); row-offset term:
+    # spreads byte-identical duplicate rows. Both terms reduce mod
+    # buckets BEFORE adding (their raw sum could overflow a long, which
+    # throws under ANSI mode). For shuffle-derived inputs the offset
+    # term's order-stability relies on Spark's indeterminate-stage
     # rollback (fetch failures re-run the whole consumer stage).
     b = F.lit(salt_buckets)
     salt = F.pmod(
-        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), b)
+        F.pmod(F.xxhash64(F.col(on)), b)
         + F.pmod(F.monotonically_increasing_id(), b),
         b,
     )

@@ -31,12 +31,13 @@ def partition_date_col(date_col: str = "date") -> Column:
     (`Dcache_kafka_to_hive.py:119,126,133,140`). Late/old records land in
     their own (old) day partition — semantics preserved.
 
-    Validated: a record whose date prefix is not a real YYYY-MM-DD gets a
-    NULL partition key (→ the route table's default partition) instead of
-    minting a junk ``partition_date=not-a-date`` directory that every
-    partition listing would then parse as a day."""
+    Validated by CANONICAL ROUND-TRIP: the prefix must parse as a date
+    AND print back identically — ``try_to_date`` alone is loose (it
+    accepts '2024-3-1T1', which would mint a junk raw-string partition
+    dir and split one event day across two partitions). Non-canonical
+    dates get a NULL key (→ the route table's default partition)."""
     day = F.substring(F.col(date_col), 1, 10)
-    return F.when(F.try_to_date(day).isNotNull(), day)
+    return F.when(F.try_to_date(day).cast("string") == day, day)
 
 
 def parse_billing(df: DataFrame, value_col: str = "value") -> DataFrame:

@@ -4005,12 +4005,14 @@ _DRIVER_PRIORITY = [
     # fixes are stable (asof NTZ cast; Q10 exact-decimal revenue)
     "q_rel_asof_join",
     "q_rel_q10_returned_items",
-    # rotated back in: queries whose last driver verdict is r2 — no
-    # catalog query goes >2 rounds without a hard driver check. 41 of
-    # the 44 r2-green queries fit (9 + 41 = 50); chunk_stats /
-    # scrub_stats / vocab_top20 yield their slots to the new packing /
-    # holdout / mixture queries and rotate next round (they stay
-    # pytest-oracle-verified at sf0.001 every run).
+    # rotated back in: queries whose last driver verdict is r2. The
+    # 12-slot head (10 never-verified + the 2 re-confirmations) leaves
+    # room for 38 of the 44 r2-green queries; the displaced SIX —
+    # chunk_stats, scrub_stats, vocab_top20, repetition_stats,
+    # curation_pipeline, near_dup_blocked — stay pytest-oracle-verified
+    # at sf0.001 every run and MUST lead round 5's backfill
+    # (tests/test_driver_rotation.py turns that obligation into a
+    # build failure once CORRECTNESS_r04 lands).
     "q_billing_hourly_windows",
     "q_rel_approx_percentiles",
     "q_rel_approx_distinct",

@@ -758,6 +758,10 @@ def test_ansi_zero_guards(spark):
     cos = pair.selectExpr(f"{COSINE_EXPR.format(a='a', b='b')} AS c")
     vals = [r.c for r in cos.collect()]  # must not throw
     assert any(v is None for v in vals)  # zero-norm rows -> null
-    # topk over a corpus containing the zero vector: runs, excludes it
+    # topk over a corpus containing the zero vector: the null-cos pair
+    # must rank BELOW every real neighbor (desc ordering puts nulls
+    # last), so the genuine neighbor holds rank 1
     out = cosine_topk_bruteforce(vecs, vecs.where("vec_id = 2"), k=2)
-    assert all(r.cos is not None or True for r in out.collect())
+    ranks = {r.neighbor_id: r.rank for r in out.collect()}
+    assert ranks.get(3) == 1, ranks
+    assert ranks.get(1, 99) > ranks[3], ranks

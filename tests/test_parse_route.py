@@ -115,3 +115,23 @@ def test_malformed_date_is_not_a_poison_pill(spark):
     assert good.event_ts is not None
     # none of them are corrupt-JSON rows
     assert all(r._corrupt_value is None for r in out)
+
+
+def test_non_canonical_date_prefix_rejected(spark):
+    """Loose-parsing prefixes ('2024-3-1T1') must NOT mint raw-string
+    partition dirs: only canonical YYYY-MM-DD prefixes become keys."""
+    import json as _json
+
+    recs = [
+        (_json.dumps({"msgType": "transfer", "date": "2024-3-1T10:00:00",
+                      "cellName": "c"}),),
+        (_json.dumps({"msgType": "transfer",
+                      "date": "2024-03-01T10:00:00.000+0000",
+                      "cellName": "c"}),),
+    ]
+    out = parse_billing(spark.createDataFrame(recs, ["value"])).select(
+        "date", "partition_date"
+    ).collect()
+    got = {r.date: r.partition_date for r in out}
+    assert got["2024-3-1T10:00:00"] is None
+    assert got["2024-03-01T10:00:00.000+0000"] == "2024-03-01"
