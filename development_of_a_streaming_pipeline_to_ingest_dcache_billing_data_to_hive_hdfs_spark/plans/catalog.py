@@ -56,6 +56,7 @@ from ..operators.textops import (
     stopword_lang_scores,
     token_budget_sample,
     token_count_col,
+    tokens_col,
 )
 from ..sources.tables import load_table
 
@@ -3970,6 +3971,65 @@ def q_rel_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_rare_token_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> ''))
+             AS tok
+      FROM documents),
+    freq AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    per_doc AS (
+      SELECT t.doc_id, t.source,
+             COUNT(*) AS n_tok,
+             SUM(CASE WHEN f.c <= 2 THEN 1 ELSE 0 END) AS n_rare
+      FROM toks t JOIN freq f USING (tok)
+      GROUP BY t.doc_id, t.source)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_rare) AS BIGINT) AS total_rare,
+           CAST(SUM(CASE WHEN n_rare * 5 > n_tok THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gibberish
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def q_llm_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token quality scoring: a document whose tokens are mostly
+    corpus-rare (frequency ≤ 2) is likely gibberish/OCR noise — the
+    frequency-based complement of the stopword/repetition signals. Two
+    passes over one exploded token frame: a corpus frequency table (one
+    shuffle on the token), then a token→frequency join back (vocab is
+    compact next to the corpus — broadcastable at most scales, AQE
+    decides) feeding per-doc and per-source aggregates. Gibberish flag =
+    rare tokens exceed 20% of the doc, compared in EXACT integer
+    arithmetic (n_rare * 5 > n_tok) so the driver hash is stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(tokens_col()).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    per_doc = (
+        toks.join(freq, "tok")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(F.when(F.col("c") <= 2, 1).otherwise(0)).alias("n_rare"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_rare").alias("total_rare"),
+        F.sum(
+            F.when(F.col("n_rare") * 5 > F.col("n_tok"), 1).otherwise(0)
+        ).alias("n_gibberish"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: billing-core semantics in one plan."""
     return q_billing_flagship_daily(spark, sf_dir)
@@ -3999,6 +4059,7 @@ _DRIVER_PRIORITY = [
     "q_llm_incremental_dedup_check",
     "q_rel_bitwise_funcs",
     "q_rel_regex_funcs",
+    "q_llm_rare_token_stats",
     "q_llm_dedup_kept_check",
     "q_rel_salted_join",
     # the two round-2 failures, in-window one more round to confirm the
@@ -4006,13 +4067,13 @@ _DRIVER_PRIORITY = [
     "q_rel_asof_join",
     "q_rel_q10_returned_items",
     # rotated back in: queries whose last driver verdict is r2. The
-    # 12-slot head (10 never-verified + the 2 re-confirmations) leaves
-    # room for 38 of the 44 r2-green queries; the displaced SIX —
+    # 13-slot head (11 never-verified + the 2 re-confirmations) leaves
+    # room for 37 of the 44 r2-green queries; the displaced SEVEN —
     # chunk_stats, scrub_stats, vocab_top20, repetition_stats,
-    # curation_pipeline, near_dup_blocked — stay pytest-oracle-verified
-    # at sf0.001 every run and MUST lead round 5's backfill
-    # (tests/test_driver_rotation.py turns that obligation into a
-    # build failure once CORRECTNESS_r04 lands).
+    # curation_pipeline, near_dup_blocked, embedding_norms — stay
+    # pytest-oracle-verified at sf0.001 every run and MUST lead round
+    # 5's backfill (tests/test_driver_rotation.py turns that obligation
+    # into a build failure once CORRECTNESS_r04 lands).
     "q_billing_hourly_windows",
     "q_rel_approx_percentiles",
     "q_rel_approx_distinct",
@@ -4046,7 +4107,6 @@ _DRIVER_PRIORITY = [
     "q_llm_quantized_recall",
     "q_llm_ivf_recall",
     "q_llm_lsh_recall",
-    "q_llm_embedding_norms",
     "q_llm_ngram_jaccard_pairs",
     "q_llm_embedding_near_dup",
     "q_llm_rolling_fingerprint",
