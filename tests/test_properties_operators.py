@@ -169,3 +169,44 @@ def test_merge_matches_dict_model(spark, tmp_path_factory, base, batches):
         for r in spark.read.parquet(path).collect()
     }
     assert got == model
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences vs a pure-python cumsum model: for ANY corpus, pack id
+# must equal floor(preceding per-shard token cumsum / budget) in
+# (shard, doc_id) order.
+# ---------------------------------------------------------------------------
+
+_doc = st.tuples(
+    st.integers(min_value=0, max_value=999),          # doc_id (uniquified)
+    st.sampled_from(["a", "b", "c"]),                  # shard
+    st.integers(min_value=0, max_value=12),            # token count
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(_doc, min_size=1, max_size=25, unique_by=lambda d: d[0]),
+    budget=st.integers(min_value=1, max_value=30),
+)
+def test_pack_sequences_matches_cumsum_model(spark, docs, budget):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        pack_sequences,
+    )
+
+    rows = [(i, s, " ".join(["t"] * n) if n else "") for i, s, n in docs]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.doc_id: (r.shard, r.n_tokens, r.pack_id)
+        for r in pack_sequences(df, budget_tokens=budget).collect()
+    }
+    model = {}
+    cum: dict[str, int] = {}
+    for i, s, n in sorted(docs, key=lambda d: (d[1], d[0])):
+        model[i] = (s, n, cum.get(s, 0) // budget)
+        cum[s] = cum.get(s, 0) + n
+    assert got == model

@@ -344,3 +344,48 @@ def test_upsert_stream_writer_through_stream(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert got == {1: (20.0, 2), 2: (30.0, 1)}
+
+
+def test_upsert_crash_between_merge_and_ledger_commit(spark, tmp_path, monkeypatch):
+    """Crash AFTER the merge but BEFORE the ledger commit: the replay
+    re-runs the merge (idempotent for identical inputs) and converges —
+    no duplicates, no lost updates."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.streaming.pipeline import (
+        UpsertStreamWriter,
+    )
+
+    path = str(tmp_path / "accounts")
+    w = UpsertStreamWriter(source=None, path=path, key_cols=["acct_id"])
+    b0 = spark.createDataFrame(
+        [(1, "2024-03-01", 100.0)],
+        "acct_id long, partition_date string, balance double",
+    )
+    w.process_batch(b0, 0)
+
+    b1 = spark.createDataFrame(
+        [(1, "2024-03-01", 150.0), (2, "2024-03-01", 200.0)],
+        "acct_id long, partition_date string, balance double",
+    )
+    real_commit = w.ledger.commit
+    calls = {"n": 0}
+
+    def dying_commit(batch_id):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before ledger commit")
+        real_commit(batch_id)
+
+    monkeypatch.setattr(w.ledger, "commit", dying_commit)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        w.process_batch(b1, 1)
+    # data landed but batch is uncommitted — exactly the crash window
+    assert not w.ledger.is_committed(1)
+    # replay converges
+    w.process_batch(b1, 1)
+    assert w.ledger.is_committed(1)
+    got = {
+        r.acct_id: r.balance for r in spark.read.parquet(path).collect()
+    }
+    assert got == {1: 150.0, 2: 200.0}
