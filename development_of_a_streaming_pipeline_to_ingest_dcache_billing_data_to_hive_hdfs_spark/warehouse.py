@@ -103,3 +103,50 @@ def table_partitions(spark: SparkSession, table: str) -> DataFrame:
     return parts.select(
         F.split(F.col(col), "=").getItem(1).alias(PARTITION_FIELD)
     )
+
+
+def warehouse_summary(spark: SparkSession, warehouse_dir: str) -> dict:
+    """Operational snapshot of a path-based warehouse: per route table
+    the partition count, data-file count and bytes (pure FS metadata —
+    no data scan at any scale), plus the ingest ledger's committed-batch
+    count and the latest per-batch metrics entry. The one-call health
+    surface for 'is the feed alive and is the layout sane'."""
+    import json as _json
+    import os as _os
+
+    from .compact import list_partitions, table_stats
+    from .fs import get_filesystem
+
+    fs = get_filesystem(warehouse_dir, spark)
+    out: dict = {"tables": {}, "batches_committed": 0, "last_batch": None}
+    for name, is_dir in fs.list_entries(warehouse_dir):
+        if not is_dir or name.startswith(("_", ".")):
+            continue
+        path = _os.path.join(warehouse_dir, name)
+        parts = list_partitions(spark, path, fs=fs)
+        if not parts:
+            continue  # not a partitioned table dir
+        stats = table_stats(spark, path, partitions=parts, fs=fs)
+        out["tables"][name] = {
+            "n_partitions": len(parts),
+            "n_files": sum(s["n_files"] for s in stats.values()),
+            "bytes": sum(s["bytes"] for s in stats.values()),
+            "oldest_partition": parts[0],
+            "newest_partition": parts[-1],
+        }
+    try:
+        ledger = _json.loads(
+            fs.read_text(_os.path.join(warehouse_dir, "_ledger.json"))
+        )
+        out["batches_committed"] = len(ledger)
+    except FileNotFoundError:
+        pass
+    mdir = _os.path.join(warehouse_dir, "_metrics")
+    batches = sorted(
+        n for n, d in fs.list_entries(mdir) if not d and n.startswith("batch-")
+    )
+    if batches:
+        out["last_batch"] = _json.loads(
+            fs.read_text(_os.path.join(mdir, batches[-1]))
+        )
+    return out

@@ -55,3 +55,38 @@ def test_identifier_validation(spark):
         create_route_table(spark, "transfers", "bad; DROP TABLE x")
     with pytest.raises(ValueError):
         drop_tables(spark, ["also bad"])
+
+
+def test_warehouse_summary(spark, tmp_path):
+    """One-call ops snapshot: per-table layout stats + ledger + last
+    batch metrics, all pure metadata."""
+    import json
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.streaming.pipeline import (
+        BillingPipeline,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.warehouse import (
+        warehouse_summary,
+    )
+    from tests.conftest import billing_record
+
+    wh = str(tmp_path / "wh")
+    pipe = BillingPipeline(source=None, warehouse_dir=wh)
+    batch = spark.createDataFrame(
+        [
+            (billing_record("transfer", date="2024-03-01T10:00:00.000+0000"),),
+            (billing_record("transfer", date="2024-03-02T11:00:00.000+0000"),),
+            (billing_record("request", date="2024-03-01T12:00:00.000+0000"),),
+        ],
+        ["value"],
+    )
+    pipe.process_batch(batch, 0)
+    s = warehouse_summary(spark, wh)
+    assert s["batches_committed"] == 1
+    assert s["tables"]["transfers"]["n_partitions"] == 2
+    assert s["tables"]["transfers"]["oldest_partition"] == "2024-03-01"
+    assert s["tables"]["transfers"]["newest_partition"] == "2024-03-02"
+    assert s["tables"]["transfers"]["bytes"] > 0
+    assert s["tables"]["requests"]["n_partitions"] == 1
+    assert s["last_batch"]["batch_id"] == 0
+    assert s["last_batch"]["routes"]["transfers"] == 2
