@@ -389,33 +389,56 @@ class FingerprintStore:
         return self.spark.catalog.tableExists(self.table)
 
     def screen(
-        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        exclude_batch: int | None = None,
     ) -> DataFrame:
         """Rows of ``docs`` whose text has NEVER been seen (not in the
         store, not earlier in this batch). Does not mutate the store —
-        call ``commit`` with (a subset of) the result to admit them."""
+        call ``commit`` with (a subset of) the result to admit them.
+
+        ``exclude_batch``: ignore store entries committed BY THAT batch
+        id — the replay contract for streaming corpus builds: a crash
+        between ``commit(batch)`` and the caller's ledger commit replays
+        the batch, and WITHOUT the exclusion its own fingerprints would
+        screen out its own documents (the batch's doc files were just
+        cleaned for rewrite → every doc silently lost)."""
         fp = docs.select(
             F.col(id_col), fingerprint(text_col).alias("fp")
         )
         # within-batch exact dedup: deterministic min-id representative
         fresh = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
         if self.exists():
-            fresh = fresh.join(
-                self.spark.table(self.table).select("fp"), "fp", "left_anti"
-            )
+            seen = self.spark.table(self.table)
+            if exclude_batch is not None:
+                seen = seen.where(
+                    F.col("batch_id").isNull()
+                    | (F.col("batch_id") != exclude_batch)
+                )
+            fresh = fresh.join(seen.select("fp"), "fp", "left_anti")
         return docs.join(fresh.select(id_col), id_col, "left_semi")
 
     def commit(
-        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        batch_id: int | None = None,
     ) -> None:
         """Admit these documents' fingerprints. First commit creates the
         bucketed table; later commits append WITHOUT reshuffling the
-        store (insertInto preserves bucketing)."""
+        store (insertInto preserves bucketing). A replayed batch appends
+        its fingerprints again — duplicate fp rows are harmless for the
+        semi/anti screens and bounded by crash frequency (a periodic
+        ``dropDuplicates(["fp"])`` rewrite can reclaim them)."""
         from ..sink import write_bucketed_table
 
         fps = docs.select(
             fingerprint(text_col).alias("fp"),
             F.col(id_col).alias("first_doc_id"),
+            F.lit(batch_id).cast("long").alias("batch_id"),
         ).dropDuplicates(["fp"])
         if not self.exists():
             write_bucketed_table(

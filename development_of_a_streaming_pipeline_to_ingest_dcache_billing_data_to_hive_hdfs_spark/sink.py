@@ -110,7 +110,11 @@ def cleanup_batch_files(path: str, batch_id: int, fs=None) -> int:
 
 
 def write_partitioned_batch(
-    df: DataFrame, path: str, batch_id: int, fs=None
+    df: DataFrame,
+    path: str,
+    batch_id: int,
+    fs=None,
+    partition_field: str = PARTITION_FIELD,
 ) -> None:
     """Idempotent micro-batch append: stage the batch's output under a
     hidden per-batch dir, then promote each data file into its partition
@@ -128,7 +132,7 @@ def write_partitioned_batch(
     fs = fs or get_filesystem(path, df.sparkSession)
     cleanup_batch_files(path, batch_id, fs=fs)
     staging = os.path.join(path, f"._batch_staging_{batch_id}")
-    df.write.mode("overwrite").partitionBy(PARTITION_FIELD).parquet(staging)
+    df.write.mode("overwrite").partitionBy(partition_field).parquet(staging)
     prefix = _batch_prefix(batch_id)
     for d, d_is_dir in fs.list_entries(staging):
         if not d_is_dir:

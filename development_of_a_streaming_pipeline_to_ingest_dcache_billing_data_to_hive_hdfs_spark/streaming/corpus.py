@@ -1,0 +1,120 @@
+"""Streaming corpus builder: document stream → quality gate →
+cross-batch exact dedup → exactly-once partitioned corpus append.
+
+The end-to-end training-data shape, composed entirely from machinery
+this engine already guarantees: the billing pipeline's ledger +
+batch-named-file idempotence (sink.py), and the bucketed fingerprint
+store's shuffle-free seen-check (operators/dedup.FingerprintStore).
+Each micro-batch:
+
+1. optional GATE (a caller-supplied DataFrame→DataFrame filter — e.g.
+   token-count / language / repetition bounds from operators.textops);
+2. SCREEN against every fingerprint ever admitted, excluding entries
+   this same batch id committed (see the crash matrix below);
+3. idempotent partitioned APPEND of the surviving documents
+   (batch-named files, partitioned by ``partition_field``);
+4. fingerprint COMMIT (batch-tagged) and ledger commit.
+
+Crash matrix — the ordering is load-bearing:
+- crash in/after the doc append, before the fp commit → replay cleans
+  exactly this batch's doc files and rewrites them; the screen result
+  is unchanged (its fps were never committed);
+- crash after the fp commit, before the ledger commit → replay screens
+  with ``exclude_batch=this batch``, so the batch's OWN fingerprints
+  do not screen out its own documents (without the exclusion every doc
+  of the batch would be silently lost: files cleaned for rewrite, rows
+  filtered as "seen"); the fp commit appends duplicate rows, which the
+  semi/anti screens tolerate;
+- replay of a ledger-committed batch → skipped outright.
+
+At 100 TB: the gate is a scan-stage filter; the screen shuffles only
+the new batch (the store reads bucket-locally); the append is
+partition-local. Nothing rescans or reshuffles the historical corpus.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+from ..fs import get_filesystem
+from ..operators.dedup import FingerprintStore
+from ..sink import BatchLedger, write_partitioned_batch
+
+
+class CorpusIngestPipeline:
+    """Wires a streaming document source into a deduplicated corpus.
+
+    ``source`` columns must include ``id_col``, ``text_col`` and
+    ``partition_field`` (e.g. ``source`` for by-provenance layout)."""
+
+    def __init__(
+        self,
+        source: DataFrame,
+        corpus_dir: str,
+        store_table: str,
+        *,
+        partition_field: str = "source",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        gate: Callable[[DataFrame], DataFrame] | None = None,
+        store_buckets: int = 64,
+    ):
+        self.source = source
+        self.corpus_dir = corpus_dir
+        self.partition_field = partition_field
+        self.id_col = id_col
+        self.text_col = text_col
+        self.gate = gate
+        spark = source.sparkSession if source is not None else None
+        self.fs = get_filesystem(corpus_dir, spark)
+        self.ledger = BatchLedger(
+            os.path.join(corpus_dir, "_ledger.json"), fs=self.fs
+        )
+        self._store_table = store_table
+        self._store_buckets = store_buckets
+
+    def _store(self, spark) -> FingerprintStore:
+        return FingerprintStore(
+            spark, self._store_table, n_buckets=self._store_buckets
+        )
+
+    def docs_path(self) -> str:
+        return os.path.join(self.corpus_dir, "documents")
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.ledger.is_committed(batch_id):
+            return
+        store = self._store(batch_df.sparkSession)
+        gated = self.gate(batch_df) if self.gate is not None else batch_df
+        kept = store.screen(
+            gated,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            exclude_batch=batch_id,
+        )
+        write_partitioned_batch(
+            kept,
+            self.docs_path(),
+            batch_id,
+            fs=self.fs,
+            partition_field=self.partition_field,
+        )
+        store.commit(
+            kept,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            batch_id=batch_id,
+        )
+        self.ledger.commit(batch_id)
+
+    def run_available_now(self, checkpoint_dir: str) -> None:
+        q = (
+            self.source.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
