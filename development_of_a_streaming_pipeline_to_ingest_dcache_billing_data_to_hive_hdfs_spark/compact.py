@@ -51,12 +51,19 @@ def resolve_partition_policy(policy: str, today: dt.date | None = None) -> list[
     return [p.strip() for p in policy.split(",") if p.strip()]
 
 
-def list_partitions(spark: SparkSession, path: str, fs=None) -> list[str]:
-    """Enumerate partition_date values of a path-based table from the
+def list_partitions(
+    spark: SparkSession,
+    path: str,
+    fs=None,
+    partition_field: str = PARTITION_FIELD,
+) -> list[str]:
+    """Enumerate partition values of a path-based table from the
     directory layout. Pure metadata — no data scan, no RDD (the reference
-    collects an RDD off SHOW PARTITIONS, `:369-372`)."""
+    collects an RDD off SHOW PARTITIONS, `:369-372`). ``partition_field``
+    defaults to the billing day key; corpus tables laid out by another
+    field (e.g. ``source``) pass theirs."""
     fs = fs or get_filesystem(path, spark)
-    prefix = PARTITION_FIELD + "="
+    prefix = partition_field + "="
     return sorted(
         d[len(prefix):]
         for d, is_dir in fs.list_entries(path)
@@ -68,11 +75,13 @@ def list_partitions(spark: SparkSession, path: str, fs=None) -> list[str]:
     )
 
 
-def _partition_files(fs, path: str, partition: str) -> list[tuple[str, int]]:
+def _partition_files(
+    fs, path: str, partition: str, partition_field: str = PARTITION_FIELD
+) -> list[tuple[str, int]]:
     """(name, size) of the DATA files of one partition — the single
     definition of 'data file' (hidden/underscore names excluded) shared
     by sizing and health stats."""
-    pdir = os.path.join(path, f"{PARTITION_FIELD}={partition}")
+    pdir = os.path.join(path, f"{partition_field}={partition}")
     return [
         (name, size)
         for name, size in fs.list_files_recursive(pdir)
@@ -173,6 +182,7 @@ def table_stats(
     path: str,
     partitions: list[str] | None = None,
     fs=None,
+    partition_field: str = PARTITION_FIELD,
 ) -> dict[str, dict[str, int]]:
     """Per-partition file-layout health: data-file count and bytes —
     the input to 'which partitions actually need compacting'. Pure
@@ -184,10 +194,10 @@ def table_stats(
     parts = (
         partitions
         if partitions is not None
-        else list_partitions(spark, path, fs=fs)
+        else list_partitions(spark, path, fs=fs, partition_field=partition_field)
     )
     for p in parts:
-        files = _partition_files(fs, path, p)
+        files = _partition_files(fs, path, p, partition_field)
         out[p] = {"n_files": len(files), "bytes": sum(sz for _n, sz in files)}
     return out
 

@@ -393,18 +393,22 @@ class FingerprintStore:
         docs: DataFrame,
         id_col: str = "doc_id",
         text_col: str = "text",
-        exclude_batch: int | None = None,
+        exclude_tag: str | None = None,
     ) -> DataFrame:
         """Rows of ``docs`` whose text has NEVER been seen (not in the
         store, not earlier in this batch). Does not mutate the store —
         call ``commit`` with (a subset of) the result to admit them.
 
-        ``exclude_batch``: ignore store entries committed BY THAT batch
-        id — the replay contract for streaming corpus builds: a crash
-        between ``commit(batch)`` and the caller's ledger commit replays
-        the batch, and WITHOUT the exclusion its own fingerprints would
+        ``exclude_tag``: ignore store entries committed UNDER THAT tag —
+        the replay contract for streaming corpus builds: a crash between
+        ``commit(tag)`` and the caller's ledger commit replays the
+        batch, and WITHOUT the exclusion its own fingerprints would
         screen out its own documents (the batch's doc files were just
-        cleaned for rewrite → every doc silently lost)."""
+        cleaned for rewrite → every doc silently lost). Tags must be
+        STORE-UNIQUE per logical batch (CorpusIngestPipeline uses
+        run-id#batch-id — a bare foreachBatch id would collide across
+        pipelines sharing the store, or across checkpoint resets, and
+        wrongly readmit duplicates)."""
         fp = docs.select(
             F.col(id_col), fingerprint(text_col).alias("fp")
         )
@@ -412,10 +416,18 @@ class FingerprintStore:
         fresh = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
         if self.exists():
             seen = self.spark.table(self.table)
-            if exclude_batch is not None:
+            if exclude_tag is not None:
+                if "batch_tag" not in seen.columns:
+                    raise ValueError(
+                        f"store table {self.table!r} predates batch "
+                        "tagging (no batch_tag column): replay-safe "
+                        "screens need a rewrite of the store with the "
+                        "current commit() schema, or pass "
+                        "exclude_tag=None"
+                    )
                 seen = seen.where(
-                    F.col("batch_id").isNull()
-                    | (F.col("batch_id") != exclude_batch)
+                    F.col("batch_tag").isNull()
+                    | (F.col("batch_tag") != exclude_tag)
                 )
             fresh = fresh.join(seen.select("fp"), "fp", "left_anti")
         return docs.join(fresh.select(id_col), id_col, "left_semi")
@@ -425,20 +437,23 @@ class FingerprintStore:
         docs: DataFrame,
         id_col: str = "doc_id",
         text_col: str = "text",
-        batch_id: int | None = None,
+        batch_tag: str | None = None,
     ) -> None:
         """Admit these documents' fingerprints. First commit creates the
         bucketed table; later commits append WITHOUT reshuffling the
-        store (insertInto preserves bucketing). A replayed batch appends
-        its fingerprints again — duplicate fp rows are harmless for the
-        semi/anti screens and bounded by crash frequency (a periodic
-        ``dropDuplicates(["fp"])`` rewrite can reclaim them)."""
+        store (insertInto preserves bucketing) and ALIGN to the table's
+        on-disk schema (a store created before batch tagging keeps its
+        2-column layout instead of crashing the insert). A replayed
+        batch appends its fingerprints again — duplicate fp rows are
+        harmless for the semi/anti screens and bounded by crash
+        frequency (a periodic ``dropDuplicates(["fp"])`` rewrite can
+        reclaim them)."""
         from ..sink import write_bucketed_table
 
         fps = docs.select(
             fingerprint(text_col).alias("fp"),
             F.col(id_col).alias("first_doc_id"),
-            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.lit(batch_tag).cast("string").alias("batch_tag"),
         ).dropDuplicates(["fp"])
         if not self.exists():
             write_bucketed_table(
@@ -446,4 +461,7 @@ class FingerprintStore:
                 sort_cols=["fp"],
             )
         else:
-            fps.write.insertInto(self.table)
+            table_cols = self.spark.table(self.table).columns
+            fps.select(
+                *[c for c in fps.columns if c in table_cols]
+            ).write.insertInto(self.table)

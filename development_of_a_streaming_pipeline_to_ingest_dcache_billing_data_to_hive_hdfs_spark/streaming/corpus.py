@@ -20,12 +20,19 @@ Crash matrix — the ordering is load-bearing:
   exactly this batch's doc files and rewrites them; the screen result
   is unchanged (its fps were never committed);
 - crash after the fp commit, before the ledger commit → replay screens
-  with ``exclude_batch=this batch``, so the batch's OWN fingerprints
-  do not screen out its own documents (without the exclusion every doc
-  of the batch would be silently lost: files cleaned for rewrite, rows
-  filtered as "seen"); the fp commit appends duplicate rows, which the
-  semi/anti screens tolerate;
+  with ``exclude_tag=this batch's tag``, so the batch's OWN
+  fingerprints do not screen out its own documents (without the
+  exclusion every doc of the batch would be silently lost: files
+  cleaned for rewrite, rows filtered as "seen"); the fp commit appends
+  duplicate rows, which the semi/anti screens tolerate;
 - replay of a ledger-committed batch → skipped outright.
+
+Lifecycle coupling: the corpus dir (ledger + run id) and the streaming
+checkpoint form ONE lineage — batch tags are run-id#batch-id, so
+corpora sharing a fingerprint store never exclude each other's
+entries. Resetting the checkpoint without resetting the corpus dir is
+unsupported (the ledger would skip the new lineage's reused batch ids
+— the same coupling every ledger-idempotent foreachBatch sink has).
 
 At 100 TB: the gate is a scan-stage filter; the screen shuffles only
 the new batch (the store reads bucket-locally); the append is
@@ -35,8 +42,10 @@ partition-local. Nothing rescans or reshuffles the historical corpus.
 from __future__ import annotations
 
 import os
+import uuid
 from collections.abc import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 from ..fs import get_filesystem
@@ -61,6 +70,7 @@ class CorpusIngestPipeline:
         text_col: str = "text",
         gate: Callable[[DataFrame], DataFrame] | None = None,
         store_buckets: int = 64,
+        run_tag: str | None = None,
     ):
         self.source = source
         self.corpus_dir = corpus_dir
@@ -75,6 +85,27 @@ class CorpusIngestPipeline:
         )
         self._store_table = store_table
         self._store_buckets = store_buckets
+        # Batch-tag identity: exclude_tag must be STORE-unique per
+        # logical batch. foreachBatch ids restart at 0 per checkpoint,
+        # so the tag prefixes them with a run id persisted BESIDE THE
+        # LEDGER — stable across restarts of the same corpus (replays
+        # keep their exclusion), distinct across corpora sharing one
+        # store table (pipeline B's batch 7 never excludes pipeline A's
+        # batch-7 fingerprints).
+        self.run_tag = run_tag or self._load_or_create_run_tag()
+
+    def _load_or_create_run_tag(self) -> str:
+        path = os.path.join(self.corpus_dir, "_run_id")
+        try:
+            return self.fs.read_text(path).strip()
+        except FileNotFoundError:
+            tag = uuid.uuid4().hex[:16]
+            self.fs.mkdirs(self.corpus_dir)
+            self.fs.write_text_atomic(path, tag)
+            return tag
+
+    def _batch_tag(self, batch_id: int) -> str:
+        return f"{self.run_tag}#{batch_id}"
 
     def _store(self, spark) -> FingerprintStore:
         return FingerprintStore(
@@ -93,22 +124,31 @@ class CorpusIngestPipeline:
             gated,
             id_col=self.id_col,
             text_col=self.text_col,
-            exclude_batch=batch_id,
+            exclude_tag=self._batch_tag(batch_id),
         )
-        write_partitioned_batch(
-            kept,
-            self.docs_path(),
-            batch_id,
-            fs=self.fs,
-            partition_field=self.partition_field,
-        )
-        store.commit(
-            kept,
-            id_col=self.id_col,
-            text_col=self.text_col,
-            batch_id=batch_id,
-        )
-        self.ledger.commit(batch_id)
+        # persist: the doc append and the fp commit are two actions over
+        # the same gate+fingerprint+anti-join plan — unpersisted, the
+        # full screen (including the store scan) would run twice, and a
+        # nondeterministic gate could even commit fingerprints for docs
+        # that were never written
+        kept.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            write_partitioned_batch(
+                kept,
+                self.docs_path(),
+                batch_id,
+                fs=self.fs,
+                partition_field=self.partition_field,
+            )
+            store.commit(
+                kept,
+                id_col=self.id_col,
+                text_col=self.text_col,
+                batch_tag=self._batch_tag(batch_id),
+            )
+            self.ledger.commit(batch_id)
+        finally:
+            kept.unpersist()
 
     def run_available_now(self, checkpoint_dir: str) -> None:
         q = (

@@ -117,9 +117,13 @@ class BillingPipeline:
         """All committed batches' metrics, ordered by batch id — the
         feed-health surface (a dead feed shows zero-row batches here
         instead of silence)."""
+        import re as _re
+
         out = []
         for name, is_dir in self.fs.list_entries(self._metrics_dir()):
-            if is_dir or not name.startswith("batch-"):
+            # exact batch-<n>.json only: a crashed atomic write leaves
+            # batch-<n>.json.tmp beside the real files
+            if is_dir or not _re.fullmatch(r"batch-\d+\.json", name):
                 continue
             out.append(
                 json.loads(

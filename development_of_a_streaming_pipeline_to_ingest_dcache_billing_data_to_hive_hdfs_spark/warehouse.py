@@ -106,16 +106,23 @@ def table_partitions(spark: SparkSession, table: str) -> DataFrame:
 
 
 def warehouse_summary(spark: SparkSession, warehouse_dir: str) -> dict:
-    """Operational snapshot of a path-based warehouse: per route table
-    the partition count, data-file count and bytes (pure FS metadata —
-    no data scan at any scale), plus the ingest ledger's committed-batch
+    """Operational snapshot of a path-based warehouse: per table the
+    partition count, data-file count and bytes (pure FS metadata — no
+    data scan at any scale), plus the ingest ledger's committed-batch
     count and the latest per-batch metrics entry. The one-call health
-    surface for 'is the feed alive and is the layout sane'."""
+    surface for 'is the feed alive and is the layout sane'.
+
+    Tables may be partitioned by ANY field — the partition prefix is
+    detected per table from its directory names (billing routes use
+    partition_date, corpus tables use source), so none are invisible
+    to the summary."""
     import json as _json
     import os as _os
+    import re as _re
 
     from .compact import list_partitions, table_stats
     from .fs import get_filesystem
+    from .sink import BatchLedger
 
     fs = get_filesystem(warehouse_dir, spark)
     out: dict = {"tables": {}, "batches_committed": 0, "last_batch": None}
@@ -123,30 +130,50 @@ def warehouse_summary(spark: SparkSession, warehouse_dir: str) -> dict:
         if not is_dir or name.startswith(("_", ".")):
             continue
         path = _os.path.join(warehouse_dir, name)
-        parts = list_partitions(spark, path, fs=fs)
-        if not parts:
-            continue  # not a partitioned table dir
-        stats = table_stats(spark, path, partitions=parts, fs=fs)
+        # detect the partition field from the directory layout
+        fields = {
+            d.split("=", 1)[0]
+            for d, dd in fs.list_entries(path)
+            if dd and "=" in d and not d.startswith(("_", "."))
+        }
+        if len(fields) != 1:
+            continue  # not a (single-field) partitioned table dir
+        pf = next(iter(fields))
+        parts = list_partitions(spark, path, fs=fs, partition_field=pf)
+        stats = table_stats(
+            spark, path, partitions=parts, fs=fs, partition_field=pf
+        )
         out["tables"][name] = {
+            "partition_field": pf,
             "n_partitions": len(parts),
             "n_files": sum(s["n_files"] for s in stats.values()),
             "bytes": sum(s["bytes"] for s in stats.values()),
             "oldest_partition": parts[0],
             "newest_partition": parts[-1],
         }
-    try:
-        ledger = _json.loads(
-            fs.read_text(_os.path.join(warehouse_dir, "_ledger.json"))
-        )
-        out["batches_committed"] = len(ledger)
-    except FileNotFoundError:
-        pass
-    mdir = _os.path.join(warehouse_dir, "_metrics")
-    batches = sorted(
-        n for n, d in fs.list_entries(mdir) if not d and n.startswith("batch-")
+    # ledger via BatchLedger: same corrupt-file tolerance as the
+    # pipeline itself (a truncated ledger must not crash the health
+    # surface an operator reads while diagnosing a crash)
+    out["batches_committed"] = len(
+        BatchLedger(
+            _os.path.join(warehouse_dir, "_ledger.json"), fs=fs
+        ).committed()
     )
-    if batches:
-        out["last_batch"] = _json.loads(
-            fs.read_text(_os.path.join(mdir, batches[-1]))
-        )
+    # last batch by NUMERIC id — a lexicographic name sort reports
+    # batch-9 forever once batch-10 exists — and only exact
+    # batch-<n>.json names (a crashed atomic write leaves
+    # batch-<n>.json.tmp, which must not win)
+    mdir = _os.path.join(warehouse_dir, "_metrics")
+    ids = [
+        int(m.group(1))
+        for n, d in fs.list_entries(mdir)
+        if not d and (m := _re.fullmatch(r"batch-(\d+)\.json", n))
+    ]
+    if ids:
+        try:
+            out["last_batch"] = _json.loads(
+                fs.read_text(_os.path.join(mdir, f"batch-{max(ids)}.json"))
+            )
+        except (FileNotFoundError, _json.JSONDecodeError):
+            pass
     return out

@@ -90,3 +90,42 @@ def test_warehouse_summary(spark, tmp_path):
     assert s["tables"]["requests"]["n_partitions"] == 1
     assert s["last_batch"]["batch_id"] == 0
     assert s["last_batch"]["routes"]["transfers"] == 2
+
+
+def test_warehouse_summary_numeric_batch_order_and_any_partition_field(
+    spark, tmp_path
+):
+    """last_batch must use NUMERIC batch ids (lexicographic name sort
+    reports batch-9 forever once batch-10 exists), and tables
+    partitioned by fields other than partition_date must be visible."""
+    import json
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.streaming.pipeline import (
+        BillingPipeline,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.warehouse import (
+        warehouse_summary,
+    )
+    from tests.conftest import billing_record
+
+    wh = str(tmp_path / "wh")
+    pipe = BillingPipeline(source=None, warehouse_dir=wh)
+    batch = spark.createDataFrame(
+        [(billing_record("transfer", date="2024-03-01T10:00:00.000+0000"),)],
+        ["value"],
+    )
+    for b in range(11):  # 0..10: lexicographic would pick batch-9
+        pipe.process_batch(batch, b)
+    # a stray temp file from a crashed atomic write must not win either
+    (tmp_path / "wh" / "_metrics" / "batch-10.json.tmp").write_text("{bad")
+    # a source-partitioned corpus-style table beside the routes
+    spark.createDataFrame(
+        [(1, "web", "t"), (2, "books", "t")], "doc_id long, source string, text string"
+    ).write.partitionBy("source").parquet(str(tmp_path / "wh" / "docs"))
+
+    s = warehouse_summary(spark, wh)
+    assert s["last_batch"]["batch_id"] == 10
+    assert s["batches_committed"] == 11
+    assert s["tables"]["docs"]["partition_field"] == "source"
+    assert s["tables"]["docs"]["n_partitions"] == 2
+    assert s["tables"]["transfers"]["partition_field"] == "partition_date"
