@@ -11,6 +11,8 @@ from ..operators.dedup import (
 )
 from ..operators.textops import (
     bpe_ish_token_count,
+    bpe_pair_counts,
+    duplicated_spans,
     holdout_split_col,
     predicted_lang_col,
     quality_score_cols,
@@ -18,6 +20,7 @@ from ..operators.textops import (
     scrub_text,
     stopword_lang_scores,
     token_count_col,
+    tfidf_top_terms,
     tokens_col,
 )
 from ..operators.similarity import COSINE_EXPR
@@ -36,6 +39,9 @@ __all__ = [
     "stopword_lang_scores",
     "predicted_lang_col",
     "raw_ngrams_col",
+    "bpe_pair_counts",
+    "duplicated_spans",
+    "tfidf_top_terms",
     "holdout_split_col",
     "scrub_text",
     "COSINE_EXPR",

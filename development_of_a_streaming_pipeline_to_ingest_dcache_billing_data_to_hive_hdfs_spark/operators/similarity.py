@@ -546,3 +546,116 @@ def lsh_cosine_topk(
     scored = cosine_pairs_blas(cand).select("query_id", "neighbor_id", "cos")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def kmeans_embeddings(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_sample: int = 2048,
+):
+    """Distributed Lloyd's k-means over an embedding column — the
+    clustering step behind semantic dedup (SemDeDup-style: drop
+    near-identical members within a cluster) and corpus cartography.
+
+    Scale shape per iteration (the only sound one for 100 TB):
+    - *assign*: one full scan; the (k × d) centroid matrix broadcasts
+      and each Arrow batch computes all k squared distances as ONE BLAS
+      matmul (``|x|² − 2xCᵀ + |c|²``) in mapInPandas — no shuffle, no
+      per-row Python.
+    - *update*: per-cluster mean via groupBy with d codegen'd ``avg``
+      aggregates (two-phase: partitions pre-reduce to ≤ k rows each
+      before the exchange, so the shuffle carries k·d doubles per
+      partition regardless of corpus size), plus the iteration's
+      inertia in the same job.
+    - the ONLY driver-side data is k rows per iteration (centroids +
+      counts + inertia) — bounded by k·d, never by N.
+
+    Lloyd's invariant — assignment inertia is non-increasing across
+    iterations — is what ``q_llm_kmeans_check`` gates on: it holds for
+    ANY correct implementation regardless of init, so it is checkable
+    without an oracle re-run.
+
+    Init is deterministic FARTHEST-FIRST traversal over a bounded
+    ``limit`` sample (the k-center seeding underlying k-means++: first
+    seed = the sample's max-norm point, each next seed maximizes the
+    min distance to the chosen ones). Unlike uniform-random seeding it
+    cannot drop two seeds into one tight blob — the failure mode that
+    merges well-separated clusters — and it needs no RNG, so replays
+    are bit-stable. Empty clusters keep their previous centroid.
+
+    Returns ``(assignments, centroids, inertia_history)``:
+    assignments = (id, cluster, dist2) under the FINAL centroids;
+    centroids = (k × d) ndarray; history = one post-assignment inertia
+    per iteration (length ``iters``).
+    """
+    import pandas as pd
+
+    sample_pdf = df.select(vec_col).limit(init_sample).toPandas()
+    sample = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]]
+    )
+    k = min(k, len(sample))
+    seeds = [int(np.argmax((sample * sample).sum(axis=1)))]
+    min_d2 = ((sample - sample[seeds[0]]) ** 2).sum(axis=1)
+    while len(seeds) < k:
+        nxt = int(np.argmax(min_d2))
+        seeds.append(nxt)
+        min_d2 = np.minimum(min_d2, ((sample - sample[nxt]) ** 2).sum(axis=1))
+    cent = sample[seeds].copy()
+    dim = cent.shape[1]
+    sc = df.sparkSession.sparkContext
+    scan = spread_partitions(df.select(F.col(id_col), F.col(vec_col)))
+
+    def make_assign(b_cent, carry_vec: bool):
+        def op(batches):
+            C = b_cent.value
+            c_sq = (C * C).sum(axis=1)
+            for batch in batches:
+                if not len(batch):
+                    continue
+                M = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+                )
+                d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c_sq[None, :]
+                cl = np.argmin(d2, axis=1)  # ties → lowest index, deterministic
+                out = {
+                    "id": batch[id_col].to_numpy(),
+                    "cluster": cl.astype(np.int32),
+                    "dist2": np.maximum(d2[np.arange(len(M)), cl], 0.0),
+                }
+                if carry_vec:
+                    out["vec"] = list(M)
+                yield pd.DataFrame(out)
+
+        return op
+
+    history: list[float] = []
+    for _ in range(iters):
+        b_cent = sc.broadcast(cent)
+        assigned = scan.mapInPandas(
+            make_assign(b_cent, carry_vec=True),
+            "id long, cluster int, dist2 double, vec array<double>",
+        )
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("dist2").alias("sse"),
+                *[F.avg(F.col("vec")[i]).alias(f"m{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        history.append(float(sum(r["sse"] for r in stats)))
+        new_cent = cent.copy()
+        for r in stats:
+            new_cent[r["cluster"]] = [r[f"m{i}"] for i in range(dim)]
+        cent = new_cent
+    b_cent = sc.broadcast(cent)
+    assignments = scan.mapInPandas(
+        make_assign(b_cent, carry_vec=False),
+        "id long, cluster int, dist2 double",
+    )
+    return assignments, cent, history

@@ -311,3 +311,138 @@ def token_budget_sample(
         token_count=token_count,
     )
     return packed.where(F.col("pack_id") == 0).drop("pack_id")
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-training prep: weighted adjacent-CHARACTER-pair counts —
+    the statistic behind the first BPE merge decision (Sennrich et al.,
+    the standard subword-vocabulary construction).
+
+    Shape matters more than the formula: the corpus first collapses to a
+    WORD-FREQUENCY table (one explode + groupBy — corpus-sized input,
+    vocab-sized output, the classic 1000× data reduction every tokenizer
+    trainer performs), and only the distinct words expand into character
+    pairs. At 100 TB the pair expansion therefore runs over millions of
+    distinct words, not trillions of tokens; the second shuffle is
+    alphabet²-bounded.
+
+    Output: one row per distinct character pair with
+    ``n_occ`` = occurrences weighted by word frequency (within-word
+    repeats count, exactly as BPE counts them) and ``n_words`` =
+    distinct words containing the pair.
+    """
+    words = (
+        docs.select(F.explode(tokens_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    # sequence(1, 0) is DESCENDING ([1, 0]) for single-char words — an
+    # explicit empty array instead (same ANSI-mode guard as
+    # raw_ngrams_col; substring(word, 0, 2) would silently emit a bogus
+    # duplicate pair rather than throw, which is worse).
+    pairs_arr = F.expr(
+        "CASE WHEN length(word) >= 2 THEN"
+        " transform(sequence(1, length(word) - 1),"
+        " i -> substring(word, i, 2))"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    pairs = words.select("word", "wc", F.explode(pairs_arr).alias("pair"))
+    return pairs.groupBy("pair").agg(
+        F.sum("wc").cast("bigint").alias("n_occ"),
+        F.count_distinct("word").cast("bigint").alias("n_words"),
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level (sub-document) duplicate detection: token n-gram
+    windows that recur across ≥ ``min_docs`` DISTINCT documents — the
+    dolma/RefinedWeb-style duplicated-passage primitive that document-
+    level dedup misses (boilerplate headers, license blocks, quoted
+    chunks pasted into otherwise-unique pages).
+
+    One explode of the per-doc window array (output-volume-bound: one
+    row per token position, the same cost envelope as any n-gram pass)
+    into one groupBy on the span text with a map-side partial aggregate;
+    spans seen by a single document collapse to one row per partition
+    before the shuffle, so network volume is bounded by distinct-span
+    count, not corpus token count. Windows use the same normalized
+    tokenization as every text operator here (oracle-portable).
+
+    Output: (span, n_docs, n_occ) for qualifying spans.
+    """
+    toks = docs.select(
+        F.col(doc_id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
+    )
+    spans = toks.select(
+        "doc_id", F.explode(raw_ngrams_col("toks", n)).alias("span")
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf/df weighting —
+    document keyword extraction (the retrieval/tagging primitive; also
+    the salience signal quality classifiers consume).
+
+    The score is ``tf / df`` — monotone in tf·idf for any fixed corpus
+    size, chosen over ``tf·ln(N/df)`` deliberately: a single IEEE
+    division of two small integers is CORRECTLY-ROUNDED and therefore
+    bit-identical in every engine, so ranks (and the oracle diff) can
+    never flip on a libm ``ln`` ulp.
+
+    Plan: explode tokens → per-(doc, term) count (two-phase) → per-term
+    document frequency reused FROM the tf frame (one extra vocab-sized
+    aggregate, not a second corpus scan) → join score → per-doc top-k
+    window. Shuffles: tf groupBy, df groupBy (vocab-sized), score join
+    on term, final window on doc — each key-partitioned, no global sort,
+    ties broken by term for determinism.
+    """
+    toks = docs.select(
+        F.col(doc_id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -47,13 +47,16 @@ from ..operators.similarity import (
 )
 from ..operators.textops import (
     bpe_ish_token_count,
+    bpe_pair_counts,
     contamination_screen,
+    duplicated_spans,
     holdout_split_col,
     pack_sequences,
     predicted_lang_col,
     quality_score_cols,
     raw_ngrams_col,
     stopword_lang_scores,
+    tfidf_top_terms,
     token_budget_sample,
     token_count_col,
     tokens_col,
@@ -4030,6 +4033,200 @@ def q_llm_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_bpe_pairs",
+    r"""
+    WITH words AS (
+      SELECT tok AS word, COUNT(*) AS wc
+      FROM (SELECT unnest(string_split(
+              regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY tok),
+    pairs AS (
+      SELECT word, wc, substring(word, i, 2) AS pair
+      FROM words, LATERAL (SELECT unnest(generate_series(1, length(word) - 1)) AS i)
+      WHERE length(word) >= 2)
+    SELECT pair,
+           CAST(SUM(wc) AS BIGINT) AS n_occ,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+    FROM pairs GROUP BY pair
+    ORDER BY n_occ DESC, pair LIMIT 20
+    """,
+)
+def q_llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training prep (operators.textops.bpe_pair_counts): the
+    top-20 weighted character-pair counts — the first BPE merge
+    decision's statistic. The corpus collapses to a word-frequency
+    table first (the classic reduction: corpus-sized input, vocab-sized
+    output), so the pair expansion runs over distinct words only;
+    top-20 via TakeOrderedAndProject (per-partition heaps, no global
+    sort). Exact integer output, deterministic pair tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        bpe_pair_counts(docs)
+        .orderBy(F.col("n_occ").desc(), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "q_llm_span_dedup",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split(
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+    spans AS (
+      SELECT doc_id, list_aggregate(t[i:i+7], 'string_agg', ' ') AS span
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i)
+      WHERE len(t) >= 8)
+    SELECT span,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_occ DESC, span LIMIT 50
+    """,
+)
+def q_llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplicate detection (operators.textops.
+    duplicated_spans): 8-token windows recurring across ≥2 distinct
+    documents — the sub-document dedup pass (boilerplate, license
+    blocks, quoted passages) that document-level near-dup misses.
+    One explode + one span groupBy whose map-side partial collapses
+    single-doc spans before the exchange; top-50 by occurrence for a
+    bounded, deterministic output."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        duplicated_spans(docs, n=8)
+        .orderBy(F.col("n_occ").desc(), "span")
+        .limit(50)
+    )
+
+
+@register(
+    "q_llm_tfidf_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             CAST(tf AS DOUBLE) / df AS score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY CAST(tf AS DOUBLE) / df DESC, term)
+               AS rank
+      FROM tf JOIN df USING (term))
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           ROUND(score, 6) AS score, CAST(rank AS INTEGER) AS rank
+    FROM scored WHERE rank <= 3 AND doc_id < 100
+    """,
+)
+def q_llm_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document characteristic terms (operators.textops.
+    tfidf_top_terms): top-3 by tf/df — monotone in tf·idf for a fixed
+    corpus, but built ONLY from correctly-rounded integer division so
+    the rank order is bit-identical across engines (a libm ln() in the
+    score could flip a rank on one ulp). df is computed over the FULL
+    corpus; only the reported slice is bounded (doc_id < 100)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3).where(F.col("doc_id") < 100)
+
+
+_EMPTY_KMEANS_CHECK_ORACLE = """
+    SELECT CAST(NULL AS VARCHAR) AS kind,
+           CAST(NULL AS DOUBLE) AS metric_value,
+           CAST(NULL AS DOUBLE) AS bound
+    WHERE FALSE
+"""
+
+
+@register("q_llm_kmeans_check", _EMPTY_KMEANS_CHECK_ORACLE)
+def q_llm_kmeans_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means invariant gate (expected EMPTY): run
+    operators.similarity.kmeans_embeddings (the semantic-dedup /
+    corpus-cartography clustering step) and verify Lloyd's-algorithm
+    invariants that hold for ANY correct implementation — no oracle
+    re-run needed:
+
+    - post-assignment inertia is NON-INCREASING across iterations
+      (each assign step picks the argmin; each update step is the
+      cluster mean, the SSE minimizer) — tolerance 1e-9 relative for
+      float associativity;
+    - every point is assigned exactly once (assignment count = corpus
+      count) to a cluster id in [0, k);
+    - final-assignment inertia ≤ the last recorded iteration's (the
+      final centroids are the last update's output).
+
+    Emits violating rows; degeneracy-guarded (a zero-iteration or
+    empty-corpus run fails loudly)."""
+    from ..operators.similarity import kmeans_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    assignments, _cent, history = kmeans_embeddings(emb, k=8, iters=4)
+    assignments = assignments.localCheckpoint()
+    hist_rows = [(i, v) for i, v in enumerate(history)]
+    hist = spark.createDataFrame(hist_rows, "iteration int, inertia double")
+    # the history frame is `iters` rows — a single-partition window over
+    # it is intentional (partitionBy a constant to say so explicitly)
+    prev = F.lag("inertia").over(
+        Window.partitionBy(F.lit(0)).orderBy("iteration")
+    )
+    bad_monotone = (
+        hist.withColumn("prev", prev)
+        .where(F.col("prev").isNotNull())
+        .where(F.col("inertia") > F.col("prev") * (1 + 1e-9) + 1e-9)
+        .select(
+            F.lit("inertia_increase").alias("kind"),
+            F.col("inertia").alias("metric_value"),
+            F.col("prev").alias("bound"),
+        )
+    )
+    n_points = emb.count()
+    counts = assignments.agg(
+        F.count("*").alias("n_assigned"),
+        F.min("cluster").alias("min_c"),
+        F.max("cluster").alias("max_c"),
+        F.sum("dist2").alias("final_inertia"),
+    )
+    bad_counts = counts.where(F.col("n_assigned") != n_points).select(
+        F.lit("assignment_count_mismatch").alias("kind"),
+        F.col("n_assigned").cast("double").alias("metric_value"),
+        F.lit(float(n_points)).alias("bound"),
+    )
+    bad_ids = counts.where(
+        (F.col("min_c") < 0) | (F.col("max_c") >= 8)
+    ).select(
+        F.lit("cluster_id_out_of_range").alias("kind"),
+        F.col("max_c").cast("double").alias("metric_value"),
+        F.lit(8.0).alias("bound"),
+    )
+    last = history[-1] if history else float("inf")
+    bad_final = counts.where(
+        F.col("final_inertia") > F.lit(last) * (1 + 1e-9) + 1e-9
+    ).select(
+        F.lit("final_inertia_above_last_iteration").alias("kind"),
+        F.col("final_inertia").alias("metric_value"),
+        F.lit(last).alias("bound"),
+    )
+    guard = spark.createDataFrame(
+        [("degenerate_no_iterations", -1.0, 0.0)] if not history else [],
+        "kind string, metric_value double, bound double",
+    )
+    return (
+        bad_monotone.unionByName(bad_counts)
+        .unionByName(bad_ids)
+        .unionByName(bad_final)
+        .unionByName(guard)
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: billing-core semantics in one plan."""
     return q_billing_flagship_daily(spark, sf_dir)
@@ -4050,7 +4247,13 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 
 _DRIVER_PRIORITY = [
     # never driver-verified: the 3 queries registered after the r3
-    # driver run, plus this round's new probe-table contamination path
+    # driver run, plus this round's new operators (probe-table
+    # contamination, BPE pair counts, span dedup, tf-idf terms,
+    # k-means invariant gate)
+    "q_llm_bpe_pairs",
+    "q_llm_span_dedup",
+    "q_llm_tfidf_terms",
+    "q_llm_kmeans_check",
     "q_llm_contamination",
     "q_llm_contamination_probe",
     "q_llm_sequence_packing",
@@ -4067,13 +4270,15 @@ _DRIVER_PRIORITY = [
     "q_rel_asof_join",
     "q_rel_q10_returned_items",
     # rotated back in: queries whose last driver verdict is r2. The
-    # 13-slot head (11 never-verified + the 2 re-confirmations) leaves
-    # room for 37 of the 44 r2-green queries; the displaced SEVEN —
+    # 17-slot head (15 never-verified + the 2 re-confirmations) leaves
+    # room for 33 of the 44 r2-green queries; the displaced ELEVEN —
     # chunk_stats, scrub_stats, vocab_top20, repetition_stats,
-    # curation_pipeline, near_dup_blocked, embedding_norms — stay
-    # pytest-oracle-verified at sf0.001 every run and MUST lead round
-    # 5's backfill (tests/test_driver_rotation.py turns that obligation
-    # into a build failure once CORRECTNESS_r04 lands).
+    # curation_pipeline, near_dup_blocked, embedding_norms,
+    # ngram_jaccard_pairs, embedding_near_dup, rolling_fingerprint,
+    # multimodal_check — stay pytest-oracle-verified at sf0.001 every
+    # run and MUST lead round 5's backfill
+    # (tests/test_driver_rotation.py turns that obligation into a build
+    # failure once CORRECTNESS_r04 lands).
     "q_billing_hourly_windows",
     "q_rel_approx_percentiles",
     "q_rel_approx_distinct",
@@ -4107,10 +4312,6 @@ _DRIVER_PRIORITY = [
     "q_llm_quantized_recall",
     "q_llm_ivf_recall",
     "q_llm_lsh_recall",
-    "q_llm_ngram_jaccard_pairs",
-    "q_llm_embedding_near_dup",
-    "q_llm_rolling_fingerprint",
-    "q_llm_multimodal_check",
 ]
 
 

@@ -765,3 +765,109 @@ def test_ansi_zero_guards(spark):
     ranks = {r.neighbor_id: r.rank for r in out.collect()}
     assert ranks.get(3) == 1, ranks
     assert ranks.get(1, 99) > ranks[3], ranks
+
+
+def test_bpe_pair_counts_weighted_exact(spark):
+    """Pair counts weight by word frequency, count within-word repeats,
+    and skip single-char words entirely."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        bpe_pair_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aba aba x"),   # 'aba' twice here
+            (1, "aba bb x y"),  # once more → wc(aba)=3
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["pair"]: (r["n_occ"], r["n_words"]) for r in bpe_pair_counts(docs).collect()}
+    # 'aba' (wc=3) contributes ab+ba per occurrence; 'bb' (wc=1) → bb.
+    assert out["ab"] == (3, 1)
+    assert out["ba"] == (3, 1)
+    assert out["bb"] == (1, 1)
+    # single-char words ('x' wc=2, 'y' wc=1) produce no pairs at all
+    assert set(out) == {"ab", "ba", "bb"}
+
+
+def test_duplicated_spans_cross_doc_only(spark):
+    """A window repeated WITHIN one doc does not qualify; the same
+    window across two docs does, with within-doc multiplicity counted."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        duplicated_spans,
+    )
+
+    boiler = "this license text is repeated verbatim everywhere"  # 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, f"{boiler} unique tail zero"),
+            (1, f"prefix one {boiler} and something else"),
+            (2, "solo doc repeat repeat repeat repeat repeat repeat repeat repeat"),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicated_spans(docs, n=7).collect()
+    spans = {r["span"]: (r["n_docs"], r["n_occ"]) for r in out}
+    assert boiler in spans and spans[boiler] == (2, 2)
+    # doc 2's within-doc repeated 7-gram never reaches n_docs >= 2
+    assert all(r["n_docs"] >= 2 for r in out)
+    assert not any("repeat repeat" in s for s in spans)
+
+
+def test_tfidf_top_terms_rank_and_ties(spark):
+    """Doc-frequent terms rank below doc-specific ones; ties break by
+    term; df spans the full corpus."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common zebra zebra apple"),
+            (1, "common apple"),
+            (2, "common banana"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2)
+    rows = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+    # doc 0: zebra tf=2 df=1 → 2.0 beats apple (1/2) and common (1/3)
+    assert rows[(0, 1)]["term"] == "zebra" and rows[(0, 1)]["score"] == 2.0
+    assert rows[(0, 2)]["term"] == "apple" and rows[(0, 2)]["score"] == 0.5
+    # doc 2: banana (1/1) then common (1/3); df counts all three docs
+    assert rows[(2, 1)]["term"] == "banana"
+    assert rows[(2, 2)]["term"] == "common" and rows[(2, 2)]["df"] == 3
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """On well-separated blobs: monotone inertia, every point assigned,
+    and blob members never split across clusters."""
+    import numpy as np
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        kmeans_embeddings,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    rows = []
+    for i in range(90):
+        blob = i % 3
+        v = centers[blob] + rng.normal(scale=0.1, size=4)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assignments, cent, history = kmeans_embeddings(emb, k=3, iters=4, init_sample=90)
+    got = assignments.collect()
+    assert len(got) == 90
+    assert all(0 <= r["cluster"] < 3 for r in got)
+    for a, b in zip(history, history[1:]):
+        assert b <= a * (1 + 1e-9) + 1e-9
+    # blob → one cluster each, all three clusters used
+    blob_to_cluster = {}
+    for r in got:
+        blob = r["id"] % 3
+        blob_to_cluster.setdefault(blob, set()).add(r["cluster"])
+    assert all(len(cs) == 1 for cs in blob_to_cluster.values())
+    assert len({next(iter(cs)) for cs in blob_to_cluster.values()}) == 3
+    # converged inertia ≈ within-blob noise only (scale 0.1 → tiny)
+    assert history[-1] < 10.0
