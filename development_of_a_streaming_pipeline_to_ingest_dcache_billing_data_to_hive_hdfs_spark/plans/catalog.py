@@ -2160,6 +2160,25 @@ def q_llm_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_violation(exact, approx, floor=0.5)
 
 
+@register("q_llm_pq_recall", _EMPTY_RECALL_ORACLE)
+def q_llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate cosine top-5 (16 subspaces × 16
+    codewords — the 32×-compressed neighbor index; JVM-codegen ADC
+    scoring via zip_with over the broadcast query LUTs; exact rerank of
+    the ADC shortlist), gated on recall ≥ 0.6 vs brute force (the
+    pytest floor; deterministic farthest-first codebook training ⇒
+    stable driver check)."""
+    from ..operators.similarity import pq_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    approx = pq_cosine_topk(emb, queries, k=5, m=16, ks=16, shortlist=60)
+    return _recall_violation(exact, approx, floor=0.6)
+
+
 @register("q_llm_lsh_recall", _EMPTY_RECALL_ORACLE)
 def q_llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH approximate cosine top-5, gated on recall
@@ -4251,6 +4270,7 @@ _DRIVER_PRIORITY = [
     # contamination, BPE pair counts, span dedup, tf-idf terms,
     # k-means invariant gate)
     "q_llm_bpe_pairs",
+    "q_llm_pq_recall",
     "q_llm_span_dedup",
     "q_llm_tfidf_terms",
     "q_llm_kmeans_check",
@@ -4270,13 +4290,13 @@ _DRIVER_PRIORITY = [
     "q_rel_asof_join",
     "q_rel_q10_returned_items",
     # rotated back in: queries whose last driver verdict is r2. The
-    # 17-slot head (15 never-verified + the 2 re-confirmations) leaves
-    # room for 33 of the 44 r2-green queries; the displaced ELEVEN —
+    # 18-slot head (16 never-verified + the 2 re-confirmations) leaves
+    # room for 32 of the 44 r2-green queries; the displaced TWELVE —
     # chunk_stats, scrub_stats, vocab_top20, repetition_stats,
     # curation_pipeline, near_dup_blocked, embedding_norms,
     # ngram_jaccard_pairs, embedding_near_dup, rolling_fingerprint,
-    # multimodal_check — stay pytest-oracle-verified at sf0.001 every
-    # run and MUST lead round 5's backfill
+    # multimodal_check, lsh_recall — stay pytest-oracle-verified at
+    # sf0.001 every run and MUST lead round 5's backfill
     # (tests/test_driver_rotation.py turns that obligation into a build
     # failure once CORRECTNESS_r04 lands).
     "q_billing_hourly_windows",
@@ -4311,7 +4331,6 @@ _DRIVER_PRIORITY = [
     "q_llm_cosine_topk",
     "q_llm_quantized_recall",
     "q_llm_ivf_recall",
-    "q_llm_lsh_recall",
 ]
 
 

@@ -871,3 +871,44 @@ def test_kmeans_recovers_separated_clusters(spark):
     assert len({next(iter(cs)) for cs in blob_to_cluster.values()}) == 3
     # converged inertia ≈ within-blob noise only (scale 0.1 → tiny)
     assert history[-1] < 10.0
+
+
+def test_pq_topk_recall_and_compression(spark):
+    """PQ-with-rerank beats the recall floor on the real embeddings
+    table; codes are m small ints (the 32× index compression)."""
+    from pyspark.sql import functions as F
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        pq_cosine_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+    import numpy as np
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_cosine_topk(emb, q, k=5, m=16, ks=16, shortlist=60).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.6
+    # encoding shape: one int code per subspace, all within [0, ks)
+    sample = np.stack(
+        [np.asarray(r["embedding"]) for r in emb.limit(256).collect()]
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cb = pq_train_codebooks(sample, m=16, ks=16)
+    assert cb.shape == (16, 16, 4)
+    codes = pq_encode(emb, cb).collect()
+    assert all(len(r["codes"]) == 16 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r["codes"])
+    # determinism: training twice on the same sample is bit-identical
+    assert (pq_train_codebooks(sample, m=16, ks=16) == cb).all()
