@@ -4156,6 +4156,60 @@ def q_llm_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=3).where(F.col("doc_id") < 100)
 
 
+@register(
+    "q_rel_recursive_cte",
+    """
+    WITH RECURSIVE months(m) AS (
+      SELECT CAST(date_trunc('month', (SELECT MIN(o_orderdate) FROM orders))
+                  AS DATE)
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+      WHERE m < CAST(date_trunc('month', (SELECT MAX(o_orderdate) FROM orders))
+                     AS DATE)
+    )
+    SELECT strftime(m, '%Y-%m-%d') AS month, COALESCE(n, 0) AS n_orders
+    FROM months LEFT JOIN (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1) ON m = m2
+    ORDER BY month
+    """,
+)
+def q_rel_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, Spark 4): calendar densification —
+    generate every month between the first and last order date and left
+    join the per-month order counts, so empty months appear as explicit
+    zero rows (the gap-filling pattern reporting needs and a bare
+    groupBy cannot produce). The recursion generates ~tens of rows
+    driver-light regardless of corpus size; the only corpus-sized work
+    is the per-month aggregate, which broadcasts against the tiny month
+    spine. The reference has no recursive queries (SURVEY §2.4 explicit
+    absence — relational surface required by contract)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_for_recursive"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT CAST(date_trunc('MONTH',
+                   (SELECT MIN(o_orderdate) FROM orders_for_recursive))
+                 AS DATE)
+          UNION ALL
+          SELECT add_months(m, 1) FROM months
+          WHERE m < CAST(date_trunc('MONTH',
+                  (SELECT MAX(o_orderdate) FROM orders_for_recursive))
+                AS DATE)
+        )
+        SELECT date_format(m, 'yyyy-MM-dd') AS month, COALESCE(n, 0) AS n_orders
+        FROM months LEFT JOIN (
+          SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS m2,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders_for_recursive GROUP BY 1) ON m = m2
+        ORDER BY month
+        """
+    )
+
+
 _EMPTY_KMEANS_CHECK_ORACLE = """
     SELECT CAST(NULL AS VARCHAR) AS kind,
            CAST(NULL AS DOUBLE) AS metric_value,
@@ -4271,6 +4325,7 @@ _DRIVER_PRIORITY = [
     # k-means invariant gate)
     "q_llm_bpe_pairs",
     "q_llm_pq_recall",
+    "q_rel_recursive_cte",
     "q_llm_span_dedup",
     "q_llm_tfidf_terms",
     "q_llm_kmeans_check",
@@ -4290,12 +4345,13 @@ _DRIVER_PRIORITY = [
     "q_rel_asof_join",
     "q_rel_q10_returned_items",
     # rotated back in: queries whose last driver verdict is r2. The
-    # 18-slot head (16 never-verified + the 2 re-confirmations) leaves
-    # room for 32 of the 44 r2-green queries; the displaced TWELVE —
+    # 19-slot head (17 never-verified + the 2 re-confirmations) leaves
+    # room for 31 of the 44 r2-green queries; the displaced THIRTEEN —
     # chunk_stats, scrub_stats, vocab_top20, repetition_stats,
     # curation_pipeline, near_dup_blocked, embedding_norms,
     # ngram_jaccard_pairs, embedding_near_dup, rolling_fingerprint,
-    # multimodal_check, lsh_recall — stay pytest-oracle-verified at
+    # multimodal_check, lsh_recall, simhash_check — stay
+    # pytest-oracle-verified at
     # sf0.001 every run and MUST lead round 5's backfill
     # (tests/test_driver_rotation.py turns that obligation into a build
     # failure once CORRECTNESS_r04 lands).
@@ -4327,7 +4383,6 @@ _DRIVER_PRIORITY = [
     "q_llm_shingle_stats",
     "q_llm_minhash_check",
     "q_llm_cluster_check",
-    "q_llm_simhash_check",
     "q_llm_cosine_topk",
     "q_llm_quantized_recall",
     "q_llm_ivf_recall",
