@@ -446,3 +446,36 @@ def tfidf_top_terms(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def linear_quality_logit(
+    *,
+    w_stopword: float = 2.0,
+    w_length: float = 1.0,
+    w_punct: float = -2.0,
+    bias: float = -0.26,
+    col: str = "text",
+) -> Column:
+    """Model-based quality scoring as a pure scan-stage expression: the
+    logit of a linear classifier over the engine's quality signals
+    (stopword ratio, capped length, punctuation ratio) with BROADCAST
+    weights — the fastText-style quality-filter shape (a real model's
+    coefficients drop in; these defaults split the synthetic corpus
+    near its median).
+
+    Determinism is the design constraint: every term is built from
+    correctly-rounded IEEE ops only (integer-ratio divisions, one
+    division by 256.0 = 2⁸, multiply-add in a FIXED order), and the
+    sigmoid is deliberately NOT applied — ``exp()`` is a libm call
+    whose last ulp differs across engines, while the logit and the
+    ``logit > 0`` decision are bit-identical everywhere. Monotone in
+    the probability, so thresholding/ranking lose nothing.
+    """
+    q = quality_score_cols(col)
+    len_feat = F.least(q["n_tokens"] / F.lit(256.0), F.lit(1.0))
+    return (
+        F.lit(bias)
+        + F.lit(w_stopword) * q["stopword_ratio"]
+        + F.lit(w_length) * len_feat
+        + F.lit(w_punct) * q["punct_ratio"]
+    )

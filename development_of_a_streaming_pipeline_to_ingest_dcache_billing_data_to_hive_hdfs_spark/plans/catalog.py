@@ -4210,6 +4210,57 @@ def q_rel_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_quality_classifier",
+    r"""
+    WITH feats AS (
+      SELECT doc_id, source,
+        ROUND((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+              / greatest(length(text), 1), 4) AS punct_ratio,
+        ROUND(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  t -> list_contains(['the','and','of','to','is','in','that','it','was','for'], t)))
+              / greatest(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t <> '')), 1), 4) AS stopword_ratio,
+        least(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  t -> t <> '')) / 256.0, 1.0) AS len_feat
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source,
+             -0.26 + 2.0 * stopword_ratio + 1.0 * len_feat
+                   + -2.0 * punct_ratio AS logit
+      FROM feats)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           ROUND(AVG(logit), 4) AS avg_logit
+    FROM scored GROUP BY source
+    """,
+)
+def q_llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (operators.textops.
+    linear_quality_logit): a linear classifier's logit over the quality
+    signals with broadcast weights — the fastText-style filter shape —
+    aggregated per source (keep counts + mean logit). The whole model
+    is one codegen'd scan-stage expression built ONLY from
+    correctly-rounded IEEE ops in a fixed order, so the keep decision
+    (logit > 0) is bit-identical in the DuckDB oracle; the sigmoid is
+    deliberately omitted (libm exp() ulp differs across engines, and
+    thresholding is monotone in the logit)."""
+    from ..operators.textops import linear_quality_logit
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source", linear_quality_logit().alias("logit")
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("logit") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_keep"),
+        F.round(F.avg("logit"), 4).alias("avg_logit"),
+    )
+
+
 _EMPTY_KMEANS_CHECK_ORACLE = """
     SELECT CAST(NULL AS VARCHAR) AS kind,
            CAST(NULL AS DOUBLE) AS metric_value,
@@ -4326,6 +4377,7 @@ _DRIVER_PRIORITY = [
     "q_llm_bpe_pairs",
     "q_llm_pq_recall",
     "q_rel_recursive_cte",
+    "q_llm_quality_classifier",
     "q_llm_span_dedup",
     "q_llm_tfidf_terms",
     "q_llm_kmeans_check",
@@ -4345,12 +4397,12 @@ _DRIVER_PRIORITY = [
     "q_rel_asof_join",
     "q_rel_q10_returned_items",
     # rotated back in: queries whose last driver verdict is r2. The
-    # 19-slot head (17 never-verified + the 2 re-confirmations) leaves
-    # room for 31 of the 44 r2-green queries; the displaced THIRTEEN —
+    # 20-slot head (18 never-verified + the 2 re-confirmations) leaves
+    # room for 30 of the 44 r2-green queries; the displaced FOURTEEN —
     # chunk_stats, scrub_stats, vocab_top20, repetition_stats,
     # curation_pipeline, near_dup_blocked, embedding_norms,
     # ngram_jaccard_pairs, embedding_near_dup, rolling_fingerprint,
-    # multimodal_check, lsh_recall, simhash_check — stay
+    # multimodal_check, lsh_recall, simhash_check, cluster_check — stay
     # pytest-oracle-verified at
     # sf0.001 every run and MUST lead round 5's backfill
     # (tests/test_driver_rotation.py turns that obligation into a build
@@ -4382,7 +4434,6 @@ _DRIVER_PRIORITY = [
     "q_llm_lang_id",
     "q_llm_shingle_stats",
     "q_llm_minhash_check",
-    "q_llm_cluster_check",
     "q_llm_cosine_topk",
     "q_llm_quantized_recall",
     "q_llm_ivf_recall",

@@ -912,3 +912,27 @@ def test_pq_topk_recall_and_compression(spark):
     assert all(0 <= c < 16 for r in codes for c in r["codes"])
     # determinism: training twice on the same sample is bit-identical
     assert (pq_train_codebooks(sample, m=16, ks=16) == cb).all()
+
+
+def test_linear_quality_logit_decision(spark):
+    """The classifier keeps stopword-rich prose and drops punctuation
+    soup; the logit is a plain column (scan-stage, no shuffle)."""
+    from pyspark.sql import functions as F
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        linear_quality_logit,
+    )
+
+    prose = "the cat and the dog ran to the house and it was for the best " * 8
+    noise = "!!! ??? ;;; ### $$$ %%% @@@ &&& *** ((( ))) ^^^"
+    docs = spark.createDataFrame(
+        [(0, prose), (1, noise)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["logit"]
+        for r in docs.select(
+            "doc_id", linear_quality_logit().alias("logit")
+        ).collect()
+    }
+    assert out[0] > 0, out
+    assert out[1] < 0, out
