@@ -69,6 +69,13 @@ BENCH_QUERIES = [
     # split) vs explicitly salted — the salted operator's evidence row
     "q_rel_skew_join_plain",
     "q_rel_skew_join_salted",
+    # round-4 operators: span-level dedup (token-window explode+agg),
+    # BPE pair counts (word-frequency reduction), PQ ANN (ADC+rerank),
+    # distributed k-means (4 Lloyd iterations, measured end-to-end)
+    "q_llm_span_dedup",
+    "q_llm_bpe_pairs",
+    "q_llm_pq_topk",
+    "q_llm_kmeans",
 ]
 
 

@@ -465,3 +465,49 @@ class FingerprintStore:
             fps.select(
                 *[c for c in fps.columns if c in table_cols]
             ).write.insertInto(self.table)
+
+
+def prefix_duplicate_groups(
+    docs: DataFrame,
+    n_prefix: int = 16,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Truncation-duplicate detection: documents sharing their first
+    ``n_prefix`` normalized tokens — the scrape-artifact family exact
+    dedup misses (same page captured at different lengths, feed items
+    cut mid-document) and near-dup misses when the tails diverge
+    enough.
+
+    Key = md5 of the joined token prefix (portable across engines, like
+    ``fingerprint``). One scan builds the prefix hash in the scan stage
+    (slice + concat_ws + md5, all codegen); one groupBy on the hash with
+    map-side partials; groups of one collapse before the exchange.
+    Docs shorter than ``n_prefix`` tokens are excluded — their "prefix"
+    is the whole document, which is exact dedup's job, not this pass's.
+
+    Output: (prefix_fp, n_docs, min_tokens, max_tokens) per shared
+    prefix with ≥ 2 documents; min < max is the truncation signature.
+    """
+    from .textops import tokens_col
+
+    toks = docs.select(
+        F.col(doc_id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
+    ).withColumn("n_tok", F.size("toks"))
+    pref = toks.where(F.col("n_tok") >= n_prefix).select(
+        "doc_id",
+        "n_tok",
+        F.md5(F.concat_ws(" ", F.slice("toks", 1, n_prefix))).alias(
+            "prefix_fp"
+        ),
+    )
+    return (
+        pref.groupBy("prefix_fp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("n_tok").cast("bigint").alias("min_tokens"),
+            F.max("n_tok").cast("bigint").alias("max_tokens"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

@@ -4261,6 +4261,38 @@ def q_llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_prefix_dups",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split(
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+    pref AS (
+      SELECT doc_id, len(t) AS n_tok,
+             md5(list_aggregate(t[1:16], 'string_agg', ' ')) AS prefix_fp
+      FROM toks WHERE len(t) >= 16)
+    SELECT prefix_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+    FROM pref GROUP BY prefix_fp HAVING COUNT(*) >= 2
+    """,
+)
+def q_llm_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate groups (operators.dedup.
+    prefix_duplicate_groups): documents sharing their first 16
+    normalized tokens — the same-page-different-length scrape artifact
+    exact dedup misses. Prefix md5 built in the scan stage; one groupBy
+    with map-side partials (singleton prefixes collapse before the
+    exchange); min < max token count is the truncation signature.
+    Portable md5 key ⇒ exact oracle diff."""
+    from ..operators.dedup import prefix_duplicate_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_duplicate_groups(docs, n_prefix=16)
+
+
 _EMPTY_KMEANS_CHECK_ORACLE = """
     SELECT CAST(NULL AS VARCHAR) AS kind,
            CAST(NULL AS DOUBLE) AS metric_value,
@@ -4351,6 +4383,37 @@ def q_llm_kmeans_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_bench_only("q_llm_pq_topk")
+def q_llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw PQ search (train → encode → JVM ADC → exact rerank) —
+    the performance-shaped output. The driver-checked q_llm_pq_recall
+    twin ALSO runs brute force and the recall compare, which would
+    make the bench measure the harness, not the operator."""
+    from ..operators.similarity import pq_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    return pq_cosine_topk(emb, queries, k=5, m=16, ks=16, shortlist=60)
+
+
+@register_bench_only("q_llm_kmeans")
+def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full distributed k-means fit (4 Lloyd iterations + final
+    assignment) — the performance-shaped run of the clustering step;
+    q_llm_kmeans_check is its invariant-gated correctness twin. The
+    iteration collects happen at call time, so the bench measures the
+    whole fit, not just the last assignment scan."""
+    from ..operators.similarity import kmeans_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    assignments, _cent, _history = kmeans_embeddings(emb, k=8, iters=4)
+    return assignments
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: billing-core semantics in one plan."""
     return q_billing_flagship_daily(spark, sf_dir)
@@ -4378,6 +4441,7 @@ _DRIVER_PRIORITY = [
     "q_llm_pq_recall",
     "q_rel_recursive_cte",
     "q_llm_quality_classifier",
+    "q_llm_prefix_dups",
     "q_llm_span_dedup",
     "q_llm_tfidf_terms",
     "q_llm_kmeans_check",
@@ -4397,12 +4461,13 @@ _DRIVER_PRIORITY = [
     "q_rel_asof_join",
     "q_rel_q10_returned_items",
     # rotated back in: queries whose last driver verdict is r2. The
-    # 20-slot head (18 never-verified + the 2 re-confirmations) leaves
-    # room for 30 of the 44 r2-green queries; the displaced FOURTEEN —
+    # 21-slot head (19 never-verified + the 2 re-confirmations) leaves
+    # room for 29 of the 44 r2-green queries; the displaced FIFTEEN —
     # chunk_stats, scrub_stats, vocab_top20, repetition_stats,
     # curation_pipeline, near_dup_blocked, embedding_norms,
     # ngram_jaccard_pairs, embedding_near_dup, rolling_fingerprint,
-    # multimodal_check, lsh_recall, simhash_check, cluster_check — stay
+    # multimodal_check, lsh_recall, simhash_check, cluster_check,
+    # minhash_check — stay
     # pytest-oracle-verified at
     # sf0.001 every run and MUST lead round 5's backfill
     # (tests/test_driver_rotation.py turns that obligation into a build
@@ -4433,7 +4498,6 @@ _DRIVER_PRIORITY = [
     "q_llm_text_quality",
     "q_llm_lang_id",
     "q_llm_shingle_stats",
-    "q_llm_minhash_check",
     "q_llm_cosine_topk",
     "q_llm_quantized_recall",
     "q_llm_ivf_recall",

@@ -936,3 +936,27 @@ def test_linear_quality_logit_decision(spark):
     }
     assert out[0] > 0, out
     assert out[1] < 0, out
+
+
+def test_prefix_duplicate_groups_truncation(spark):
+    """A truncated copy shares the 16-token prefix (min < max tokens);
+    short docs and unique prefixes never appear."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.dedup import (
+        prefix_duplicate_groups,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    truncated = " ".join(f"tok{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, truncated),
+            (2, " ".join(f"other{i}" for i in range(25))),
+            (3, "way too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = prefix_duplicate_groups(docs, n_prefix=16).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2
+    assert (out[0]["min_tokens"], out[0]["max_tokens"]) == (20, 30)
