@@ -555,6 +555,7 @@ def kmeans_embeddings(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init_sample: int = 2048,
+    cache: bool = False,
 ):
     """Distributed Lloyd's k-means over an embedding column — the
     clustering step behind semantic dedup (SemDeDup-style: drop
@@ -602,6 +603,12 @@ def kmeans_embeddings(
     dim = cent.shape[1]
     sc = df.sparkSession.sparkContext
     scan = spread_partitions(df.select(F.col(id_col), F.col(vec_col)))
+    # every iteration re-reads the same two-column projection; on a
+    # cluster with memory to spare, caching it trades one materialize
+    # for iters-1 repeated source scans (opt-in: the 100 TB default
+    # must never assume cache capacity)
+    if cache:
+        scan = scan.persist()
 
     def make_assign(b_cent, carry_vec: bool):
         def op(batches):

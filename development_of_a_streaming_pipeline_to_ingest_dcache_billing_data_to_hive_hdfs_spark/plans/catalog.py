@@ -4435,7 +4435,8 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 _DRIVER_PRIORITY = [
     # never driver-verified: the 3 queries registered after the r3
     # driver run, plus this round's new operators (probe-table
-    # contamination, BPE pair counts, span dedup, tf-idf terms,
+    # contamination, BPE pair counts, PQ recall gate, recursive CTE,
+    # quality classifier, prefix dups, span dedup, tf-idf terms,
     # k-means invariant gate)
     "q_llm_bpe_pairs",
     "q_llm_pq_recall",
@@ -4467,9 +4468,8 @@ _DRIVER_PRIORITY = [
     # curation_pipeline, near_dup_blocked, embedding_norms,
     # ngram_jaccard_pairs, embedding_near_dup, rolling_fingerprint,
     # multimodal_check, lsh_recall, simhash_check, cluster_check,
-    # minhash_check — stay
-    # pytest-oracle-verified at
-    # sf0.001 every run and MUST lead round 5's backfill
+    # minhash_check — stay pytest-oracle-verified at sf0.001 every run
+    # and MUST lead round 5's backfill
     # (tests/test_driver_rotation.py turns that obligation into a build
     # failure once CORRECTNESS_r04 lands).
     "q_billing_hourly_windows",

@@ -210,3 +210,112 @@ def test_pack_sequences_matches_cumsum_model(spark, docs, budget):
         model[i] = (s, n, cum.get(s, 0) // budget)
         cum[s] = cum.get(s, 0) + n
     assert got == model
+
+
+tok = st.sampled_from(["a", "b", "ab", "cat", "dog", "zz"])
+docs_strategy = st.lists(
+    st.lists(tok, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(**_SETTINGS)
+@given(docs_strategy)
+def test_bpe_pair_counts_matches_python_oracle(spark, texts):
+    """Weighted char-pair counts agree with a direct Counter oracle
+    (within-word repeats counted, single-char words contribute none)."""
+    from collections import Counter
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        bpe_pair_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["pair"]: (r["n_occ"], r["n_words"])
+        for r in bpe_pair_counts(df).collect()
+    }
+    wc = Counter(w for t in texts for w in t.lower().split() if w)
+    occ: Counter = Counter()
+    words_with: dict[str, set] = {}
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            p = w[i : i + 2]
+            occ[p] += c
+            words_with.setdefault(p, set()).add(w)
+    want = {p: (occ[p], len(words_with[p])) for p in occ}
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(docs_strategy, st.sampled_from([2, 3]))
+def test_duplicated_spans_matches_python_oracle(spark, texts, n):
+    """Cross-doc duplicated n-token windows agree with a brute-force
+    oracle on random corpora."""
+    from collections import Counter
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        duplicated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["span"]: (r["n_docs"], r["n_occ"])
+        for r in duplicated_spans(df, n=n).collect()
+    }
+    occ: Counter = Counter()
+    docs_with: dict[str, set] = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().split() if w]
+        for j in range(len(toks) - n + 1):
+            s = " ".join(toks[j : j + n])
+            occ[s] += 1
+            docs_with.setdefault(s, set()).add(i)
+    want = {
+        s: (len(docs_with[s]), occ[s])
+        for s in occ
+        if len(docs_with[s]) >= 2
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(docs_strategy)
+def test_tfidf_topk_matches_python_oracle(spark, texts):
+    """Top-k tf/df terms per doc agree with a brute-force oracle using
+    the same (score desc, term asc) tie-break."""
+    from collections import Counter
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["rank"]): r["term"]
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+    tf: dict[int, Counter] = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().split() if w]
+        if toks:
+            tf[i] = Counter(toks)
+    df_counts: Counter = Counter()
+    for c in tf.values():
+        for term in c:
+            df_counts[term] += 1
+    want = {}
+    for i, c in tf.items():
+        ranked = sorted(
+            c.items(), key=lambda kv: (-kv[1] / df_counts[kv[0]], kv[0])
+        )
+        for rank, (term, _n) in enumerate(ranked[:2], start=1):
+            want[(i, rank)] = term
+    assert got == want
