@@ -842,3 +842,80 @@ def pq_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w2)).where(
         F.col("rank") <= k
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.35,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = 100_000,
+):
+    """SemDeDup-style semantic deduplication: k-means partitions the
+    embedding space, then near-duplicate pairs (cosine ≥ threshold) are
+    detected ONLY within each cluster — the clustering is the blocking
+    step that makes all-pairs comparison tractable (comparisons drop
+    from O(N²) to Σ O(|cluster|²), and k is chosen so clusters are
+    task-sized). Pairs chain into connected components and each
+    component keeps its min-id representative — identical conventions
+    to the MinHash dedup chain, so downstream tooling is shared.
+
+    Scale levers: ``k`` bounds cluster width (at 100 TB you raise k
+    until clusters are bounded, exactly like IVF lists); a cluster
+    exceeding ``max_cluster_size`` is SKIPPED, not densified (the same
+    skew valve as the LSH bucket verify — a documented recall trade,
+    never an OOM). Within-cluster detection is one bucket-local BLAS
+    matmul per cluster (applyInPandas) — only threshold-passing pairs
+    leave a task. By construction pairs that straddle a cluster
+    boundary are missed — the SemDeDup approximation itself, measured
+    against the global near-dup baseline in tests.
+
+    Returns ``(kept_ids, pairs)``: the deduplicated id frame (one
+    column, ``id_col``) and the within-cluster near-dup pairs.
+    """
+    import pandas as pd
+
+    from .dedup import dedup_clusters
+
+    assignments, _cent, _history = kmeans_embeddings(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    clustered = assignments.select("id", "cluster").join(vecs, "id")
+
+    def cluster_op(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+        )
+        if n < 2 or (max_cluster_size is not None and n > max_cluster_size):
+            return empty
+        ids = pdf["id"].to_numpy()
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        norms = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = (M / norms) @ (M / norms).T
+        keep = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        r, c = np.nonzero(keep)
+        if not len(r):
+            return empty
+        return pd.DataFrame({"id_a": ids[r], "id_b": ids[c], "cos": sims[r, c]})
+
+    pairs = clustered.groupBy("cluster").applyInPandas(
+        cluster_op, "id_a long, id_b long, cos double"
+    )
+    pairs = pairs.localCheckpoint()
+    clusters = dedup_clusters(pairs)
+    drops = (
+        clusters.join(
+            clusters.groupBy("cluster_id").agg(F.min("id").alias("keep_id")),
+            "cluster_id",
+        )
+        .where(F.col("id") != F.col("keep_id"))
+        .select("id")
+    )
+    kept = df.select(F.col(id_col)).join(
+        drops.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+    return kept, pairs

@@ -1835,7 +1835,6 @@ _DUCK_HIT_EXPRS = {
 
 
 @register(
-    "q_llm_lang_id",
     f"""
     WITH scored AS (
       SELECT doc_id, lang,
@@ -1867,7 +1866,6 @@ def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_llm_shingle_stats",
     f"""
     SELECT doc_id,
            CAST(len(list_distinct(
@@ -4262,6 +4260,41 @@ def q_llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rel_forward_fill",
+    """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type <> 'error' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value_filled
+    FROM events
+    """,
+)
+def q_rel_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (forward fill / LOCF): readings flagged
+    invalid (the error rows — the sensor-dropout stand-in) take the
+    user's last valid value instead. One window expression
+    (``last(..., ignorenulls=True)`` over an unbounded-preceding rows
+    frame) — a single shuffle on the series key, per-partition sort, no
+    self-join, no driver loop; values pass through bit-exact (no
+    arithmetic), so the oracle diff is exact. Leading invalid rows stay
+    NULL (nothing to carry), matching both engines' semantics."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    valid = F.when(F.col("event_type") != "error", F.col("value"))
+    return events.select(
+        "event_id",
+        "user_id",
+        F.last(valid, ignorenulls=True).over(w).alias("value_filled"),
+    )
+
+
+@register(
     "q_llm_prefix_dups",
     r"""
     WITH toks AS (
@@ -4414,6 +4447,113 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assignments
 
 
+_EMPTY_SEMDEDUP_CHECK_ORACLE = """
+    SELECT CAST(NULL AS VARCHAR) AS kind,
+           CAST(NULL AS DOUBLE) AS metric_value,
+           CAST(NULL AS DOUBLE) AS bound
+    WHERE FALSE
+"""
+
+
+@register("q_llm_semantic_dedup_check", _EMPTY_SEMDEDUP_CHECK_ORACLE)
+def q_llm_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup invariant gate (expected EMPTY): run
+    operators.similarity.semantic_dedup (k-means blocking →
+    within-cluster BLAS near-dup pairs → connected components →
+    keep-min-representative) and verify the result:
+
+    - PRECISION 1.0: every emitted pair really clears the cosine
+      threshold — recomputed independently JVM-side from the raw
+      embeddings (1e-6 slack for BLAS-vs-expression associativity);
+    - count conservation: |kept| = |corpus| − (|members| − |components|)
+      for the components induced by the pairs;
+    - exactly one kept representative per component;
+    - degeneracy guard: zero within-cluster pairs fails loudly
+      (cross-cluster recall loss is the measured SemDeDup trade,
+      pytest-quantified vs the global baseline — but ZERO pairs means
+      the pipeline under test broke)."""
+    from ..operators.dedup import dedup_clusters
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    kept, pairs = semantic_dedup(emb, threshold=0.35, k=8, iters=2)
+    kept = kept.localCheckpoint()
+    pairs = pairs.localCheckpoint()
+
+    vecs = emb.select(F.col("vec_id"), F.col("embedding"))
+    a = vecs.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    from ..operators.similarity import COSINE_EXPR
+
+    recomputed = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos_jvm", F.expr(COSINE_EXPR.format(a="va", b="vb")))
+    )
+    bad_pairs = recomputed.where(
+        (F.abs(F.col("cos") - F.col("cos_jvm")) > 1e-6)
+        | (F.col("cos_jvm") < 0.35 - 1e-9)
+    ).select(
+        F.lit("pair_below_threshold_or_drifted").alias("kind"),
+        F.col("cos_jvm").alias("metric_value"),
+        F.lit(0.35).alias("bound"),
+    )
+    clusters = dedup_clusters(pairs).localCheckpoint()
+    counts = (
+        emb.agg(F.count("*").alias("n_total"))
+        .crossJoin(kept.agg(F.count("*").alias("n_kept")))
+        .crossJoin(
+            clusters.agg(
+                F.count("*").alias("n_members"),
+                F.count_distinct("cluster_id").alias("n_components"),
+            )
+        )
+    )
+    bad_counts = counts.where(
+        (F.col("n_total") - F.col("n_kept"))
+        != (F.col("n_members") - F.col("n_components"))
+    ).select(
+        F.lit("drop_count_mismatch").alias("kind"),
+        (F.col("n_total") - F.col("n_kept")).cast("double").alias("metric_value"),
+        (F.col("n_members") - F.col("n_components"))
+        .cast("double")
+        .alias("bound"),
+    )
+    kept_ids = kept.select(F.col("vec_id").alias("id"), F.lit(1).alias("k"))
+    per_comp = (
+        clusters.join(kept_ids, "id", "left")
+        .groupBy("cluster_id")
+        .agg(F.sum(F.coalesce(F.col("k"), F.lit(0))).alias("n_kept"))
+    )
+    bad_reps = per_comp.where(F.col("n_kept") != 1).select(
+        F.when(F.col("n_kept") == 0, "component_without_representative")
+        .otherwise("multiple_kept_in_component")
+        .alias("kind"),
+        F.col("n_kept").cast("double").alias("metric_value"),
+        F.lit(1.0).alias("bound"),
+    )
+    guard = (
+        pairs.agg(F.count("*").alias("n"))
+        .where(F.col("n") == 0)
+        .select(
+            F.lit("degenerate_no_pairs").alias("kind"),
+            F.lit(-1.0).alias("metric_value"),
+            F.lit(0.0).alias("bound"),
+        )
+    )
+    return (
+        bad_pairs.unionByName(bad_counts)
+        .unionByName(bad_reps)
+        .unionByName(guard)
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: billing-core semantics in one plan."""
     return q_billing_flagship_daily(spark, sf_dir)
@@ -4443,6 +4583,8 @@ _DRIVER_PRIORITY = [
     "q_rel_recursive_cte",
     "q_llm_quality_classifier",
     "q_llm_prefix_dups",
+    "q_rel_forward_fill",
+    "q_llm_semantic_dedup_check",
     "q_llm_span_dedup",
     "q_llm_tfidf_terms",
     "q_llm_kmeans_check",
@@ -4462,13 +4604,14 @@ _DRIVER_PRIORITY = [
     "q_rel_asof_join",
     "q_rel_q10_returned_items",
     # rotated back in: queries whose last driver verdict is r2. The
-    # 21-slot head (19 never-verified + the 2 re-confirmations) leaves
-    # room for 29 of the 44 r2-green queries; the displaced FIFTEEN —
+    # 23-slot head (21 never-verified + the 2 re-confirmations) leaves
+    # room for 27 of the 44 r2-green queries; the displaced SEVENTEEN —
     # chunk_stats, scrub_stats, vocab_top20, repetition_stats,
     # curation_pipeline, near_dup_blocked, embedding_norms,
     # ngram_jaccard_pairs, embedding_near_dup, rolling_fingerprint,
     # multimodal_check, lsh_recall, simhash_check, cluster_check,
-    # minhash_check — stay pytest-oracle-verified at sf0.001 every run
+    # minhash_check, shingle_stats, lang_id — stay pytest-oracle-verified at
+    # sf0.001 every run
     # and MUST lead round 5's backfill
     # (tests/test_driver_rotation.py turns that obligation into a build
     # failure once CORRECTNESS_r04 lands).
@@ -4496,8 +4639,6 @@ _DRIVER_PRIORITY = [
     "q_llm_token_counts",
     "q_llm_token_counts_bpe",
     "q_llm_text_quality",
-    "q_llm_lang_id",
-    "q_llm_shingle_stats",
     "q_llm_cosine_topk",
     "q_llm_quantized_recall",
     "q_llm_ivf_recall",

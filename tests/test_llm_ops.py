@@ -960,3 +960,86 @@ def test_prefix_duplicate_groups_truncation(spark):
     assert len(out) == 1
     assert out[0]["n_docs"] == 2
     assert (out[0]["min_tokens"], out[0]["max_tokens"]) == (20, 30)
+
+
+def test_semantic_dedup_drops_planted_near_dups(spark):
+    """SemDeDup on planted duplicates: clusters block, within-cluster
+    pairs are exact, each dup group keeps exactly its min id; recall vs
+    the global exact baseline is measured (cluster-boundary misses are
+    the documented approximation)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # 120 base vectors in 3 well-separated blobs + 30 planted near-dups
+    centers = np.array([[8.0, 0, 0, 0], [0, 8.0, 0, 0], [0, 0, 8.0, 0]])
+    for i in range(120):
+        v = centers[i % 3] + rng.normal(scale=1.0, size=4)
+        rows.append((i, [float(x) for x in v]))
+    for j in range(30):  # near-dup of base j: tiny perturbation
+        v = np.asarray(rows[j][1]) + rng.normal(scale=0.01, size=4)
+        rows.append((1000 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kept, pairs = semantic_dedup(emb, threshold=0.995, k=3, iters=3)
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.995, strategy="broadcast"
+        ).collect()
+    }
+    assert got_pairs <= exact  # precision 1.0: blocking never invents pairs
+    recall = len(got_pairs & exact) / len(exact)
+    assert recall >= 0.9, recall  # tight dups co-cluster almost surely
+    # every planted dup pair that was found drops its max-id member
+    for a, b in got_pairs:
+        assert min(a, b) in kept_ids or any(
+            min(a, b) in p for p in got_pairs
+        )
+        assert not (a in kept_ids and b in kept_ids)
+    # exact count: kept = N − (members − components) over the pair graph
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in got_pairs:
+        parent[find(a)] = find(b)
+    members = {x for p in got_pairs for x in p}
+    components = {find(x) for x in members}
+    assert len(kept_ids) == 150 - (len(members) - len(components))
+
+
+def test_semantic_dedup_skips_oversized_clusters(spark):
+    """The max_cluster_size valve drops a too-big cluster from pairing
+    instead of densifying it."""
+    import numpy as np
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=4)]) for i in range(40)
+    ]
+    rows += [(100 + i, list(map(float, np.asarray(rows[i][1]) * 1.0001))) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept, pairs = semantic_dedup(
+        emb, threshold=0.999, k=1, iters=1, max_cluster_size=10
+    )
+    # the single cluster holds all 45 rows > 10 → no pairs, nothing dropped
+    assert pairs.count() == 0
+    assert kept.count() == 45
