@@ -114,3 +114,67 @@ def test_packing_and_budget_never_throw(spark, nasty):
     assert len(got) == len(NASTY)          # every doc gets a pack
     kept = token_budget_sample(nasty, budget_tokens=8)
     assert kept.count() >= 1
+
+
+def test_round4_text_operators_never_throw(spark, nasty):
+    """The round-4 operators over the pathological corpus: pair counts,
+    span dedup, tf-idf, quality classifier, prefix dups. Empty and
+    single-char words must produce no pairs (not throw under ANSI);
+    sub-window docs contribute no spans; empty docs get no tf-idf rows."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.dedup import (
+        prefix_duplicate_groups,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        bpe_pair_counts,
+        duplicated_spans,
+        linear_quality_logit,
+        tfidf_top_terms,
+    )
+
+    pairs = {r["pair"]: r for r in bpe_pair_counts(nasty).collect()}
+    assert "x" not in pairs  # single-char word contributes nothing
+    assert all(len(p) == 2 for p in pairs)
+    # unicode pairs survive (é from 'héllo')
+    assert any("é" in p for p in pairs)
+
+    spans = duplicated_spans(nasty, n=3).collect()
+    for r in spans:  # "a a a" from doc 7 repeats within ONE doc only
+        assert r["n_docs"] >= 2
+
+    tfidf = tfidf_top_terms(nasty, k=2).collect()
+    ids_with_terms = {r["doc_id"] for r in tfidf}
+    assert 1 not in ids_with_terms and 2 not in ids_with_terms  # no tokens
+    assert 3 in ids_with_terms
+    assert all(r["score"] > 0 for r in tfidf)
+
+    logits = nasty.select(
+        "doc_id", linear_quality_logit().alias("z")
+    ).collect()
+    assert all(r["z"] is not None for r in logits)  # empty text included
+
+    # all docs are < 16 tokens except the long one → at most nothing
+    out = prefix_duplicate_groups(nasty, n_prefix=16).collect()
+    assert all(r["n_docs"] >= 2 for r in out)
+
+
+def test_round4_semantic_ops_never_throw(spark):
+    """k-means and PQ on degenerate vector sets: all-identical vectors
+    (k > distinct points) and zero vectors must not divide-by-zero or
+    loop forever."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        kmeans_embeddings,
+        pq_cosine_topk,
+    )
+
+    same = spark.createDataFrame(
+        [(i, [1.0, 2.0, 0.0, 0.0]) for i in range(6)]
+        + [(6, [0.0, 0.0, 0.0, 0.0])],  # a zero vector
+        "vec_id long, embedding array<double>",
+    )
+    assignments, cent, history = kmeans_embeddings(same, k=4, iters=2, init_sample=7)
+    assert assignments.count() == 7
+    for a, b in zip(history, history[1:]):
+        assert b <= a * (1 + 1e-9) + 1e-9
+    q = same.where(F.col("vec_id") < 2)
+    out = pq_cosine_topk(same, q, k=3, m=2, ks=4, train_sample=7, shortlist=5)
+    assert out.count() > 0
