@@ -35,6 +35,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .fs import get_filesystem
 from .schema import PARTITION_FIELD
@@ -182,3 +183,45 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def export_text_shards(
+    df: DataFrame,
+    path: str,
+    target_bytes: int = 256 * 1024 * 1024,
+    text_col: str = "text",
+    sample_rows: int = 1024,
+    fmt: str = "json",
+) -> int:
+    """Export a curated corpus as size-targeted JSONL (or text) shards —
+    the training-data handoff format (one document per line, shards
+    sized for downstream loader parallelism, NOT Spark's default
+    task-count splits).
+
+    Shard count = estimated total text bytes / ``target_bytes``,
+    estimated the same metadata-cheap way as
+    ``multimodal.media_repartition``: a footer-only ``count()`` times
+    the mean text length over a bounded sample — no full scan of the
+    column being budgeted. The repartition is round-robin, so shards
+    come out near-uniform regardless of document-length skew (a
+    hash-partitioned export can produce a 10× shard from one hot key).
+
+    Returns the shard count. Deterministic layout, not deterministic
+    row order (round-robin assignment depends on the input split); for
+    content-stable sharding at the cost of a sort, order by a content
+    hash first and use ``repartitionByRange``.
+    """
+    n_rows = df.count()
+    if n_rows == 0:
+        df.limit(0).write.format(fmt).mode("overwrite").save(path)
+        return 0
+    avg_b = (
+        df.select(F.length(text_col).alias("b"))
+        .limit(sample_rows)
+        .agg(F.avg("b").alias("avg_b"))
+        .first()["avg_b"]
+        or 0.0
+    )
+    n_shards = max(1, int(n_rows * avg_b) // target_bytes + 1)
+    df.repartition(n_shards).write.format(fmt).mode("overwrite").save(path)
+    return n_shards

@@ -291,3 +291,29 @@ def test_expire_default_partition_opt_in(spark, tmp_path):
     )
     assert dropped == ["__HIVE_DEFAULT_PARTITION__"]
     assert not os.path.isdir(ddir)
+
+
+def test_export_text_shards_roundtrip(spark, tmp_path):
+    """JSONL export: shard count tracks the byte target, every document
+    survives a round-trip read, and the empty frame exports cleanly."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sink import (
+        export_text_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 100) for i in range(200)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    # ~200 rows x ~400 bytes = ~80 KB; 16 KB target → ~6 shards
+    n = export_text_shards(docs, out, target_bytes=16 * 1024)
+    assert 3 <= n <= 10
+    import glob
+
+    files = glob.glob(f"{out}/part-*")
+    assert len(files) == n
+    back = spark.read.json(out)
+    assert back.count() == 200
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == set(range(200))
+
+    empty = docs.where("doc_id < 0")
+    assert export_text_shards(empty, str(tmp_path / "empty")) == 0
