@@ -177,3 +177,53 @@ def warehouse_summary(spark: SparkSession, warehouse_dir: str) -> dict:
         except (FileNotFoundError, _json.JSONDecodeError):
             pass
     return out
+
+
+def analyze_table(
+    spark: SparkSession,
+    table: str,
+    columns: list[str] | None = None,
+    partitions: bool = True,
+) -> dict:
+    """Collect catalog statistics for the cost-based optimizer —
+    ``ANALYZE TABLE ... COMPUTE STATISTICS`` (+ ``FOR COLUMNS`` when
+    ``columns`` given, ``PARTITION`` stats for partitioned tables).
+    Without stats, CBO falls back to file sizes: a table whose logical
+    size shrinks after filters still looks too big to broadcast, and
+    join reorders have nothing to go on. Nightly maintenance should run
+    this after compaction (the reference's INSERT-OVERWRITE pipeline has
+    no stats step at all — every plan it ever ran was size-guessed).
+
+    Column stats (ndv/nulls/min/max) are what drive broadcast decisions
+    and join reordering; restrict ``columns`` to join/filter keys —
+    per-column NDV sketches over 100 TB are priced per column.
+
+    Returns the post-analyze stats summary ({rows, bytes}) parsed from
+    DESCRIBE EXTENDED, so callers (and tests) can assert stats landed.
+    """
+    _check_ident(table.replace(".", "_"))
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if partitions:
+        try:
+            spark.sql(f"ANALYZE TABLE {table} PARTITION ({PARTITION_FIELD}) COMPUTE STATISTICS")
+        except Exception:
+            pass  # unpartitioned table or non-standard partition column
+    if columns:
+        for c in columns:
+            _check_ident(c)
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    stats_row = next(
+        (r["data_type"] for r in desc if r["col_name"] == "Statistics"), ""
+    )
+    out: dict = {"raw": stats_row}
+    import re as _re
+
+    m = _re.search(r"(\d+)\s+bytes", stats_row)
+    if m:
+        out["bytes"] = int(m.group(1))
+    m = _re.search(r"(\d+)\s+rows", stats_row)
+    if m:
+        out["rows"] = int(m.group(1))
+    return out

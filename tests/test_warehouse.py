@@ -129,3 +129,30 @@ def test_warehouse_summary_numeric_batch_order_and_any_partition_field(
     assert s["tables"]["docs"]["partition_field"] == "source"
     assert s["tables"]["docs"]["n_partitions"] == 2
     assert s["tables"]["transfers"]["partition_field"] == "partition_date"
+
+
+def test_analyze_table_lands_cbo_stats(spark):
+    """ANALYZE TABLE populates row/byte stats the CBO reads (and column
+    NDV stats when requested); the parsed summary reflects them."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.warehouse import (
+        analyze_table,
+    )
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    df.write.mode("overwrite").saveAsTable("stats_probe")
+    try:
+        out = analyze_table(spark, "stats_probe", columns=["k"], partitions=False)
+        assert out.get("rows") == 500
+        assert out.get("bytes", 0) > 0
+        desc = spark.sql(
+            "DESCRIBE TABLE EXTENDED stats_probe k"
+        ).collect()
+        info = {r["info_name"]: r["info_value"] for r in desc}
+        assert info.get("distinct_count") == "7"
+        # rejects a bad identifier instead of interpolating it
+        with pytest.raises(ValueError):
+            analyze_table(spark, "bad;table")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_probe")
