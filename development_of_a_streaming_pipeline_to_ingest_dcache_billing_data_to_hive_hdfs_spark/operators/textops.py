@@ -479,3 +479,112 @@ def linear_quality_logit(
         + F.lit(w_length) * len_feat
         + F.lit(w_punct) * q["punct_ratio"]
     )
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 50,
+    max_vocab: int = 50_000,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Learn BPE merge rules from the corpus — the tokenizer-training
+    step ``bpe_pair_counts`` provides the statistic for.
+
+    The corpus first collapses to a word-frequency table (one explode +
+    groupBy, corpus-sized input → vocab-sized output); the iterative
+    merge loop then runs DRIVER-SIDE over that collected table, exactly
+    how production tokenizer trainers work (HF/SentencePiece train on
+    word counts, not the raw corpus): each round inherently depends on
+    the previous merge, so the loop is sequential by nature — the
+    distributed win is the 1000× word-count reduction feeding it, and
+    ``max_vocab`` bounds the collect (top-V by frequency,
+    deterministic word tiebreak).
+
+    Deterministic: best pair = max (count, pair) — lexicographic
+    tiebreak, no RNG. Returns merges in learned order (= priority)."""
+    from collections import Counter
+
+    wf = (
+        docs.select(F.explode(tokens_col(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+        .orderBy(F.col("wc").desc(), "word")
+        .limit(max_vocab)
+        .collect()
+    )
+    words = {r["word"]: r["wc"] for r in wf}
+    seqs = {w: list(w) for w in words}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in seqs.items():
+            c = words[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), _cnt = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+        merges.append((a, b))
+        merged = a + b
+        for w, syms in seqs.items():
+            i, out = 0, []
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def bpe_encode_words(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned BPE merges: one row per DISTINCT corpus word with
+    its subword pieces — the tokenizer-apply step.
+
+    The Python encode loop (inherently sequential per word: merges
+    apply in rank order) runs ONLY over distinct words inside
+    mapInPandas — vocab-bounded, the same reduction as training — and
+    per-document tokenization becomes a plain join of the token stream
+    against this (broadcastable) encoding table: no per-token Python
+    anywhere at corpus scale.
+
+    Output: (word, pieces array<string>, n_pieces)."""
+    import pandas as pd
+
+    sc = docs.sparkSession.sparkContext
+    b_ranks = sc.broadcast({pair: i for i, pair in enumerate(merges)})
+
+    def op(batches):
+        ranks = b_ranks.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            out_words, out_pieces = [], []
+            for w in batch["word"]:
+                syms = list(w)
+                while len(syms) > 1:
+                    best, best_rank = None, None
+                    for i in range(len(syms) - 1):
+                        r = ranks.get((syms[i], syms[i + 1]))
+                        if r is not None and (best_rank is None or r < best_rank):
+                            best, best_rank = i, r
+                    if best is None:
+                        break
+                    syms[best : best + 2] = [syms[best] + syms[best + 1]]
+                out_words.append(w)
+                out_pieces.append(syms)
+            yield pd.DataFrame({"word": out_words, "pieces": out_pieces})
+
+    from .dedup import spread_partitions
+
+    words = spread_partitions(
+        docs.select(F.explode(tokens_col(text_col)).alias("word")).distinct()
+    )
+    enc = words.mapInPandas(op, "word string, pieces array<string>")
+    return enc.withColumn("n_pieces", F.size("pieces"))

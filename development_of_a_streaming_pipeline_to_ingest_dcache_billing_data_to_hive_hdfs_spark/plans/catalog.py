@@ -1759,7 +1759,6 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_llm_fingerprints",
     f"""
     SELECT doc_id, md5({_NORM_SQL_DUCK}) AS fp, n_chars
     FROM documents WHERE doc_id < 100
@@ -4447,6 +4446,74 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assignments
 
 
+_EMPTY_BPE_CHECK_ORACLE = """
+    SELECT CAST(NULL AS VARCHAR) AS kind,
+           CAST(NULL AS VARCHAR) AS word,
+           CAST(NULL AS DOUBLE) AS metric_value
+    WHERE FALSE
+"""
+
+
+@register("q_llm_bpe_encode_check", _EMPTY_BPE_CHECK_ORACLE)
+def q_llm_bpe_encode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer round-trip gate (expected EMPTY): learn merges on
+    the corpus (operators.textops.learn_bpe_merges — driver loop over
+    the collected vocab-bounded word-frequency table, the production
+    trainer shape) and apply them distributed
+    (operators.textops.bpe_encode_words — Python only over DISTINCT
+    words in mapInPandas). Invariants that hold for any correct BPE:
+
+    - RECONSTRUCTION: concatenating a word's pieces reproduces the word
+      exactly (merges only ever join adjacent symbols);
+    - piece count ∈ [1, length(word)];
+    - COMPRESSION: with 50 learned merges, total pieces over the vocab
+      must be strictly fewer than total characters (else learning did
+      nothing — degeneracy, not correctness);
+    - zero distinct words fails loudly."""
+    from ..operators.textops import bpe_encode_words, learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=50)
+    enc = bpe_encode_words(docs, merges).localCheckpoint()
+    bad_roundtrip = enc.where(
+        F.concat_ws("", F.col("pieces")) != F.col("word")
+    ).select(
+        F.lit("reconstruction_mismatch").alias("kind"),
+        F.col("word"),
+        F.col("n_pieces").cast("double").alias("metric_value"),
+    )
+    bad_bounds = enc.where(
+        (F.col("n_pieces") < 1) | (F.col("n_pieces") > F.length("word"))
+    ).select(
+        F.lit("piece_count_out_of_bounds").alias("kind"),
+        F.col("word"),
+        F.col("n_pieces").cast("double").alias("metric_value"),
+    )
+    totals = enc.agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_pieces").alias("total_pieces"),
+        F.sum(F.length("word")).alias("total_chars"),
+    )
+    no_compress = totals.where(
+        (F.col("n_words") > 0)
+        & (F.col("total_pieces") >= F.col("total_chars"))
+    ).select(
+        F.lit("no_compression_from_merges").alias("kind"),
+        F.lit(None).cast("string").alias("word"),
+        F.col("total_pieces").cast("double").alias("metric_value"),
+    )
+    guard = totals.where(F.col("n_words") == 0).select(
+        F.lit("degenerate_no_words").alias("kind"),
+        F.lit(None).cast("string").alias("word"),
+        F.lit(-1.0).alias("metric_value"),
+    )
+    return (
+        bad_roundtrip.unionByName(bad_bounds)
+        .unionByName(no_compress)
+        .unionByName(guard)
+    )
+
+
 _EMPTY_SEMDEDUP_CHECK_ORACLE = """
     SELECT CAST(NULL AS VARCHAR) AS kind,
            CAST(NULL AS DOUBLE) AS metric_value,
@@ -4585,6 +4652,7 @@ _DRIVER_PRIORITY = [
     "q_llm_prefix_dups",
     "q_rel_forward_fill",
     "q_llm_semantic_dedup_check",
+    "q_llm_bpe_encode_check",
     "q_llm_span_dedup",
     "q_llm_tfidf_terms",
     "q_llm_kmeans_check",
@@ -4604,13 +4672,14 @@ _DRIVER_PRIORITY = [
     "q_rel_asof_join",
     "q_rel_q10_returned_items",
     # rotated back in: queries whose last driver verdict is r2. The
-    # 23-slot head (21 never-verified + the 2 re-confirmations) leaves
-    # room for 27 of the 44 r2-green queries; the displaced SEVENTEEN —
+    # 24-slot head (22 never-verified + the 2 re-confirmations) leaves
+    # room for 26 of the 44 r2-green queries; the displaced EIGHTEEN —
     # chunk_stats, scrub_stats, vocab_top20, repetition_stats,
     # curation_pipeline, near_dup_blocked, embedding_norms,
     # ngram_jaccard_pairs, embedding_near_dup, rolling_fingerprint,
     # multimodal_check, lsh_recall, simhash_check, cluster_check,
-    # minhash_check, shingle_stats, lang_id — stay pytest-oracle-verified at
+    # minhash_check, shingle_stats, lang_id, fingerprints — stay
+    # pytest-oracle-verified at
     # sf0.001 every run
     # and MUST lead round 5's backfill
     # (tests/test_driver_rotation.py turns that obligation into a build
@@ -4635,7 +4704,6 @@ _DRIVER_PRIORITY = [
     "q_rel_q20_excess_inventory",
     "q_rel_q21_sole_blame",
     "q_llm_dedup_exact",
-    "q_llm_fingerprints",
     "q_llm_token_counts",
     "q_llm_token_counts_bpe",
     "q_llm_text_quality",

@@ -1043,3 +1043,39 @@ def test_semantic_dedup_skips_oversized_clusters(spark):
     # the single cluster holds all 45 rows > 10 → no pairs, nothing dropped
     assert pairs.count() == 0
     assert kept.count() == 45
+
+
+def test_bpe_learn_and_encode(spark):
+    """Learned merges reflect corpus frequency; encoding applies them in
+    rank order with exact reconstruction."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        bpe_encode_words,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "lowlow lowlow lowest lower low"),
+            (1, "lowlow newest newest widest lowest"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = learn_bpe_merges(docs, n_merges=3)
+    # 'lo'+'ow-ish' dominates: the first merge must involve l/o/w chars
+    assert merges[0] in {("l", "o"), ("o", "w"), ("lo", "w"), ("l", "ow")}
+    enc = {r["word"]: r["pieces"] for r in bpe_encode_words(docs, merges).collect()}
+    for w, pieces in enc.items():
+        assert "".join(pieces) == w
+        assert 1 <= len(pieces) <= len(w)
+    # with enough merges the most frequent word collapses to one piece
+    merges_full = learn_bpe_merges(docs, n_merges=30)
+    enc_full = {
+        r["word"]: r["pieces"]
+        for r in bpe_encode_words(docs, merges_full).collect()
+    }
+    assert enc_full["lowlow"] == ["lowlow"]
+    # no merges → every word splits to characters
+    enc_none = {
+        r["word"]: r["pieces"] for r in bpe_encode_words(docs, []).collect()
+    }
+    assert enc_none["low"] == ["l", "o", "w"]
