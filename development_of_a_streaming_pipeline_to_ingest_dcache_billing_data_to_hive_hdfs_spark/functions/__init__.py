@@ -4,6 +4,7 @@ reusable column expressions (all JVM-side, codegen-friendly)."""
 from ..parse import partition_date_col
 from ..operators.dedup import (
     char_shingles,
+    prefix_duplicate_groups,
     estimated_jaccard,
     fingerprint,
     ngram_jaccard,
@@ -11,9 +12,12 @@ from ..operators.dedup import (
 )
 from ..operators.textops import (
     bpe_ish_token_count,
+    bpe_encode_words,
     bpe_pair_counts,
     duplicated_spans,
     holdout_split_col,
+    learn_bpe_merges,
+    linear_quality_logit,
     predicted_lang_col,
     quality_score_cols,
     raw_ngrams_col,
@@ -40,6 +44,10 @@ __all__ = [
     "predicted_lang_col",
     "raw_ngrams_col",
     "bpe_pair_counts",
+    "bpe_encode_words",
+    "learn_bpe_merges",
+    "linear_quality_logit",
+    "prefix_duplicate_groups",
     "duplicated_spans",
     "tfidf_top_terms",
     "holdout_split_col",

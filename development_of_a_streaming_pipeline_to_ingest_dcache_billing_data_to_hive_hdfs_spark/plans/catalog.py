@@ -1759,6 +1759,7 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_fingerprints",
     f"""
     SELECT doc_id, md5({_NORM_SQL_DUCK}) AS fp, n_chars
     FROM documents WHERE doc_id < 100
@@ -1834,6 +1835,7 @@ _DUCK_HIT_EXPRS = {
 
 
 @register(
+    "q_llm_lang_id",
     f"""
     WITH scored AS (
       SELECT doc_id, lang,
@@ -1865,6 +1867,7 @@ def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_shingle_stats",
     f"""
     SELECT doc_id,
            CAST(len(list_distinct(
