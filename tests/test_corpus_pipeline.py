@@ -126,3 +126,31 @@ def test_corpus_through_real_stream(spark, tmp_path):
         assert got == {1, 3}
     finally:
         spark.sql("DROP TABLE IF EXISTS corpus_store_c")
+
+
+def test_corpus_gate_composes_with_quality_classifier(spark, tmp_path):
+    """The model-based quality filter drops the junk doc at the gate —
+    the classifier IS a gate callable, no special wiring."""
+    from pyspark.sql import functions as F
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        linear_quality_logit,
+    )
+
+    gate = lambda df: df.where(linear_quality_logit() > 0)  # noqa: E731
+    pipe = _pipe(tmp_path, spark, "corpus_store_clf", gate=gate)
+    try:
+        prose = (
+            "the cat and the dog ran to the house and it was for the best " * 8
+        )
+        noise = "!!! ??? ;;; ### $$$ %%% @@@ &&& *** ((( ))) ^^^"
+        pipe.process_batch(
+            spark.createDataFrame(
+                [(1, "web", prose), (2, "web", noise)], SCHEMA
+            ),
+            0,
+        )
+        docs = spark.read.parquet(pipe.docs_path())
+        assert {r.doc_id for r in docs.collect()} == {1}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS corpus_store_clf")
