@@ -1,0 +1,67 @@
+"""Corpus export entry point: read a curated document table and write
+size-targeted JSONL shards (sink.export_text_shards) — the handoff from
+the warehouse to a training-data loader, completing the corpus
+lifecycle (ingest → dedup/curate → export).
+
+Read-only on the warehouse, so it does NOT take the ingest/compaction
+lock by default — an export racing an append just reads the committed
+snapshot (parquet readers never see half-written batch files thanks to
+the batch-named layout). Pass --lock-path to serialize anyway, e.g.
+when exporting right after a merge whose partitions must all land.
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import os
+
+from ..session import get_spark_session
+from ..sink import export_text_shards
+from .locking import run_lock
+
+
+def def_arguments() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="export a document table as JSONL shards")
+    p.add_argument("--warehouse", required=True, help="warehouse base dir/URI")
+    p.add_argument("--table", required=True, help="table name under the warehouse")
+    p.add_argument("--output", required=True, help="shard output dir/URI")
+    p.add_argument("--target-mb", type=int, default=256,
+                   help="target shard size in MB (default 256)")
+    p.add_argument("--where", default=None,
+                   help="optional SQL filter, e.g. \"source = 'web'\"")
+    p.add_argument("--text-col", default="text",
+                   help="column whose bytes drive the shard-size estimate")
+    p.add_argument("--format", default="json", choices=["json", "csv", "parquet"],
+                   help="output format (json = JSONL)")
+    p.add_argument("--lock-path", default=None,
+                   help="optional: serialize with ingest/compaction/merge")
+    p.add_argument("--status-path", default=None)
+    p.add_argument("--loglevel", default="WARN")
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = def_arguments().parse_args(argv)
+    lock = (
+        run_lock(args.lock_path, args.status_path)
+        if args.lock_path
+        else contextlib.nullcontext()
+    )
+    with lock:
+        spark = get_spark_session(app_name="dcache_export", loglevel=args.loglevel)
+        df = spark.read.parquet(os.path.join(args.warehouse, args.table))
+        if args.where:
+            df = df.where(args.where)
+        n = export_text_shards(
+            df,
+            args.output,
+            target_bytes=args.target_mb * 1024 * 1024,
+            text_col=args.text_col,
+            fmt=args.format,
+        )
+        print(f"{args.table}: exported {n} shard(s) to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

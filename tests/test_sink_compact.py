@@ -317,3 +317,29 @@ def test_export_text_shards_roundtrip(spark, tmp_path):
 
     empty = docs.where("doc_id < 0")
     assert export_text_shards(empty, str(tmp_path / "empty")) == 0
+
+
+def test_export_cli_end_to_end(spark, tmp_path):
+    """run_export reads a warehouse table, applies the filter, and
+    writes JSONL shards."""
+    import glob
+    import os
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.cli import (
+        run_export,
+    )
+
+    wh = str(tmp_path / "wh")
+    spark.createDataFrame(
+        [(i, "web" if i % 2 else "books", "tok " * 50) for i in range(100)],
+        "doc_id long, source string, text string",
+    ).write.parquet(os.path.join(wh, "documents"))
+    out = str(tmp_path / "export")
+    run_export.main([
+        "--warehouse", wh, "--table", "documents", "--output", out,
+        "--where", "source = 'web'", "--target-mb", "1",
+    ])
+    back = spark.read.json(out)
+    assert back.count() == 50
+    assert {r["source"] for r in back.select("source").distinct().collect()} == {"web"}
+    assert glob.glob(f"{out}/part-*")
