@@ -294,3 +294,75 @@ def test_salted_join_spreads_identical_duplicate_rows(spark):
         F.count("*").alias("n"), F.sum("w").alias("s")
     ).first()
     assert (plain.n, plain.s) == (salted.n, salted.s)
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_forward_fill_single_exchange_in_plan(spark):
+    """Forward fill is one window over one shuffle on the series key —
+    no self-join, no extra exchange."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
+        q_rel_forward_fill,
+    )
+
+    plan = _executed_plan(q_rel_forward_fill(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_span_dedup_plan_shape(spark):
+    """Span dedup: one corpus explode, the count_distinct two-phase
+    aggregate's two exchanges, and nothing cartesian."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
+        q_llm_span_dedup,
+    )
+
+    plan = _executed_plan(q_llm_span_dedup(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Generate") == 1, plan      # exactly one explode
+    assert plan.count("Exchange") <= 2, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_bpe_pairs_word_reduction_in_plan(spark):
+    """BPE pair counts: the pair explode must sit ABOVE the word
+    aggregate (vocab-sized input), never directly on the corpus —
+    i.e. an aggregate appears between the two Generates."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
+        q_llm_bpe_pairs,
+    )
+
+    plan = _executed_plan(q_llm_bpe_pairs(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Generate") == 2, plan
+    first_gen = plan.index("Generate")
+    second_gen = plan.index("Generate", first_gen + 1)
+    # plan prints top-down: the pair explode (first in text) consumes an
+    # aggregate; the token explode (second) consumes the scan
+    assert "HashAggregate" in plan[first_gen:second_gen], plan
+
+
+def test_quality_classifier_scan_stage_in_plan(spark):
+    """The classifier logit is a scan-stage projection: one exchange
+    total (the per-source aggregate), no join, no window."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
+        q_llm_quality_classifier,
+    )
+
+    plan = _executed_plan(q_llm_quality_classifier(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_contamination_probe_broadcast_in_plan(spark):
+    """The probe side must broadcast — the corpus n-gram stream joins
+    map-side with no corpus shuffle before the per-doc aggregate."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
+        q_llm_contamination_probe,
+    )
+
+    plan = _executed_plan(
+        q_llm_contamination_probe(spark, "/root/testdata/sf0.001")
+    )
+    assert "BroadcastHashJoin" in plan, plan
