@@ -4449,6 +4449,82 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assignments
 
 
+@register(
+    "q_llm_dup_span_fraction",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents),
+    spans AS (
+      SELECT doc_id, source, list_aggregate(t[i:i+7], 'string_agg', ' ') AS span
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i)
+      WHERE len(t) >= 8),
+    marked AS (
+      SELECT doc_id, source,
+             COUNT(*) OVER (PARTITION BY span) -
+               COUNT(*) OVER (PARTITION BY span, doc_id) AS n_elsewhere
+      FROM spans),
+    per_doc AS (
+      SELECT doc_id, source, COUNT(*) AS n_windows,
+             SUM(CASE WHEN n_elsewhere > 0 THEN 1 ELSE 0 END) AS n_dup
+      FROM marked GROUP BY doc_id, source)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(CAST(n_dup AS DOUBLE) / n_windows), 4) AS avg_dup_frac,
+           CAST(SUM(CASE WHEN n_dup * 2 > n_windows THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mostly_duplicated
+    FROM per_doc GROUP BY source
+    """,
+)
+def q_llm_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-content fraction (the dolma-style filter
+    signal): the share of a document's 8-token windows that also occur
+    in ANOTHER document — within-doc repetition deliberately does not
+    count (that is the repetition_stats signal; this one measures
+    cross-document boilerplate). Documents mostly made of shared spans
+    (> 50%, compared in exact integer arithmetic) are the scrape-dup
+    tail a corpus filter drops.
+
+    Plan: one explode, a two-window pass over the span partition
+    (total occurrences minus own-doc occurrences = occurrences
+    elsewhere — ONE shuffle on the span serves both windows), then the
+    per-doc and per-source aggregates. The per-window ratio is exact
+    integer division per doc, averaged with a 4-dp round on both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", tokens_col().alias("toks")
+    )
+    spans = toks.select(
+        "doc_id", "source", F.explode(raw_ngrams_col("toks", 8)).alias("span")
+    )
+    w_span = Window.partitionBy("span")
+    w_span_doc = Window.partitionBy("span", "doc_id")
+    marked = spans.select(
+        "doc_id",
+        "source",
+        (F.count("*").over(w_span) - F.count("*").over(w_span_doc)).alias(
+            "n_elsewhere"
+        ),
+    )
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(F.when(F.col("n_elsewhere") > 0, 1).otherwise(0)).alias("n_dup"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(
+            F.avg(F.col("n_dup").cast("double") / F.col("n_windows")), 4
+        ).alias("avg_dup_frac"),
+        F.sum(
+            F.when(F.col("n_dup") * 2 > F.col("n_windows"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_mostly_duplicated"),
+    )
+
+
 _EMPTY_BPE_CHECK_ORACLE = """
     SELECT CAST(NULL AS VARCHAR) AS kind,
            CAST(NULL AS VARCHAR) AS word,
@@ -4656,6 +4732,7 @@ _DRIVER_PRIORITY = [
     "q_rel_forward_fill",
     "q_llm_semantic_dedup_check",
     "q_llm_bpe_encode_check",
+    "q_llm_dup_span_fraction",
     "q_llm_span_dedup",
     "q_llm_tfidf_terms",
     "q_llm_kmeans_check",
@@ -4675,13 +4752,14 @@ _DRIVER_PRIORITY = [
     "q_rel_asof_join",
     "q_rel_q10_returned_items",
     # rotated back in: queries whose last driver verdict is r2. The
-    # 24-slot head (22 never-verified + the 2 re-confirmations) leaves
-    # room for 26 of the 44 r2-green queries; the displaced EIGHTEEN —
+    # 25-slot head (23 never-verified + the 2 re-confirmations) leaves
+    # room for 25 of the 44 r2-green queries; the displaced NINETEEN —
     # chunk_stats, scrub_stats, vocab_top20, repetition_stats,
     # curation_pipeline, near_dup_blocked, embedding_norms,
     # ngram_jaccard_pairs, embedding_near_dup, rolling_fingerprint,
     # multimodal_check, lsh_recall, simhash_check, cluster_check,
-    # minhash_check, shingle_stats, lang_id, fingerprints — stay
+    # minhash_check, shingle_stats, lang_id, fingerprints, token_counts
+    # — stay
     # pytest-oracle-verified at
     # sf0.001 every run
     # and MUST lead round 5's backfill
@@ -4707,7 +4785,6 @@ _DRIVER_PRIORITY = [
     "q_rel_q20_excess_inventory",
     "q_rel_q21_sole_blame",
     "q_llm_dedup_exact",
-    "q_llm_token_counts",
     "q_llm_token_counts_bpe",
     "q_llm_text_quality",
     "q_llm_cosine_topk",

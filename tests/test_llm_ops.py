@@ -1079,3 +1079,31 @@ def test_bpe_learn_and_encode(spark):
         r["word"]: r["pieces"] for r in bpe_encode_words(docs, []).collect()
     }
     assert enc_none["low"] == ["l", "o", "w"]
+
+
+def test_dup_span_fraction_cross_doc_only(spark):
+    """Within-doc repetition does not count as duplicated content;
+    cross-doc shared windows do, with the >50% flag exact."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
+        q_llm_dup_span_fraction,
+    )
+    import os
+    import tempfile
+
+    boiler = " ".join(f"b{i}" for i in range(12))  # 12 tokens → 5 windows of 8
+    docs = spark.createDataFrame(
+        [
+            (0, boiler, "x", "web"),                      # fully shared with doc 1
+            (1, boiler + " unique tail here now", "x", "web"),
+            (2, ("rep " * 40).strip(), "x", "books"),     # within-doc repeats only
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.withColumn("n_chars", F.length("text")).write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        out = {r["source"]: r for r in q_llm_dup_span_fraction(spark, tmp).collect()}
+    assert out["web"]["n_mostly_duplicated"] >= 1   # doc 0 is 100% shared
+    assert out["books"]["avg_dup_frac"] == 0.0      # self-repeats don't count
+    assert out["books"]["n_mostly_duplicated"] == 0
