@@ -1107,3 +1107,52 @@ def test_dup_span_fraction_cross_doc_only(spark):
     assert out["web"]["n_mostly_duplicated"] >= 1   # doc 0 is 100% shared
     assert out["books"]["avg_dup_frac"] == 0.0      # self-repeats don't count
     assert out["books"]["n_mostly_duplicated"] == 0
+
+
+def test_full_curation_lifecycle_composes(spark, tmp_path):
+    """The user-story test: quality gate → exact dedup keep-set → span
+    screen → holdout split → per-shard token-budget pack → JSONL export,
+    all on the real sf0.001 documents table, each stage feeding the
+    next as plain DataFrames."""
+    import os
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.dedup import (
+        dedup_clusters,
+        keep_representatives,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        holdout_split_col,
+        linear_quality_logit,
+        pack_sequences,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sink import (
+        export_text_shards,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_raw = docs.count()
+
+    gated = docs.where(linear_quality_logit() > -10)  # permissive gate
+    pairs = lsh_candidate_pairs(minhash_signatures(gated)).localCheckpoint()
+    kept = keep_representatives(gated, dedup_clusters(pairs)).localCheckpoint()
+    n_kept = kept.count()
+    assert 0 < n_kept <= n_raw
+
+    split = kept.withColumn("split", holdout_split_col())
+    train = split.where(F.col("split") == "train")
+    packed = pack_sequences(train, budget_tokens=512)
+    assert packed.where(F.col("pack_id") < 0).count() == 0
+    # every train doc got exactly one pack assignment
+    assert packed.count() == train.count()
+
+    out = str(tmp_path / "corpus")
+    n_shards = export_text_shards(train, out, target_bytes=8 * 1024)
+    assert n_shards >= 1
+    back = spark.read.json(out)
+    assert back.count() == train.count()
+    # the kept ids survive the round trip exactly
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
+        r["doc_id"] for r in train.select("doc_id").collect()
+    }
