@@ -13,7 +13,6 @@ when exporting right after a merge whose partitions must all land.
 from __future__ import annotations
 
 import argparse
-import contextlib
 import os
 
 from ..session import get_spark_session
@@ -41,26 +40,38 @@ def def_arguments() -> argparse.ArgumentParser:
     return p
 
 
+def _export(args) -> None:
+    spark = get_spark_session(app_name="dcache_export", loglevel=args.loglevel)
+    df = spark.read.parquet(os.path.join(args.warehouse, args.table))
+    if args.where:
+        df = df.where(args.where)
+    n = export_text_shards(
+        df,
+        args.output,
+        target_bytes=args.target_mb * 1024 * 1024,
+        text_col=args.text_col,
+        fmt=args.format,
+    )
+    print(f"{args.table}: exported {n} shard(s) to {args.output}")
+
+
 def main(argv: list[str] | None = None) -> None:
     args = def_arguments().parse_args(argv)
-    lock = (
-        run_lock(args.lock_path, args.status_path)
-        if args.lock_path
-        else contextlib.nullcontext()
-    )
-    with lock:
-        spark = get_spark_session(app_name="dcache_export", loglevel=args.loglevel)
-        df = spark.read.parquet(os.path.join(args.warehouse, args.table))
-        if args.where:
-            df = df.where(args.where)
-        n = export_text_shards(
-            df,
-            args.output,
-            target_bytes=args.target_mb * 1024 * 1024,
-            text_col=args.text_col,
-            fmt=args.format,
-        )
-        print(f"{args.table}: exported {n} shard(s) to {args.output}")
+    if args.lock_path:
+        with run_lock(args.lock_path, args.status_path):
+            _export(args)
+        return
+    # lock-free default still honors --status-path (the 0/1 contract
+    # monitoring reads from run_compact/run_merge) — silently ignoring
+    # it would hide failed exports from the nightly check
+    status = 1
+    try:
+        _export(args)
+        status = 0
+    finally:
+        if args.status_path:
+            with open(args.status_path, "w") as f:
+                f.write(str(status))
 
 
 if __name__ == "__main__":

@@ -598,6 +598,11 @@ def kmeans_embeddings(
     import pandas as pd
 
     sample_pdf = df.select(vec_col).limit(init_sample).toPandas()
+    if not len(sample_pdf):
+        raise ValueError(
+            "kmeans_embeddings: input frame is empty — nothing to cluster "
+            "(an upstream gate dropped every row?)"
+        )
     sample = np.stack(
         [np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]]
     )
@@ -605,15 +610,24 @@ def kmeans_embeddings(
     cent = _farthest_first_seeds(sample, k)
     dim = cent.shape[1]
     sc = df.sparkSession.sparkContext
+    id_type = dict(df.dtypes)[id_col]
     # task sizing: ~64k vectors per task (≈32 MB of 64-d float64).
     # Iterations re-execute the scan, so EVERY task costs a Python
     # worker round-trip per iteration — width must track data volume,
     # not core count (32 workers × 4 iterations for 2 000 vectors is
     # pure fixed overhead; at 100 TB the same rule yields full width).
-    # count() is parquet-footer metadata, no scan.
+    # count() is parquet-footer metadata, no scan. Narrowing uses
+    # coalesce (no shuffle — the per-iteration Exchange a round-robin
+    # repartition would re-execute every scan); widening, the rare
+    # few-big-splits case, pays the one repartition deliberately.
     n_rows = df.count()
     n_parts = max(1, min(sc.defaultParallelism, -(-n_rows // 65_536)))
-    scan = df.select(F.col(id_col), F.col(vec_col)).repartition(n_parts)
+    scan = df.select(F.col(id_col), F.col(vec_col))
+    cur_parts = scan.rdd.getNumPartitions()
+    if cur_parts > n_parts:
+        scan = scan.coalesce(n_parts)
+    elif cur_parts < n_parts:
+        scan = scan.repartition(n_parts)
     # every iteration re-reads the same two-column projection; on a
     # cluster with memory to spare, caching it trades one materialize
     # for iters-1 repeated source scans (opt-in: the 100 TB default
@@ -639,7 +653,7 @@ def kmeans_embeddings(
                 _M, cl, best = _dists(b_cent, batch)
                 yield pd.DataFrame(
                     {
-                        "id": batch[id_col].to_numpy(),
+                        id_col: batch[id_col],
                         "cluster": cl.astype(np.int32),
                         "dist2": best,
                     }
@@ -688,6 +702,10 @@ def kmeans_embeddings(
             )
             .collect()
         )
+        # the iteration's broadcast is dead once its stats landed —
+        # freeing it here keeps a many-fit session from accumulating
+        # one centroid matrix per iteration per call
+        b_cent.unpersist()
         history.append(float(sum(r["sse"] for r in stats)))
         new_cent = cent.copy()
         for r in stats:
@@ -696,8 +714,16 @@ def kmeans_embeddings(
     b_cent = sc.broadcast(cent)
     assignments = scan.mapInPandas(
         make_assign(b_cent),
-        "id long, cluster int, dist2 double",
+        f"`{id_col}` {id_type}, cluster int, dist2 double",
     )
+    if cache:
+        # materialize the final assignment so the cached scan (and the
+        # last centroid broadcast) can be released NOW instead of
+        # leaking into the session until the caller happens to consume
+        # the lazy plan
+        assignments = assignments.localCheckpoint()
+        scan.unpersist()
+        b_cent.unpersist()
     return assignments, cent, history
 
 
@@ -774,6 +800,14 @@ def pq_encode(
             if not n:
                 continue
             M = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col]])
+            if M.shape[1] != m * sub:
+                # numpy slicing would SILENTLY ignore trailing dims when
+                # the vector is wider than the codebooks cover — wrong
+                # codes with no error; fail loudly instead
+                raise ValueError(
+                    f"pq_encode: vector dim {M.shape[1]} != codebook "
+                    f"coverage m*sub = {m}*{sub} = {m * sub}"
+                )
             if normalize:
                 M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
             codes = np.empty((n, m), dtype=np.int32)
@@ -822,6 +856,10 @@ def pq_cosine_topk(
        corpus), recovering the recall ADC alone gives up.
     """
     sample_pdf = corpus.select(vec_col).limit(train_sample).toPandas()
+    if not len(sample_pdf):
+        raise ValueError(
+            "pq_cosine_topk: corpus is empty — nothing to train codebooks on"
+        )
     sample = np.stack(
         [np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]]
     )
@@ -911,8 +949,11 @@ def semantic_dedup(
     boundary are missed — the SemDeDup approximation itself, measured
     against the global near-dup baseline in tests.
 
-    Returns ``(kept_ids, pairs)``: the deduplicated id frame (one
-    column, ``id_col``) and the within-cluster near-dup pairs.
+    Returns ``(kept_ids, pairs, components)``: the deduplicated id
+    frame (one column, ``id_col``), the within-cluster near-dup pairs,
+    and the connected components over those pairs ((id, cluster_id) —
+    already computed for the keep decision, returned so gates like
+    q_llm_semantic_dedup_check never re-run the label-propagation loop).
     """
     import pandas as pd
 
@@ -922,7 +963,9 @@ def semantic_dedup(
         df, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     )
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    clustered = assignments.select("id", "cluster").join(vecs, "id")
+    clustered = assignments.select(
+        F.col(id_col).alias("id"), "cluster"
+    ).join(vecs, "id")
 
     def cluster_op(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -945,7 +988,7 @@ def semantic_dedup(
         cluster_op, "id_a long, id_b long, cos double"
     )
     pairs = pairs.localCheckpoint()
-    clusters = dedup_clusters(pairs)
+    clusters = dedup_clusters(pairs).localCheckpoint()
     drops = (
         clusters.join(
             clusters.groupBy("cluster_id").agg(F.min("id").alias("keep_id")),
@@ -957,4 +1000,4 @@ def semantic_dedup(
     kept = df.select(F.col(id_col)).join(
         drops.withColumnRenamed("id", id_col), id_col, "left_anti"
     )
-    return kept, pairs
+    return kept, pairs, clusters

@@ -4092,8 +4092,9 @@ def q_llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_llm_span_dedup",
     r"""
     WITH toks AS (
-      SELECT doc_id, string_split(
-               regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+      SELECT doc_id, list_filter(string_split(
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+             x -> x <> '') AS t
       FROM documents),
     spans AS (
       SELECT doc_id, list_aggregate(t[i:i+7], 'string_agg', ' ') AS span
@@ -4130,7 +4131,8 @@ def q_llm_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
       FROM documents),
     tf AS (
-      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term <> '' GROUP BY doc_id, term),
     df AS (
       SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
     scored AS (
@@ -4300,8 +4302,9 @@ def q_rel_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_llm_prefix_dups",
     r"""
     WITH toks AS (
-      SELECT doc_id, string_split(
-               regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+      SELECT doc_id, list_filter(string_split(
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+             x -> x <> '') AS t
       FROM documents),
     pref AS (
       SELECT doc_id, len(t) AS n_tok,
@@ -4453,8 +4456,9 @@ def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_llm_dup_span_fraction",
     r"""
     WITH toks AS (
-      SELECT doc_id, source, string_split(
-               regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+      SELECT doc_id, source, list_filter(string_split(
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+             x -> x <> '') AS t
       FROM documents),
     spans AS (
       SELECT doc_id, source, list_aggregate(t[i:i+7], 'string_agg', ' ') AS span
@@ -4618,13 +4622,12 @@ def q_llm_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       (cross-cluster recall loss is the measured SemDeDup trade,
       pytest-quantified vs the global baseline — but ZERO pairs means
       the pipeline under test broke)."""
-    from ..operators.dedup import dedup_clusters
     from ..operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    kept, pairs = semantic_dedup(emb, threshold=0.35, k=8, iters=2)
+    kept, pairs, clusters = semantic_dedup(emb, threshold=0.35, k=8, iters=2)
     kept = kept.localCheckpoint()
     pairs = pairs.localCheckpoint()
 
@@ -4650,7 +4653,6 @@ def q_llm_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_jvm").alias("metric_value"),
         F.lit(0.35).alias("bound"),
     )
-    clusters = dedup_clusters(pairs).localCheckpoint()
     counts = (
         emb.agg(F.count("*").alias("n_total"))
         .crossJoin(kept.agg(F.count("*").alias("n_kept")))

@@ -215,8 +215,11 @@ def export_text_shards(
     if n_rows == 0:
         df.limit(0).write.format(fmt).mode("overwrite").save(path)
         return 0
+    # octet_length, not length: character count undercounts UTF-8 bytes
+    # ~3x on CJK/emoji-heavy corpora (the same sampled-average idiom as
+    # multimodal.media_repartition, whose binary payloads have len==bytes)
     avg_b = (
-        df.select(F.length(text_col).alias("b"))
+        df.select(F.octet_length(text_col).alias("b"))
         .limit(sample_rows)
         .agg(F.avg("b").alias("avg_b"))
         .first()["avg_b"]

@@ -204,10 +204,15 @@ def analyze_table(
     _check_ident(table.replace(".", "_"))
     spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
     if partitions:
+        from pyspark.errors import AnalysisException
+
         try:
             spark.sql(f"ANALYZE TABLE {table} PARTITION ({PARTITION_FIELD}) COMPUTE STATISTICS")
-        except Exception:
-            pass  # unpartitioned table or non-standard partition column
+        except AnalysisException:
+            # unpartitioned table or non-standard partition column — the
+            # expected shape; infrastructure failures (metastore timeout,
+            # FS permissions) must still surface to the maintenance job
+            pass
     if columns:
         for c in columns:
             _check_ident(c)

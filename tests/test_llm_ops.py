@@ -865,7 +865,7 @@ def test_kmeans_recovers_separated_clusters(spark):
     # blob → one cluster each, all three clusters used
     blob_to_cluster = {}
     for r in got:
-        blob = r["id"] % 3
+        blob = r["vec_id"] % 3
         blob_to_cluster.setdefault(blob, set()).add(r["cluster"])
     assert all(len(cs) == 1 for cs in blob_to_cluster.values())
     assert len({next(iter(cs)) for cs in blob_to_cluster.values()}) == 3
@@ -987,7 +987,7 @@ def test_semantic_dedup_drops_planted_near_dups(spark):
         rows.append((1000 + j, [float(x) for x in v]))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
-    kept, pairs = semantic_dedup(emb, threshold=0.995, k=3, iters=3)
+    kept, pairs, _clusters = semantic_dedup(emb, threshold=0.995, k=3, iters=3)
     kept_ids = {r["vec_id"] for r in kept.collect()}
     got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     exact = {
@@ -1037,7 +1037,7 @@ def test_semantic_dedup_skips_oversized_clusters(spark):
     ]
     rows += [(100 + i, list(map(float, np.asarray(rows[i][1]) * 1.0001))) for i in range(5)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    kept, pairs = semantic_dedup(
+    kept, pairs, _clusters = semantic_dedup(
         emb, threshold=0.999, k=1, iters=1, max_cluster_size=10
     )
     # the single cluster holds all 45 rows > 10 → no pairs, nothing dropped

@@ -178,3 +178,42 @@ def test_round4_semantic_ops_never_throw(spark):
     q = same.where(F.col("vec_id") < 2)
     out = pq_cosine_topk(same, q, k=3, m=2, ks=4, train_sample=7, shortlist=5)
     assert out.count() > 0
+
+
+def test_token_oracles_agree_on_whitespace_edges(spark, tmp_path):
+    """DuckDB trim() strips only spaces; a doc starting/ending with tab
+    or newline used to give the oracle a phantom empty token that Spark's
+    tokens_col filters — shifting every window position. Pin the parity
+    on exactly that corpus."""
+    import os
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from oracle_harness import compare_all
+
+    boiler = " ".join(f"w{i}" for i in range(20))
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "\t" + boiler + "\n",
+                boiler + " tail",
+                "\n gamma delta " * 10 + "\t",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["web", "web", "books"],
+            "n_chars": [1, 1, 1],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    names = [
+        "q_llm_span_dedup",
+        "q_llm_prefix_dups",
+        "q_llm_dup_span_fraction",
+        "q_llm_tfidf_terms",
+        "q_llm_bpe_pairs",
+    ]
+    res = compare_all(spark, str(tmp_path), names)
+    bad = {k: v for k, v in res.items() if not v.get("ok")}
+    assert not bad, bad
