@@ -4529,6 +4529,50 @@ def q_llm_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMPTY_LEAKAGE_CHECK_ORACLE = """
+    SELECT CAST(NULL AS VARCHAR) AS fp,
+           CAST(NULL AS BIGINT) AS n_copies,
+           CAST(NULL AS BIGINT) AS n_splits
+    WHERE FALSE
+"""
+
+
+@register("q_llm_split_leakage_check", _EMPTY_LEAKAGE_CHECK_ORACLE)
+def q_llm_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout-leakage gate (expected EMPTY): byte-identical documents
+    must never straddle a train/val/test boundary — the property the
+    content-addressed split (textops.holdout_split_col, md5-bucket of
+    the raw text) guarantees BY CONSTRUCTION, verified here at corpus
+    scale: group by raw-text md5, flag any fingerprint seen in more
+    than one split.
+
+    Scope is deliberate: the guarantee covers byte-equal duplicates
+    (same text ⇒ same bucket ⇒ same split). Whitespace-variant
+    near-copies hash differently and CAN cross splits — that residual
+    leakage channel is the near-dup screen's job
+    (q_llm_dedup_kept_check), run before splitting; this gate pins the
+    exact-copy half so a refactor to a row-id or rand() split (the
+    classic leak) fails the driver immediately."""
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        F.md5(F.col("text")).alias("fp"),
+        holdout_split_col().alias("split"),
+    )
+    return (
+        tagged.groupBy("fp")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.count_distinct("split").alias("n_splits"),
+        )
+        .where((F.col("n_copies") > 1) & (F.col("n_splits") > 1))
+        .select(
+            "fp",
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+            F.col("n_splits").cast("bigint").alias("n_splits"),
+        )
+    )
+
+
 _EMPTY_BPE_CHECK_ORACLE = """
     SELECT CAST(NULL AS VARCHAR) AS kind,
            CAST(NULL AS VARCHAR) AS word,
@@ -4735,6 +4779,7 @@ _DRIVER_PRIORITY = [
     "q_llm_semantic_dedup_check",
     "q_llm_bpe_encode_check",
     "q_llm_dup_span_fraction",
+    "q_llm_split_leakage_check",
     "q_llm_span_dedup",
     "q_llm_tfidf_terms",
     "q_llm_kmeans_check",
@@ -4754,14 +4799,14 @@ _DRIVER_PRIORITY = [
     "q_rel_asof_join",
     "q_rel_q10_returned_items",
     # rotated back in: queries whose last driver verdict is r2. The
-    # 25-slot head (23 never-verified + the 2 re-confirmations) leaves
-    # room for 25 of the 44 r2-green queries; the displaced NINETEEN —
+    # 26-slot head (24 never-verified + the 2 re-confirmations) leaves
+    # room for 24 of the 44 r2-green queries; the displaced TWENTY —
     # chunk_stats, scrub_stats, vocab_top20, repetition_stats,
     # curation_pipeline, near_dup_blocked, embedding_norms,
     # ngram_jaccard_pairs, embedding_near_dup, rolling_fingerprint,
     # multimodal_check, lsh_recall, simhash_check, cluster_check,
-    # minhash_check, shingle_stats, lang_id, fingerprints, token_counts
-    # — stay
+    # minhash_check, shingle_stats, lang_id, fingerprints, token_counts,
+    # text_quality — stay
     # pytest-oracle-verified at
     # sf0.001 every run
     # and MUST lead round 5's backfill
@@ -4788,7 +4833,6 @@ _DRIVER_PRIORITY = [
     "q_rel_q21_sole_blame",
     "q_llm_dedup_exact",
     "q_llm_token_counts_bpe",
-    "q_llm_text_quality",
     "q_llm_cosine_topk",
     "q_llm_quantized_recall",
     "q_llm_ivf_recall",

@@ -1156,3 +1156,49 @@ def test_full_curation_lifecycle_composes(spark, tmp_path):
     assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
         r["doc_id"] for r in train.select("doc_id").collect()
     }
+
+
+def test_split_leakage_check_catches_random_split(spark, tmp_path):
+    """The leakage gate is non-vacuous: byte-equal duplicates CAN cross
+    a row-id-based split (the classic leak) and the same grouping logic
+    flags them; the content-addressed split never trips it."""
+    import os
+
+    import pandas as pd
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        holdout_split_col,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
+        q_llm_split_leakage_check,
+    )
+
+    texts = [f"doc number {i % 7} body" for i in range(70)]  # 10 copies each
+    pd.DataFrame(
+        {
+            "doc_id": range(70),
+            "text": texts,
+            "lang": ["en"] * 70,
+            "source": ["web"] * 70,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    # content-addressed split: gate stays empty despite heavy duplication
+    assert q_llm_split_leakage_check(spark, str(tmp_path)).count() == 0
+    # row-id split: the same dup corpus leaks across splits
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    bad_split = F.when(F.col("doc_id") % 10 < 8, "train").otherwise("test")
+    leaked = (
+        docs.select(F.md5("text").alias("fp"), bad_split.alias("split"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n"), F.count_distinct("split").alias("s"))
+        .where((F.col("n") > 1) & (F.col("s") > 1))
+    )
+    assert leaked.count() > 0
+    # and the real split assigns every copy of a text identically
+    per_fp = (
+        docs.select(F.md5("text").alias("fp"), holdout_split_col().alias("sp"))
+        .groupBy("fp")
+        .agg(F.count_distinct("sp").alias("s"))
+    )
+    assert per_fp.where(F.col("s") > 1).count() == 0
