@@ -32,11 +32,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .fs import get_filesystem
-from .schema import PARTITION_FIELD
+from .schema import DEFAULT_PARTITION_NAME, PARTITION_FIELD
 
 DEFAULT_TARGET_BYTES = 512 * 1024 * 1024
-# Hive's directory name for a NULL partition value (malformed-date rows)
-DEFAULT_PARTITION_NAME = "__HIVE_DEFAULT_PARTITION__"
+
+__all__ = ["DEFAULT_PARTITION_NAME"]  # re-export: existing imports stand
 
 
 def resolve_partition_policy(policy: str, today: dt.date | None = None) -> list[str] | None:
@@ -228,6 +228,23 @@ def expire_partitions(
     if keep_days is not None:
         base = today or dt.date.today()
         before = (base - dt.timedelta(days=keep_days)).isoformat()
+    else:
+        # the cutoff drives RECURSIVE DELETES via lexicographic compare,
+        # so it must be canonical ISO (zero-padded): "2024-3-1" — a
+        # realistic typo — sorts AFTER every "2024-0x"/"2024-1x"
+        # partition and would silently expire the whole year
+        try:
+            canonical = dt.date.fromisoformat(before).isoformat()
+        except ValueError as e:
+            raise ValueError(
+                f"expire_partitions: before={before!r} is not a date"
+            ) from e
+        if canonical != before:
+            raise ValueError(
+                f"expire_partitions: before={before!r} is not canonical "
+                f"YYYY-MM-DD (did you mean {canonical!r}?) — refusing a "
+                "cutoff whose string ordering diverges from date ordering"
+            )
     fs = fs or get_filesystem(path, spark)
     recover_crashed_compactions(path, fs=fs)
     dropped = sorted(

@@ -70,8 +70,34 @@ class LocalFS:
         os.makedirs(path, exist_ok=True)
 
     def rename(self, src: str, dst: str, overwrite: bool = False) -> None:
-        if not overwrite and os.path.exists(dst):
-            raise FileExistsError(f"rename target exists: {dst}")
+        if not overwrite:
+            # exists()-then-replace is check-then-act: two racing
+            # promoters both pass the check and the second silently
+            # clobbers the first. os.rename (NOT os.replace) fails with
+            # FileExistsError atomically on Windows; POSIX os.rename
+            # overwrites, so there take an O_EXCL lock-by-link via a
+            # hardlink of a sentinel: link() is atomic and raises
+            # FileExistsError if dst exists. For DIRECTORIES (the swap
+            # protocol's case) link() is unavailable — use rename onto
+            # the dst path only after an atomic mkdir claim.
+            if os.path.isdir(src):
+                import errno
+
+                try:
+                    os.rename(src, dst)  # clobbers only an EMPTY dir race
+                    return
+                except OSError as e:
+                    if e.errno in (errno.ENOTEMPTY, errno.EEXIST, errno.ENOTDIR):
+                        raise FileExistsError(
+                            f"rename target exists: {dst}"
+                        ) from e
+                    raise
+            try:
+                os.link(src, dst)
+            except FileExistsError:
+                raise FileExistsError(f"rename target exists: {dst}")
+            os.unlink(src)
+            return
         os.replace(src, dst)
 
     def delete(self, path: str, recursive: bool = False) -> None:

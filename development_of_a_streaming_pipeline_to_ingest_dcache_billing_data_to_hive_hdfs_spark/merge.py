@@ -41,11 +41,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .fs import get_filesystem
-from .schema import PARTITION_FIELD
+from .schema import DEFAULT_PARTITION_NAME, PARTITION_FIELD
 
 # Hive's directory name for a NULL partition value — where records with
 # an unparseable partition key live (parse.partition_date_col).
-DEFAULT_PARTITION_NAME = "__HIVE_DEFAULT_PARTITION__"
+
 
 
 def _part_name(value) -> str:
@@ -176,19 +176,26 @@ def merge_into(
     merged.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         # dynamic overwrite only rewrites partitions PRESENT in merged;
-        # a partition fully vacated by a table-scope move would be
-        # absent and must be deleted explicitly below
-        written_parts, written_null = _collect_parts(merged)
+        # a partition fully vacated by a table-scope key MOVE would be
+        # absent and must be deleted explicitly below. Only scope=
+        # "table" can vacate one — under "partitions" every update row
+        # survives into merged with its own partition value, so the
+        # vacated set is provably empty and the extra distinct+collect
+        # job (one per streaming micro-batch via UpsertStreamWriter)
+        # is skipped.
+        if scope == "table":
+            written_parts, written_null = _collect_parts(merged)
         _dyn_writer(merged, pf).parquet(path)
     finally:
         merged.unpersist()
     affected_dirs = list(affected) + (
         [DEFAULT_PARTITION_NAME] if has_null else []
     )
-    written_dirs = written_parts | (
-        {DEFAULT_PARTITION_NAME} if written_null else set()
-    )
-    for p in affected_dirs:
-        if p not in written_dirs:
-            fs.delete(os.path.join(path, f"{pf}={p}"), recursive=True)
+    if scope == "table":
+        written_dirs = written_parts | (
+            {DEFAULT_PARTITION_NAME} if written_null else set()
+        )
+        for p in affected_dirs:
+            if p not in written_dirs:
+                fs.delete(os.path.join(path, f"{pf}={p}"), recursive=True)
     return sorted(affected_dirs)

@@ -35,6 +35,9 @@ MSG_TYPE_ROUTES: dict[str, str] = {
 }
 
 PARTITION_FIELD = "partition_date"
+# Hive's directory name for a NULL partition value (malformed-date rows)
+# — single definition; compact/merge/warehouse all import it from here
+DEFAULT_PARTITION_NAME = "__HIVE_DEFAULT_PARTITION__"
 REJECTS_ROUTE = "rejects"
 
 STATUS_SCHEMA = T.StructType(

@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame
 from ..fs import get_filesystem
 from ..operators.dedup import FingerprintStore
 from ..sink import BatchLedger, write_partitioned_batch
+from .pipeline import drain_available_now
 
 
 class CorpusIngestPipeline:
@@ -151,10 +152,4 @@ class CorpusIngestPipeline:
             kept.unpersist()
 
     def run_available_now(self, checkpoint_dir: str) -> None:
-        q = (
-            self.source.writeStream.foreachBatch(self.process_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        drain_available_now(self.source, self.process_batch, checkpoint_dir)

@@ -45,6 +45,22 @@ from ..sink import BatchLedger, write_partitioned_batch
 ROUTES = ("transfers", "requests", "storage", "removes", REJECTS_ROUTE)
 
 
+
+def drain_available_now(source, process_batch, checkpoint_dir: str) -> None:
+    """Shared bounded-drain loop: run ``process_batch`` over everything
+    currently available through one checkpointed foreachBatch query,
+    then stop — the idiomatic replacement for the reference's
+    cron-window ``awaitTermination(2*trigger); stop()`` (`:345-347`).
+    One definition serves the billing pipeline, the upsert writer and
+    the corpus builder, so drain-loop fixes land once."""
+    q = (
+        source.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
 class BillingPipeline:
     """Wires a billing stream source to partitioned Parquet route sinks.
 
@@ -133,16 +149,7 @@ class BillingPipeline:
         return sorted(out, key=lambda m: m["batch_id"])
 
     def run_available_now(self, checkpoint_dir: str) -> None:
-        """Drain everything currently available, then stop — the idiomatic
-        replacement for the reference's cron-window
-        ``awaitTermination(2*trigger); stop()`` (`:345-347`)."""
-        q = (
-            self.source.writeStream.foreachBatch(self.process_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        drain_available_now(self.source, self.process_batch, checkpoint_dir)
 
     def run_continuous(self, checkpoint_dir: str, trigger_seconds: int):
         """Long-running mode with a processing-time trigger
@@ -212,10 +219,4 @@ class UpsertStreamWriter:
         self.ledger.commit(batch_id)
 
     def run_available_now(self, checkpoint_dir: str) -> None:
-        q = (
-            self.source.writeStream.foreachBatch(self.process_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        drain_available_now(self.source, self.process_batch, checkpoint_dir)

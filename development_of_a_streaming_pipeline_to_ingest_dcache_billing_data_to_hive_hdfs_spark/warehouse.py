@@ -143,13 +143,24 @@ def warehouse_summary(spark: SparkSession, warehouse_dir: str) -> dict:
         stats = table_stats(
             spark, path, partitions=parts, fs=fs, partition_field=pf
         )
+        # the NULL partition sorts after every date ('_' > '9') — as
+        # "newest" it would permanently mask a stalled feed behind one
+        # historic malformed record, the exact condition this health
+        # surface exists to expose; oldest/newest therefore consider
+        # dated partitions only (the NULL one stays in n_partitions).
+        # A table whose only partition-shaped dirs are crashed-swap
+        # scratch artifacts yields parts == [] — report it, not crash,
+        # while an operator is diagnosing exactly that state.
+        from .compact import DEFAULT_PARTITION_NAME
+
+        dated = [p_ for p_ in parts if p_ != DEFAULT_PARTITION_NAME]
         out["tables"][name] = {
             "partition_field": pf,
             "n_partitions": len(parts),
             "n_files": sum(s["n_files"] for s in stats.values()),
             "bytes": sum(s["bytes"] for s in stats.values()),
-            "oldest_partition": parts[0],
-            "newest_partition": parts[-1],
+            "oldest_partition": dated[0] if dated else None,
+            "newest_partition": dated[-1] if dated else None,
         }
     # ledger via BatchLedger: same corrupt-file tolerance as the
     # pipeline itself (a truncated ledger must not crash the health

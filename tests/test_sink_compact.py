@@ -343,3 +343,87 @@ def test_export_cli_end_to_end(spark, tmp_path):
     assert back.count() == 50
     assert {r["source"] for r in back.select("source").distinct().collect()} == {"web"}
     assert glob.glob(f"{out}/part-*")
+
+
+def test_expire_partitions_rejects_non_canonical_cutoff(spark, tmp_path):
+    """A non-zero-padded cutoff orders wrong as a string and would
+    silently expire the whole year — it must be refused, not applied."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.compact import (
+        expire_partitions,
+    )
+
+    path = str(tmp_path / "t")
+    for d in ("2024-01-05", "2024-03-31", "2024-11-02"):
+        spark.range(3).withColumn("partition_date", F.lit(d)).write.mode(
+            "append"
+        ).partitionBy("partition_date").parquet(path)
+    for bad in ("2024-3-1", "garbage", "2024/03/01", "20240301"):
+        with _pytest.raises(ValueError):
+            expire_partitions(spark, path, before=bad)
+    # nothing was deleted by the refused calls
+    assert len(os.listdir(path)) >= 3
+    # the canonical form works and expires exactly the older partitions
+    dropped = expire_partitions(spark, path, before="2024-03-01")
+    assert dropped == ["2024-01-05"]
+
+
+def test_warehouse_summary_newest_skips_null_partition(spark, tmp_path):
+    """One historic malformed-date record must not pin newest_partition
+    to __HIVE_DEFAULT_PARTITION__ forever; a table left with only
+    crashed-swap scratch dirs reports nulls instead of crashing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.warehouse import (
+        warehouse_summary,
+    )
+
+    wh = str(tmp_path / "wh")
+    t = os.path.join(wh, "transfers")
+    for d in ("2024-03-01", "2024-03-02"):
+        spark.range(2).withColumn("partition_date", F.lit(d)).write.mode(
+            "append"
+        ).partitionBy("partition_date").parquet(t)
+    # a NULL-date partition (sorts after every date)
+    os.makedirs(os.path.join(t, "partition_date=__HIVE_DEFAULT_PARTITION__"))
+    s = warehouse_summary(spark, wh)
+    assert s["tables"]["transfers"]["newest_partition"] == "2024-03-02"
+    assert s["tables"]["transfers"]["n_partitions"] == 3
+    # scratch-only table: reported with null bounds, not IndexError
+    broken = os.path.join(wh, "broken")
+    os.makedirs(os.path.join(broken, "partition_date=2024-03-01._compacting"))
+    s = warehouse_summary(spark, wh)
+    assert s["tables"]["broken"]["newest_partition"] is None
+
+
+def test_localfs_rename_no_overwrite_is_atomic_refusal(tmp_path):
+    """rename(overwrite=False) onto an existing target refuses for both
+    files and non-empty directories."""
+    import os
+
+    import pytest as _pytest
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.fs import (
+        LocalFS,
+    )
+
+    fs = LocalFS()
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    open(a, "w").write("x")
+    open(b, "w").write("y")
+    with _pytest.raises(FileExistsError):
+        fs.rename(a, b)
+    assert open(b).read() == "y" and os.path.exists(a)
+    da, db = str(tmp_path / "da"), str(tmp_path / "db")
+    os.makedirs(da)
+    os.makedirs(db)
+    open(os.path.join(db, "f"), "w").write("z")
+    with _pytest.raises(FileExistsError):
+        fs.rename(da, db)
+    assert os.path.exists(os.path.join(db, "f"))
