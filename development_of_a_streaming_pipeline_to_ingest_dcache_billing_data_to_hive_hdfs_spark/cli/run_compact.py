@@ -42,6 +42,14 @@ def def_arguments() -> argparse.ArgumentParser:
                    help="with --retain-days, also drop the NULL "
                         "(__HIVE_DEFAULT_PARTITION__) partition, which has "
                         "no date and can never age past the cutoff")
+    p.add_argument("--analyze", default=None, metavar="COLS",
+                   help="after compacting, run ANALYZE TABLE (+ FOR "
+                        "COLUMNS on this comma-separated list; pass '' "
+                        "for table-level stats only) so CBO reads fresh "
+                        "statistics — requires the tables to be "
+                        "registered in the metastore (hive deployments); "
+                        "unregistered path-only tables are skipped with "
+                        "a notice")
     p.add_argument("--lock-path", default="/tmp/dcache_warehouse.lock",
                    help="one lock shared by ingest/compaction/merge: any "
                         "two of them racing the same table can interleave "
@@ -78,6 +86,17 @@ def main(argv: list[str] | None = None) -> None:
                 only_needed=args.only_needed,
             )
             print(f"{table}: compacted {result}")
+            if args.analyze is not None:
+                from ..warehouse import analyze_table
+
+                name = table.strip()
+                if spark.catalog.tableExists(name):
+                    cols = [c.strip() for c in args.analyze.split(",") if c.strip()]
+                    stats = analyze_table(spark, name, columns=cols or None)
+                    print(f"{name}: analyzed {stats}")
+                else:
+                    print(f"{name}: not in the catalog — skipping ANALYZE "
+                          "(register the table or use a hive session)")
 
 
 if __name__ == "__main__":

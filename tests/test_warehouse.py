@@ -156,3 +156,36 @@ def test_analyze_table_lands_cbo_stats(spark):
             analyze_table(spark, "bad;table")
     finally:
         spark.sql("DROP TABLE IF EXISTS stats_probe")
+
+
+def test_compact_cli_analyze_flag(spark, tmp_path):
+    """--analyze after compaction: a catalog-registered table gets CBO
+    stats; an unregistered path-only table is skipped with a notice,
+    not an error."""
+    import os
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.cli import (
+        run_compact,
+    )
+
+    wh = str(tmp_path / "wh")
+    path = os.path.join(wh, "transfers")
+    df = spark.range(100).select(
+        F.col("id"), F.lit("2024-03-01").alias("partition_date")
+    )
+    df.write.mode("append").partitionBy("partition_date").parquet(path)
+    # register the SAME data as a catalog table under the CLI's name
+    spark.read.parquet(path).write.mode("overwrite").saveAsTable("transfers")
+    try:
+        run_compact.main([
+            "--warehouse", wh, "--tables", "transfers,unregistered",
+            "--partition", "all", "--analyze", "id",
+            "--lock-path", str(tmp_path / "c.lock"),
+        ])
+        desc = spark.sql("DESCRIBE TABLE EXTENDED transfers").collect()
+        stats = next(
+            (r["data_type"] for r in desc if r["col_name"] == "Statistics"), ""
+        )
+        assert "rows" in stats
+    finally:
+        spark.sql("DROP TABLE IF EXISTS transfers")
