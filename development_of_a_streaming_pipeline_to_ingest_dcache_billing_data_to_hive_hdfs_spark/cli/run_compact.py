@@ -54,6 +54,11 @@ def def_arguments() -> argparse.ArgumentParser:
                    help="one lock shared by ingest/compaction/merge: any "
                         "two of them racing the same table can interleave "
                         "with a partition swap or dynamic overwrite")
+    p.add_argument("--lock-wait-s", type=float, default=600,
+                   help="wait up to this long for the shared lock: a live "
+                        "continuous ingest holds it per-micro-batch "
+                        "(seconds), so maintenance queues briefly instead "
+                        "of dying with AlreadyRunning; 0 = fail fast")
     p.add_argument("--status-path", default=None)
     p.add_argument("--loglevel", default="WARN")
     return p
@@ -71,7 +76,7 @@ def main(argv: list[str] | None = None) -> None:
         if args.cluster_by
         else None
     )
-    with run_lock(args.lock_path, args.status_path):
+    with run_lock(args.lock_path, args.status_path, timeout_s=args.lock_wait_s):
         spark = get_spark_session(app_name="dcache_compact", loglevel=args.loglevel)
         for table in args.tables.split(","):
             path = os.path.join(args.warehouse, table.strip())

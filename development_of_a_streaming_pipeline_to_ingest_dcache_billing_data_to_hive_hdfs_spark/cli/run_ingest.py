@@ -37,7 +37,8 @@ def def_arguments() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> None:
     args = def_arguments().parse_args(argv)
-    with run_lock(args.lock_path, args.status_path):
+
+    def _build_pipe(lock_path=None):
         spark = get_spark_session(app_name="dcache_ingest", loglevel=args.loglevel)
         source = billing_stream_source(
             spark,
@@ -46,12 +47,31 @@ def main(argv: list[str] | None = None) -> None:
             kafka_bootstrap=args.kafka_bootstrap,
             subscribe_pattern=args.subscribe_pattern,
         )
-        pipe = BillingPipeline(source, args.warehouse)
-        if args.trigger_s > 0:
+        return BillingPipeline(source, args.warehouse, lock_path=lock_path)
+
+    if args.trigger_s > 0:
+        # Long-running mode must NOT hold the shared warehouse lock for
+        # its whole lifetime — cron'd compaction/merge/retention would
+        # hit AlreadyRunning every night, forever, while monitoring
+        # still reads the last successful run's 0. The lock scope drops
+        # to one micro-batch (BillingPipeline acquires/releases it
+        # around each foreachBatch call); the status protocol is
+        # honored here since run_lock no longer wraps the run.
+        pipe = _build_pipe(lock_path=args.lock_path)
+        status = 1
+        try:
             q = pipe.run_continuous(args.checkpoint, args.trigger_s)
             q.awaitTermination()
-        else:
-            pipe.run_available_now(args.checkpoint)
+            status = 0
+        finally:
+            if args.status_path:
+                with open(args.status_path, "w") as f:
+                    f.write(str(status))
+    else:
+        # bounded drain: holding the lock for the whole (minutes-long)
+        # run is the intended serialization with maintenance
+        with run_lock(args.lock_path, args.status_path):
+            _build_pipe().run_available_now(args.checkpoint)
 
 
 if __name__ == "__main__":

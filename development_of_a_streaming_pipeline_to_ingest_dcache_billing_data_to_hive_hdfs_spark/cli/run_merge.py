@@ -37,6 +37,11 @@ def def_arguments() -> argparse.ArgumentParser:
                    help="one lock shared by ingest/compaction/merge: any "
                         "two of them racing the same table can interleave "
                         "with a partition swap or dynamic overwrite")
+    p.add_argument("--lock-wait-s", type=float, default=600,
+                   help="wait up to this long for the shared lock: a live "
+                        "continuous ingest holds it per-micro-batch "
+                        "(seconds), so maintenance queues briefly instead "
+                        "of dying with AlreadyRunning; 0 = fail fast")
     p.add_argument("--status-path", default=None)
     p.add_argument("--loglevel", default="WARN")
     return p
@@ -44,7 +49,7 @@ def def_arguments() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> None:
     args = def_arguments().parse_args(argv)
-    with run_lock(args.lock_path, args.status_path):
+    with run_lock(args.lock_path, args.status_path, timeout_s=args.lock_wait_s):
         spark = get_spark_session(app_name="dcache_merge", loglevel=args.loglevel)
         updates = spark.read.parquet(args.updates_path)
         rewritten = merge_into(

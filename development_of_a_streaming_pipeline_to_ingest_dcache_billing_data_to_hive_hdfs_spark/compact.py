@@ -36,8 +36,6 @@ from .schema import DEFAULT_PARTITION_NAME, PARTITION_FIELD
 
 DEFAULT_TARGET_BYTES = 512 * 1024 * 1024
 
-__all__ = ["DEFAULT_PARTITION_NAME"]  # re-export: existing imports stand
-
 
 def resolve_partition_policy(policy: str, today: dt.date | None = None) -> list[str] | None:
     """'yesterday' (default) / 'all' / comma-separated YYYY-MM-DD list
@@ -226,6 +224,20 @@ def expire_partitions(
     if (before is None) == (keep_days is None):
         raise ValueError("pass exactly one of before= / keep_days=")
     if keep_days is not None:
+        # same destructive-typo class as the non-canonical `before` below:
+        # a sign slip (--retain-days -90, or a bad cron-template
+        # substitution) computes a FUTURE cutoff and expires every dated
+        # partition the table owns while reporting success. Zero is
+        # refused too — "keep nothing older than today" deletes all of
+        # history up to this morning; an operator who truly wants that
+        # states it explicitly via before=.
+        if keep_days < 1:
+            raise ValueError(
+                f"expire_partitions: keep_days={keep_days} must be >= 1 "
+                "— a non-positive retention would expire every partition "
+                "up to (or beyond) today; pass an explicit before= cutoff "
+                "if that is really intended"
+            )
         base = today or dt.date.today()
         before = (base - dt.timedelta(days=keep_days)).isoformat()
     else:

@@ -83,8 +83,19 @@ class LocalFS:
             if os.path.isdir(src):
                 import errno
 
+                # POSIX os.rename silently REPLACES an existing empty dst
+                # directory — the one case errno can't catch — which
+                # would diverge from Hadoop (rename returns false there):
+                # exactly the cross-impl split this module exists to
+                # preclude. The explicit pre-check closes it; the
+                # check-then-rename window that remains is only reachable
+                # by two concurrent mutators, which the warehouse lock
+                # protocol already forbids (and a non-empty racer still
+                # fails atomically via ENOTEMPTY below).
+                if os.path.lexists(dst):
+                    raise FileExistsError(f"rename target exists: {dst}")
                 try:
-                    os.rename(src, dst)  # clobbers only an EMPTY dir race
+                    os.rename(src, dst)
                     return
                 except OSError as e:
                     if e.errno in (errno.ENOTEMPTY, errno.EEXIST, errno.ENOTDIR):
@@ -172,6 +183,15 @@ class HadoopFS:
             # delete-then-rename: NOT atomic — callers must tolerate the
             # dst-absent window (the ledger does; see module docstring)
             fs.delete(self._p(dst), True)
+        elif not overwrite and fs.exists(self._p(dst)):
+            # Hadoop's rename does NOT uniformly fail on an existing dst:
+            # when dst is a DIRECTORY it moves src INTO it (dst/srcName,
+            # returns true) — the swap protocol's rename(tmp, pdir) would
+            # then bury the compacted files one level deep and readers
+            # would see an empty partition. Refuse explicitly, matching
+            # LocalFS; the residual check-then-act window is serialized
+            # by the warehouse lock like the local impl's.
+            raise FileExistsError(f"rename target exists: {dst}")
         if not fs.rename(self._p(src), self._p(dst)):
             raise OSError(f"hadoop rename failed: {src} -> {dst}")
 

@@ -43,10 +43,6 @@ from pyspark.sql import functions as F
 from .fs import get_filesystem
 from .schema import DEFAULT_PARTITION_NAME, PARTITION_FIELD
 
-# Hive's directory name for a NULL partition value — where records with
-# an unparseable partition key live (parse.partition_date_col).
-
-
 
 def _part_name(value) -> str:
     """Directory-name form of a partition VALUE (None → Hive default)."""
@@ -135,8 +131,22 @@ def merge_into(
         vals = {r[0] for r in df.select(pf).distinct().collect()}
         return {str(v) for v in vals if v is not None}, None in vals
 
-    up_parts, up_null = _collect_parts(updates)
+    # Cast the update batch's partition column to the ON-DISK type BEFORE
+    # collecting affected values. Collecting from the raw frame is a data
+    # eraser: a non-canonical string ('2024-3-1', '2024-03-01T00:00:00')
+    # casts cleanly to DATE 2024-03-01 at write time, but the raw value
+    # lands in `affected`, the target filter matches nothing, the live
+    # rows of 2024-03-01 never survive into `merged`, and the dynamic
+    # overwrite rewrites that partition with ONLY the update rows —
+    # silently deleting every pre-existing row. Casting first makes the
+    # collected values, the target filter, and the written directory
+    # names agree (ANSI mode turns a truly unparseable value into a loud
+    # cast error instead of a wrong directory).
     target_all = spark.read.parquet(path)
+    updates = updates.withColumn(
+        pf, F.col(pf).cast(target_all.schema[pf].dataType)
+    )
+    up_parts, up_null = _collect_parts(updates)
     if scope == "table":
         moved, moved_null = _collect_parts(
             target_all.join(

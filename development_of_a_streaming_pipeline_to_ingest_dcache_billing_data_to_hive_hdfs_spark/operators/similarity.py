@@ -823,8 +823,12 @@ def pq_encode(
                 {"pq_id": batch[id_col].to_numpy(), "codes": list(codes)}
             )
 
+    # id type follows the input column (documents carry string ids, the
+    # embeddings table longs) — hardcoding long would make Arrow reject
+    # every non-long id at the mapInPandas boundary
+    id_type = dict(df.dtypes)[id_col]
     scan = spread_partitions(df.select(F.col(id_col), F.col(vec_col)))
-    return scan.mapInPandas(op, "pq_id long, codes array<int>")
+    return scan.mapInPandas(op, f"pq_id {id_type}, codes array<int>")
 
 
 def pq_cosine_topk(
@@ -881,9 +885,10 @@ def pq_cosine_topk(
         for i in range(len(Q))
     ]
     spark = corpus.sparkSession
+    q_id_type = dict(queries.dtypes)[id_col]
     q_frame = spark.createDataFrame(
         list(zip(q_pdf[id_col].tolist(), luts)),
-        f"query_id long, luts array<array<double>>",
+        f"query_id {q_id_type}, luts array<array<double>>",
     )
     adc = (
         codes.crossJoin(F.broadcast(q_frame))

@@ -67,11 +67,28 @@ class BillingPipeline:
     ``warehouse_dir`` may be a bare local path or any Hadoop-mountable
     URI (``hdfs://``, ``file://``, ``s3a://``): one FS handle is
     resolved up front (fs.py) and shared by the ledger and every route
-    sink, so the exactly-once protocol runs identically on all of them."""
+    sink, so the exactly-once protocol runs identically on all of them.
 
-    def __init__(self, source: DataFrame, warehouse_dir: str):
+    ``lock_path``: serialize each MICRO-BATCH with the shared
+    ingest/compaction/merge lock. A long-running (processing-time
+    trigger) query must not hold the warehouse lock for its whole
+    lifetime — nightly compaction and retention would starve forever —
+    so the lock scope is one batch: acquired before the route writes,
+    released between triggers, with a bounded wait (a nightly
+    maintenance hold should queue the batch, a wedged holder should
+    fail the query loudly after ``lock_timeout_s``)."""
+
+    def __init__(
+        self,
+        source: DataFrame,
+        warehouse_dir: str,
+        lock_path: str | None = None,
+        lock_timeout_s: float = 3600,
+    ):
         self.source = source
         self.warehouse = warehouse_dir
+        self.lock_path = lock_path
+        self.lock_timeout_s = lock_timeout_s
         # source may be None in replay-only tests; URI warehouses then
         # resolve the Hadoop FS from the active session inside fs.py
         self.fs = get_filesystem(
@@ -88,6 +105,15 @@ class BillingPipeline:
         """foreachBatch callback ≙ `Dcache_kafka_to_hive.py:317-336`."""
         if self.ledger.is_committed(batch_id):
             return
+        if self.lock_path is not None:
+            from ..cli.locking import run_lock
+
+            with run_lock(self.lock_path, timeout_s=self.lock_timeout_s):
+                self._process_batch_locked(batch_df, batch_id)
+            return
+        self._process_batch_locked(batch_df, batch_id)
+
+    def _process_batch_locked(self, batch_df: DataFrame, batch_id: int) -> None:
         parsed = parse_billing(batch_df)
         parsed.persist(StorageLevel.MEMORY_AND_DISK)
         try:

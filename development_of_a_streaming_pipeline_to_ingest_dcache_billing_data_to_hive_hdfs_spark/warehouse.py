@@ -151,7 +151,7 @@ def warehouse_summary(spark: SparkSession, warehouse_dir: str) -> dict:
         # A table whose only partition-shaped dirs are crashed-swap
         # scratch artifacts yields parts == [] — report it, not crash,
         # while an operator is diagnosing exactly that state.
-        from .compact import DEFAULT_PARTITION_NAME
+        from .schema import DEFAULT_PARTITION_NAME
 
         dated = [p_ for p_ in parts if p_ != DEFAULT_PARTITION_NAME]
         out["tables"][name] = {

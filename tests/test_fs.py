@@ -137,3 +137,24 @@ def test_compact_on_hadoop_fs(spark, tmp_path):
             if not n.startswith(("_", "."))
         ]
         assert len(data_files) == 1, data_files
+
+
+def test_rename_refuses_existing_empty_dir_dst_on_both_impls(spark, tmp_path):
+    """Cross-impl parity for the swap protocol's load-bearing edge:
+    rename(overwrite=False) onto an existing EMPTY directory must refuse
+    on BOTH impls. POSIX os.rename silently replaces an empty dst dir;
+    Hadoop's FileSystem.rename moves src INTO an existing dst dir
+    (burying the compacted files one level deep) — either divergence
+    would let compact_partition's rename(tmp, pdir) silently corrupt a
+    partition that a concurrent reader/mkdirs recreated."""
+    for fs, root in _impls(spark, tmp_path):
+        src = os.path.join(root, "src_dir")
+        dst = os.path.join(root, "dst_dir")
+        fs.mkdirs(src)
+        fs.write_text_atomic(os.path.join(src, "data.txt"), "payload")
+        fs.mkdirs(dst)  # exists and EMPTY — the silent-clobber case
+        with pytest.raises(FileExistsError):
+            fs.rename(src, dst)
+        # src intact, dst not silently replaced or nested into
+        assert fs.read_text(os.path.join(src, "data.txt")) == "payload"
+        assert dict(fs.list_entries(dst)) == {}

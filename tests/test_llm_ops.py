@@ -1202,3 +1202,25 @@ def test_split_leakage_check_catches_random_split(spark, tmp_path):
         .agg(F.count_distinct("sp").alias("s"))
     )
     assert per_fp.where(F.col("s") > 1).count() == 0
+
+
+def test_pq_topk_with_string_ids(spark):
+    """Regression: pq_encode/pq_cosine_topk hardcoded `long` id schemas
+    while accepting any id_col — a string-keyed corpus (the documents
+    table's natural key shape) must encode and search identically."""
+    from pyspark.sql import functions as F
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        pq_cosine_topk,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .withColumn("vec_id", F.concat(F.lit("doc-"), F.col("vec_id")))
+    )
+    q = emb.where(F.col("vec_id").isin("doc-1", "doc-2"))
+    rows = pq_cosine_topk(emb, q, k=3, m=16, ks=16, shortlist=40).collect()
+    assert {r.query_id for r in rows} == {"doc-1", "doc-2"}
+    assert all(isinstance(r.neighbor_id, str) for r in rows)
+    assert all(r.neighbor_id != r.query_id for r in rows)

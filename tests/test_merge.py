@@ -273,3 +273,35 @@ def test_merge_null_partition_rows_survive(spark, tmp_path):
     got = {r.event_id: (r[PF] and str(r[PF]), r.value) for r in rows}
     assert got[3] == ("2024-03-02", 33.0)
     assert len(rows) == 4
+
+
+def test_merge_non_canonical_partition_string_no_data_loss(spark, tmp_path):
+    """Regression (review-confirmed data loss): affected partitions must
+    be collected from the POST-cast update frame. A non-canonical
+    partition string ('2024-3-1') casts cleanly to DATE 2024-03-01 at
+    write time, but collecting the RAW value made the target filter
+    match nothing — the dynamic overwrite then rewrote partition
+    2024-03-01 with only the update rows, deleting rows 1 and 2."""
+    path = str(tmp_path / "t")
+    merge_into(spark, path, _base(spark), ["event_id"])  # canonical base
+
+    upd = spark.createDataFrame(
+        [(2, "2024-3-1", 99.0)],  # same partition, sloppy spelling
+        f"event_id long, {PF} string, value double",
+    )
+    rewritten = merge_into(spark, path, upd, ["event_id"])
+    assert rewritten == ["2024-03-01"]
+
+    got = {
+        r.event_id: (str(r[PF]), r.value)
+        for r in spark.read.parquet(path).collect()
+    }
+    # row 1 survives; row 2 updated IN the canonical partition; no
+    # phantom 2024-3-1 directory
+    assert got == {
+        1: ("2024-03-01", 10.0),
+        2: ("2024-03-01", 99.0),
+        3: ("2024-03-02", 30.0),
+        4: ("2024-03-03", 40.0),
+    }
+    assert not os.path.exists(os.path.join(path, f"{PF}=2024-3-1"))

@@ -427,3 +427,74 @@ def test_localfs_rename_no_overwrite_is_atomic_refusal(tmp_path):
     with _pytest.raises(FileExistsError):
         fs.rename(da, db)
     assert os.path.exists(os.path.join(db, "f"))
+
+
+def test_expire_partitions_rejects_non_positive_keep_days(spark, tmp_path):
+    """Regression (review-confirmed typo-to-mass-delete): keep_days=-90
+    (a sign slip or bad cron substitution) computes a FUTURE cutoff and
+    would expire every partition the table owns; keep_days=0 deletes all
+    history up to today. Both must refuse, deleting nothing."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.compact import (
+        expire_partitions,
+    )
+
+    path = str(tmp_path / "t")
+    for d in ("2024-03-01", "2024-03-02"):
+        spark.range(2).withColumn("partition_date", F.lit(d)).write.mode(
+            "append"
+        ).partitionBy("partition_date").parquet(path)
+    for bad in (-90, -1, 0):
+        with _pytest.raises(ValueError, match="keep_days"):
+            expire_partitions(spark, path, keep_days=bad)
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("partition_date=")
+    ) == ["partition_date=2024-03-01", "partition_date=2024-03-02"]
+    # a positive retention still works
+    import datetime as dt
+
+    dropped = expire_partitions(
+        spark, path, keep_days=1, today=dt.date(2024, 3, 3)
+    )
+    assert dropped == ["2024-03-01"]
+
+
+def test_export_cli_detects_maintenance_race(spark, tmp_path):
+    """The lock-free export default must FAIL LOUDLY (status 1) when the
+    table's directory layout changes under it — the silent-miss window
+    of compaction's two-rename swap — instead of reporting a complete
+    corpus. With --lock-path the guard is unnecessary and off."""
+    import os
+
+    import pytest as _pytest
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.cli import (
+        run_export,
+    )
+
+    wh = str(tmp_path / "wh")
+    spark.createDataFrame(
+        [(i, "tok " * 20) for i in range(10)], "doc_id long, text string"
+    ).write.parquet(os.path.join(wh, "documents"))
+    # a crashed/in-flight compaction's scratch marker beside the data
+    os.makedirs(os.path.join(wh, "documents", "._compact_old_2024-03-01"))
+    out = str(tmp_path / "export")
+    status = str(tmp_path / "status")
+    with _pytest.raises(RuntimeError, match="raced warehouse maintenance"):
+        run_export.main([
+            "--warehouse", wh, "--table", "documents", "--output", out,
+            "--status-path", status,
+        ])
+    assert open(status).read() == "1"  # monitoring sees the failure
+    # serialized via --lock-path: same table exports fine (the scratch
+    # dir is hidden from Spark's listing; the guard is the lock now)
+    out2 = str(tmp_path / "export2")
+    run_export.main([
+        "--warehouse", wh, "--table", "documents", "--output", out2,
+        "--lock-path", str(tmp_path / "wh.lock"),
+    ])
+    assert spark.read.json(out2).count() == 10

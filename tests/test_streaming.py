@@ -389,3 +389,66 @@ def test_upsert_crash_between_merge_and_ledger_commit(spark, tmp_path, monkeypat
         r.acct_id: r.balance for r in spark.read.parquet(path).collect()
     }
     assert got == {1: 150.0, 2: 200.0}
+
+
+def test_per_batch_lock_scope_releases_between_batches(spark, tmp_path):
+    """Regression (maintenance starvation): a long-running ingest must
+    hold the shared warehouse lock only PER MICRO-BATCH, so cron'd
+    compaction/merge can interleave between triggers. The lock file must
+    be gone after each process_batch, present during it, and a held lock
+    must queue the batch (bounded wait) rather than fail."""
+    import os
+    import threading
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.cli.locking import (
+        AlreadyRunning,
+        acquire_lock,
+        run_lock,
+    )
+
+    warehouse = str(tmp_path / "wh")
+    lock = str(tmp_path / "wh.lock")
+    batch = spark.createDataFrame([(billing_record("transfer"),)], ["value"])
+    pipe = BillingPipeline(
+        source=None, warehouse_dir=warehouse, lock_path=lock, lock_timeout_s=30
+    )
+
+    seen_during = {}
+    orig = pipe._process_batch_locked
+
+    def spy(batch_df, batch_id):
+        seen_during["held"] = os.path.exists(lock)
+        return orig(batch_df, batch_id)
+
+    pipe._process_batch_locked = spy
+    pipe.process_batch(batch, 1)
+    assert seen_during["held"] is True      # held inside the batch
+    assert not os.path.exists(lock)         # released between batches
+
+    # maintenance can acquire between batches, fail-fast style
+    acquire_lock(lock, timeout_s=0)
+    # ...and while it holds the lock, an ingest batch WAITS then runs
+    t = threading.Timer(1.0, os.unlink, args=[lock])
+    t.start()
+    pipe.process_batch(batch, 2)  # would raise AlreadyRunning pre-fix
+    t.join()
+    assert spark.read.parquet(pipe.table_path("transfers")).count() == 2
+
+    # a wedged holder still fails loudly after the bounded wait
+    acquire_lock(lock, timeout_s=0)
+    pipe.lock_timeout_s = 0.2
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(AlreadyRunning):
+            pipe.process_batch(batch, 3)
+    finally:
+        os.unlink(lock)
+
+    # run_lock honors timeout_s the same way
+    acquire_lock(lock, timeout_s=0)
+    t = threading.Timer(0.5, os.unlink, args=[lock])
+    t.start()
+    with run_lock(lock, timeout_s=10):
+        pass
+    t.join()
