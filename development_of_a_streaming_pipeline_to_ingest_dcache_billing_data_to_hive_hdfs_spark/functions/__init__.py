@@ -28,8 +28,22 @@ from ..operators.textops import (
     tokens_col,
 )
 from ..operators.similarity import COSINE_EXPR
+from ..operators.urlops import (
+    cap_per_domain,
+    filter_blocked_domains,
+    path_depth_col,
+    registered_domain_col,
+    url_host_col,
+    with_url_parts,
+)
 
 __all__ = [
+    "url_host_col",
+    "registered_domain_col",
+    "path_depth_col",
+    "with_url_parts",
+    "filter_blocked_domains",
+    "cap_per_domain",
     "partition_date_col",
     "normalized_text",
     "fingerprint",

@@ -671,9 +671,17 @@ def kmeans_embeddings(
                 if not len(batch):
                     continue
                 M, cl, best = _dists(b_cent, batch)
-                np.add.at(cnt, cl, 1)
-                np.add.at(sse, cl, best)
-                np.add.at(sums, cl, M)
+                cnt += np.bincount(cl, minlength=n_clusters)
+                sse += np.bincount(cl, weights=best, minlength=n_clusters)
+                # contiguous segmented sum (sort + reduceat) instead of
+                # np.add.at's scattered row adds — the per-batch update
+                # is the assign pass's only non-BLAS cost, and scattered
+                # indexed adds are ~10× slower than a sorted reduction
+                # at the 64k-row batches the task sizing targets
+                order = np.argsort(cl, kind="stable")
+                cls = cl[order]
+                starts = np.flatnonzero(np.r_[True, cls[1:] != cls[:-1]])
+                sums[cls[starts]] += np.add.reduceat(M[order], starts, axis=0)
             nz = np.nonzero(cnt)[0]
             yield pd.DataFrame(
                 {

@@ -4746,6 +4746,165 @@ def q_llm_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic synthetic URL per document (the corpus carries no URL
+# column): host shape varies by doc_id — bare / www. / cdn.data.
+# subdomains, .com / .co.uk suffixes, an IP-literal slice — so the
+# domain extraction has every edge to chew on. The SAME SQL text runs
+# on both engines (Spark F.expr and the DuckDB oracle), so the inputs
+# are identical by construction.
+_URL_SYNTH = """
+    CASE WHEN doc_id % 11 = 0
+         THEN 'http://10.0.' || CAST(doc_id % 200 AS STRING) || '.7/raw'
+         ELSE 'https://'
+              || CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                      WHEN doc_id % 3 = 1 THEN 'cdn.data.'
+                      ELSE '' END
+              || source
+              || CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END
+              || '/p' || CAST(doc_id % 7 AS STRING)
+              || CASE WHEN doc_id % 2 = 0 THEN '/a/b' ELSE '' END
+    END
+"""
+
+# DuckDB twin of urlops.registered_domain_col (host already lowercase)
+_DUCK_DOMAIN = r"""
+    CASE WHEN regexp_matches(host, '^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$')
+         THEN host
+         ELSE array_to_string(list_slice(string_split(host, '.'),
+                len(string_split(host, '.'))
+                  - (CASE WHEN len(string_split(host, '.')) >= 3
+                          AND string_split(host, '.')[len(string_split(host, '.')) - 1]
+                              IN ('co','com','ac','gov','edu','org','net')
+                          THEN 3
+                          ELSE LEAST(len(string_split(host, '.')), 2) END)
+                  + 1,
+                len(string_split(host, '.'))), '.')
+    END
+"""
+
+
+@register(
+    "q_llm_url_domain_stats",
+    f"""
+    WITH u AS (
+      SELECT doc_id, n_chars, ({_URL_SYNTH}) AS url FROM documents),
+    h AS (
+      SELECT *, lower(regexp_extract(url, '^[a-z]+://([^/:]+)', 1)) AS host
+      FROM u),
+    d AS (
+      SELECT *, ({_DUCK_DOMAIN}) AS registered_domain,
+             len(list_filter(
+               string_split(regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1),
+                            '/'), x -> x <> '')) AS path_depth
+      FROM h)
+    SELECT registered_domain,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN host <> registered_domain THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_subdomained,
+           CAST(MAX(path_depth) AS BIGINT) AS max_depth
+    FROM d
+    GROUP BY registered_domain
+    ORDER BY n_docs DESC, registered_domain
+    LIMIT 25
+    """,
+)
+def q_llm_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain corpus statistics (operators.urlops) —
+    the first question a web-corpus audit asks: which domains dominate,
+    how deep their paths go, how much rides on subdomains. Domain
+    extraction is a scan-stage codegen projection (parse_url + label
+    slicing, no Python, no UDF); the only exchange is the final
+    domain groupBy. At 100 TB: identical plan, one shuffle."""
+    from ..operators.urlops import with_url_parts
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.expr(_URL_SYNTH).alias("url")
+    )
+    parts = with_url_parts(docs)
+    return (
+        parts.groupBy("registered_domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(
+                F.when(F.col("host") != F.col("registered_domain"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_subdomained"),
+            F.max("path_depth").cast("bigint").alias("max_depth"),
+        )
+        .orderBy(F.col("n_docs").desc(), "registered_domain")
+        .limit(25)
+    )
+
+
+@register(
+    "q_llm_domain_blocklist_cap",
+    f"""
+    WITH u AS (
+      SELECT doc_id, n_chars, ({_URL_SYNTH}) AS url FROM documents),
+    h AS (
+      SELECT *, lower(regexp_extract(url, '^[a-z]+://([^/:]+)', 1)) AS host
+      FROM u),
+    d AS (
+      SELECT *, ({_DUCK_DOMAIN}) AS registered_domain FROM h),
+    kept AS (
+      SELECT * FROM d
+      WHERE registered_domain NOT IN ('src3.com', 'src7.co.uk', 'src12.com')
+        AND NOT regexp_matches(host,
+              '^\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}$')
+      QUALIFY row_number() OVER (
+        PARTITION BY registered_domain
+        ORDER BY n_chars DESC, doc_id ASC) <= 8)
+    SELECT registered_domain,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM kept
+    GROUP BY registered_domain
+    ORDER BY registered_domain
+    """,
+)
+def q_llm_domain_blocklist_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist removal + per-domain document cap (operators.urlops) —
+    the mixture-balance step of web-corpus curation: drop documents
+    from blocked registrable domains (and IP-literal hosts, which evade
+    any name-based list), then keep at most k best documents per
+    surviving domain. The blocklist is a BROADCAST anti-join (a
+    real-world blocklist is MBs; the corpus never shuffles for it); the
+    cap is one shuffle on the domain key with `WindowGroupLimit`
+    pruning below the cap. The k=8 cap bites the .com domains (~20
+    docs each here) and leaves the smaller .co.uk ones intact, so both
+    branches are exercised."""
+    from ..operators.urlops import (
+        cap_per_domain,
+        filter_blocked_domains,
+        with_url_parts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.expr(_URL_SYNTH).alias("url")
+    )
+    parts = with_url_parts(docs)
+    blocklist = spark.createDataFrame(
+        [("src3.com",), ("src7.co.uk",), ("src12.com",)],
+        "registered_domain string",
+    )
+    kept = cap_per_domain(
+        filter_blocked_domains(parts, blocklist, drop_ip_hosts=True),
+        k=8,
+        order_col="n_chars",
+        tiebreak_col="doc_id",
+    )
+    return (
+        kept.groupBy("registered_domain")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+        .orderBy("registered_domain")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: billing-core semantics in one plan."""
     return q_billing_flagship_daily(spark, sf_dir)
@@ -4769,7 +4928,9 @@ _DRIVER_PRIORITY = [
     # driver run, plus this round's new operators (probe-table
     # contamination, BPE pair counts, PQ recall gate, recursive CTE,
     # quality classifier, prefix dups, span dedup, tf-idf terms,
-    # k-means invariant gate)
+    # k-means invariant gate, URL/domain curation)
+    "q_llm_url_domain_stats",
+    "q_llm_domain_blocklist_cap",
     "q_llm_bpe_pairs",
     "q_llm_pq_recall",
     "q_rel_recursive_cte",
@@ -4834,8 +4995,9 @@ _DRIVER_PRIORITY = [
     "q_llm_dedup_exact",
     "q_llm_token_counts_bpe",
     "q_llm_cosine_topk",
-    "q_llm_quantized_recall",
-    "q_llm_ivf_recall",
+    # (quantized/ivf recall gates displaced by the two URL-curation
+    # queries: r2-green, still within the two-round staleness bar,
+    # first in line for round 5's backfill)
 ]
 
 

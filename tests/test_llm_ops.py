@@ -1224,3 +1224,67 @@ def test_pq_topk_with_string_ids(spark):
     assert {r.query_id for r in rows} == {"doc-1", "doc-2"}
     assert all(isinstance(r.neighbor_id, str) for r in rows)
     assert all(r.neighbor_id != r.query_id for r in rows)
+
+
+def test_url_parts_extraction_edges(spark):
+    """urlops: host/registrable-domain/path-depth over the edge shapes —
+    subdomains, multi-part suffixes (.co.uk), IP-literal hosts, ports,
+    empty paths, uppercase hosts."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.urlops import (
+        with_url_parts,
+    )
+
+    rows = [
+        ("https://www.Example.COM/a/b/c", "www.example.com", "example.com", 3, False),
+        ("https://cdn.data.site.co.uk/p", "cdn.data.site.co.uk", "site.co.uk", 1, False),
+        ("http://10.0.3.7/raw", "10.0.3.7", "10.0.3.7", 1, True),
+        ("https://example.org/", "example.org", "example.org", 0, False),
+        ("http://host.ac.jp:8080/x", "host.ac.jp", "host.ac.jp", 1, False),
+        ("https://localhost/x", "localhost", "localhost", 1, False),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in rows], "url string")
+    got = {
+        r["url"]: (r["host"], r["registered_domain"], r["path_depth"], r["is_ip_host"])
+        for r in with_url_parts(df).collect()
+    }
+    for url, host, dom, depth, is_ip in rows:
+        assert got[url] == (host, dom, depth, is_ip), (url, got[url])
+
+
+def test_blocklist_and_domain_cap(spark):
+    """urlops: blocklist anti-join drops exactly the listed domains (and
+    optionally IP hosts); the per-domain cap keeps the k best documents
+    deterministically and the plan broadcasts the blocklist."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.urlops import (
+        cap_per_domain,
+        filter_blocked_domains,
+        with_url_parts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i,
+             f"https://{'bad' if i % 4 == 0 else 'ok'}{i % 2}.com/d",
+             100 - i)
+            for i in range(20)
+        ] + [(99, "http://10.9.9.9/x", 5)],
+        "doc_id long, url string, n_chars long",
+    )
+    parts = with_url_parts(docs)
+    block = spark.createDataFrame(
+        [("bad0.com",)], "registered_domain string"
+    )
+    kept = filter_blocked_domains(parts, block, drop_ip_hosts=True)
+    doms = {r["registered_domain"] for r in kept.collect()}
+    assert doms == {"ok0.com", "ok1.com"}  # bad0.com + the IP host gone
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+    capped = cap_per_domain(kept, k=3, order_col="n_chars", tiebreak_col="doc_id")
+    per = {}
+    for r in capped.collect():
+        per.setdefault(r["registered_domain"], []).append(r["doc_id"])
+    assert all(len(v) == 3 for v in per.values())
+    # best-n_chars-first: the smallest doc_ids carry the largest n_chars
+    assert sorted(per["ok1.com"]) == [1, 3, 5]
+    assert sorted(per["ok0.com"]) == [2, 6, 10]  # 4, 8 blocked via bad0
