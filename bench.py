@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "q_llm_bpe_pairs",
     "q_llm_pq_topk",
     "q_llm_kmeans",
+    # URL/domain curation: scan-stage domain extraction + blocklist
+    # anti-join + per-domain cap (one shuffle on the domain key)
+    "q_llm_domain_blocklist_cap",
 ]
 
 

@@ -35,6 +35,7 @@ NOTES = {
  "q_rel_recursive_cte": "WITH RECURSIVE month spine: the recursion materializes ~tens of rows; the per-month aggregate is the only corpus-sized work and joins the spine via broadcast. Calendar densification without a driver-side date loop.",
  "q_llm_quality_classifier": "Linear quality filter: the whole model (features + weighted logit) is one codegen'd scan-stage projection; the only exchange is the per-source aggregate of the keep flags.",
  "q_llm_prefix_dups": "Truncation dups: prefix md5 in the scan stage; one groupBy with map-side partials - singleton prefixes never cross the network.",
+ "q_llm_domain_blocklist_cap": "URL curation: host/registrable-domain extraction is a codegen'd scan-stage projection (parse_url + label slicing, no Python); the blocklist is a BroadcastHashJoin LeftAnti (the corpus never shuffles for it); the per-domain cap shuffles once on the domain key with WindowGroupLimit pruning rows below k before the final aggregate.",
 }
 
 hdr = """# PLANS — physical-plan audit of headline queries (sf0.1, AQE final plans)
