@@ -19,6 +19,7 @@ from ..operators.textops import (
     learn_bpe_merges,
     linear_quality_logit,
     predicted_lang_col,
+    pseudonymize_col,
     quality_score_cols,
     raw_ngrams_col,
     scrub_text,
@@ -66,5 +67,6 @@ __all__ = [
     "tfidf_top_terms",
     "holdout_split_col",
     "scrub_text",
+    "pseudonymize_col",
     "COSINE_EXPR",
 ]

@@ -142,6 +142,18 @@ def scrub_text(col: str = "text") -> Column:
     return out
 
 
+def pseudonymize_col(col: str, salt: str = "corpus-pepper") -> Column:
+    """Salted-hash pseudonymization of an identifier column — the PII
+    companion to ``scrub_text`` for JOIN KEYS: redaction destroys
+    joinability, but analytics still need "same user" across tables, so
+    the id maps to ``sha2(salt || id)``. Deterministic (the same id
+    pseudonymizes identically in every table sharing the salt, so joins
+    survive), injective in practice (256-bit collisions are ignorable),
+    irreversible without the salt (keep the salt OUT of the warehouse).
+    One codegen'd scan-stage expression, no UDF, engine-portable hex."""
+    return F.sha2(F.concat(F.lit(salt), F.col(col).cast("string")), 256)
+
+
 def predicted_lang_col(col: str = "text") -> Column:
     """Predicted language = stopword list with the most hits (ties break
     by list order en > es > fr > de; 'und' = undetermined if all zero)."""

@@ -4905,6 +4905,117 @@ def q_llm_domain_blocklist_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_pseudonymize",
+    """
+    SELECT sha256('corpus-pepper' || CAST(user_id AS STRING)) AS pseud,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM events
+    GROUP BY user_id
+    ORDER BY pseud
+    LIMIT 50
+    """,
+)
+def q_llm_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-hash pseudonymization (textops.pseudonymize_col): user ids
+    become sha2(salt || id) so per-user analytics and cross-table joins
+    survive while the raw identifier leaves the output — the join-key
+    companion to scrub_text's free-text redaction. The hash is a
+    codegen'd scan-stage projection; grouping directly on the raw key
+    keeps the aggregate's shuffle identical to the un-pseudonymized
+    plan (the hash never widens the exchange). Engine-portable hex, so
+    the oracle diff is exact."""
+    from ..operators.textops import pseudonymize_col
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purchases"),
+        )
+        .select(
+            pseudonymize_col("user_id").alias("pseud"),
+            "n_events",
+            "n_purchases",
+        )
+        .orderBy("pseud")
+        .limit(50)
+    )
+
+
+_EMPTY_VOCAB_SKETCH_ORACLE = """
+    SELECT CAST(NULL AS VARCHAR) AS tok,
+           CAST(NULL AS BIGINT) AS exact_n,
+           CAST(NULL AS BIGINT) AS approx_n,
+           CAST(NULL AS VARCHAR) AS reason
+    WHERE FALSE
+"""
+
+
+@register("q_llm_vocab_sketch_check", _EMPTY_VOCAB_SKETCH_ORACLE)
+def q_llm_vocab_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based heavy hitters (``approx_top_k``) checked against the
+    exact top-k in the same job: the exact path is a full groupBy on the
+    token (one shuffle whose width is the DISTINCT-TOKEN count), the
+    sketch path is ONE mergeable aggregate whose state is bounded by
+    maxItemsTracked regardless of vocabulary size — the 100 TB shape
+    when the vocabulary itself is shuffle-sized. Violations: an exact
+    top-10 token missing from the sketch's top-20, or its sketched
+    count off by >2%. Expected empty ⇒ zero-row oracle; a degenerate
+    (empty-vocab) corpus emits a loud row instead of vacuous green."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col("text")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "tok")
+        .limit(10)
+    )
+    sketch = (
+        toks.agg(F.expr("approx_top_k(tok, 20, 10000)").alias("s"))
+        .select(F.explode("s").alias("e"))
+        .select(
+            F.col("e.item").alias("tok"),
+            F.col("e.count").cast("bigint").alias("approx_n"),
+        )
+    )
+    joined = exact.join(F.broadcast(sketch), "tok", "left")
+    violations = joined.where(
+        F.col("approx_n").isNull()
+        | (
+            F.abs(F.col("approx_n") - F.col("exact_n"))
+            / F.col("exact_n").cast("double")
+            > 0.02
+        )
+    ).select(
+        "tok",
+        F.col("exact_n").cast("bigint").alias("exact_n"),
+        F.coalesce(F.col("approx_n"), F.lit(-1)).cast("bigint").alias("approx_n"),
+        F.lit("sketch_miss_or_drift").alias("reason"),
+    )
+    # Degeneracy guard: the corpus always has tokens — an empty exact
+    # top-10 means the token pipeline broke, which must NOT read as a
+    # clean pass
+    guard = (
+        exact.agg(F.count("*").alias("n"))
+        .where(F.col("n") == 0)
+        .select(
+            F.lit(None).cast("string").alias("tok"),
+            F.lit(-1).cast("bigint").alias("exact_n"),
+            F.lit(-1).cast("bigint").alias("approx_n"),
+            F.lit("degenerate_empty_vocab").alias("reason"),
+        )
+    )
+    return violations.unionByName(guard)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: billing-core semantics in one plan."""
     return q_billing_flagship_daily(spark, sf_dir)
@@ -4928,9 +5039,12 @@ _DRIVER_PRIORITY = [
     # driver run, plus this round's new operators (probe-table
     # contamination, BPE pair counts, PQ recall gate, recursive CTE,
     # quality classifier, prefix dups, span dedup, tf-idf terms,
-    # k-means invariant gate, URL/domain curation)
+    # k-means invariant gate, URL/domain curation, pseudonymization,
+    # sketch heavy-hitters)
     "q_llm_url_domain_stats",
     "q_llm_domain_blocklist_cap",
+    "q_llm_pseudonymize",
+    "q_llm_vocab_sketch_check",
     "q_llm_bpe_pairs",
     "q_llm_pq_recall",
     "q_rel_recursive_cte",
@@ -4993,11 +5107,11 @@ _DRIVER_PRIORITY = [
     "q_rel_q20_excess_inventory",
     "q_rel_q21_sole_blame",
     "q_llm_dedup_exact",
-    "q_llm_token_counts_bpe",
-    "q_llm_cosine_topk",
-    # (quantized/ivf recall gates displaced by the two URL-curation
-    # queries: r2-green, still within the two-round staleness bar,
-    # first in line for round 5's backfill)
+    # (quantized/ivf recall gates, BPE token counts and cosine top-k
+    # displaced by the four new curation queries: r2-green, still
+    # within the two-round staleness bar, first in line for round 5's
+    # backfill — test_no_query_goes_stale enforces that rotation the
+    # moment CORRECTNESS_r04 lands)
 ]
 
 

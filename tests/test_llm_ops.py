@@ -1288,3 +1288,54 @@ def test_blocklist_and_domain_cap(spark):
     # best-n_chars-first: the smallest doc_ids carry the largest n_chars
     assert sorted(per["ok1.com"]) == [1, 3, 5]
     assert sorted(per["ok0.com"]) == [2, 6, 10]  # 4, 8 blocked via bad0
+
+
+def test_pseudonymize_col_properties(spark):
+    """Salted-hash pseudonymization: matches a reference sha256, is
+    deterministic across frames (joins survive), injective on distinct
+    ids, and never leaks the raw id into the output."""
+    import hashlib
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        pseudonymize_col,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "user_id long")
+    out = df.select("user_id", pseudonymize_col("user_id").alias("p")).collect()
+    ref = hashlib.sha256(b"corpus-pepper42").hexdigest()
+    got = {r.user_id: r.p for r in out}
+    assert got[42] == ref
+    assert len(set(got.values())) == 100  # injective on distinct ids
+
+    # cross-table joinability: same salt → same pseudonym on both sides
+    other = spark.createDataFrame([(i,) for i in range(50, 150)], "user_id long")
+    a = df.select(pseudonymize_col("user_id").alias("p"))
+    b = other.select(pseudonymize_col("user_id").alias("p"))
+    assert a.join(b, "p").count() == 50
+    # a different salt breaks linkage (the whole point of the pepper)
+    c = other.select(pseudonymize_col("user_id", salt="other").alias("p"))
+    assert a.join(c, "p").count() == 0
+
+
+def test_approx_top_k_sketch_vs_exact(spark):
+    """approx_top_k: on a skewed vocabulary the sketch's top items agree
+    with the exact counts even when maxItemsTracked is far below the
+    distinct count — the memory-bounded heavy-hitter contract."""
+    from pyspark.sql import functions as F
+
+    # 10 hot tokens (1000x each) + 20k singleton tail
+    hot = spark.range(10_000).select(
+        F.concat(F.lit("hot"), (F.col("id") % 10).cast("string")).alias("tok")
+    )
+    tail = spark.range(20_000).select(
+        F.concat(F.lit("tail"), F.col("id").cast("string")).alias("tok")
+    )
+    toks = hot.unionAll(tail)
+    sketch = {
+        r["e"]["item"]: r["e"]["count"]
+        for r in toks.agg(F.expr("approx_top_k(tok, 10, 2000)").alias("s"))
+        .select(F.explode("s").alias("e"))
+        .collect()
+    }
+    assert set(sketch) == {f"hot{i}" for i in range(10)}
+    assert all(abs(v - 1000) <= 20 for v in sketch.values()), sketch
