@@ -881,9 +881,27 @@ def pq_cosine_topk(
     codes = pq_encode(corpus, cb, id_col, vec_col).withColumnRenamed(
         "pq_id", "neighbor_id"
     )
+    return _pq_adc_search(
+        codes, cb, queries, corpus, k=k, shortlist=shortlist,
+        id_col=id_col, vec_col=vec_col,
+    )
 
-    import pandas as pd
 
+def _pq_adc_search(
+    codes: DataFrame,
+    cb: np.ndarray,
+    queries: DataFrame,
+    corpus: DataFrame | None,
+    k: int,
+    shortlist: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """ADC scoring + optional exact rerank over an already-encoded code
+    table (``neighbor_id``, ``codes``) — shared by the inline
+    ``pq_cosine_topk`` and the persisted-index ``pq_index_search``.
+    Without ``corpus`` (raw vectors unavailable or deliberately not
+    read) the ADC shortlist IS the result, ranked by ADC score."""
     q_pdf = queries.select(F.col(id_col), F.col(vec_col)).toPandas()
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
@@ -892,7 +910,7 @@ def pq_cosine_topk(
         [list(map(float, Q[i, s * sub : (s + 1) * sub] @ cb[s].T)) for s in range(cb.shape[0])]
         for i in range(len(Q))
     ]
-    spark = corpus.sparkSession
+    spark = queries.sparkSession
     q_id_type = dict(queries.dtypes)[id_col]
     q_frame = spark.createDataFrame(
         list(zip(q_pdf[id_col].tolist(), luts)),
@@ -913,6 +931,11 @@ def pq_cosine_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("neighbor_id")
     )
+    if corpus is None:
+        return (
+            adc.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
     short = (
         adc.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= shortlist)
@@ -931,6 +954,95 @@ def pq_cosine_topk(
     )
     return scored.withColumn("rank", F.row_number().over(w2)).where(
         F.col("rank") <= k
+    )
+
+
+def pq_index_write(
+    corpus: DataFrame,
+    path: str,
+    m: int = 16,
+    ks: int = 16,
+    train_sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fs=None,
+) -> dict:
+    """Persist a product-quantization index as a warehouse artifact:
+    ``<path>/codes`` (parquet: id + m small ints per vector — the 32×
+    compression that makes a 100 TB neighbor index disk- and
+    memory-feasible) and ``<path>/codebooks.json`` (the m × ks × d/m
+    codebook tensor + metadata, KBs). Encode ONCE, search many times —
+    the lifecycle split ``pq_cosine_topk`` (train+encode+search in one
+    job) doesn't give you. Returns the metadata dict.
+
+    The JSON lands via the same atomic write the batch ledger uses, and
+    AFTER the codes commit, so a readable codebooks.json implies a
+    complete index; re-running the write is idempotent (overwrite).
+    """
+    import json as _json
+    import os as _os
+
+    from ..fs import get_filesystem
+
+    fs = fs or get_filesystem(path, corpus.sparkSession)
+    sample_pdf = corpus.select(vec_col).limit(train_sample).toPandas()
+    if not len(sample_pdf):
+        raise ValueError("pq_index_write: corpus is empty — nothing to index")
+    sample = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]]
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cb = pq_train_codebooks(sample, m=m, ks=ks)
+    codes = pq_encode(corpus, cb, id_col, vec_col)
+    codes.write.mode("overwrite").parquet(_os.path.join(path, "codes"))
+    meta = {
+        "m": int(m),
+        "ks": int(ks),
+        "dim": int(cb.shape[0] * cb.shape[2]),
+        "id_col": id_col,
+        "id_type": dict(corpus.dtypes)[id_col],
+        "normalized": True,
+        "codebooks": cb.tolist(),
+    }
+    fs.mkdirs(path)
+    fs.write_text_atomic(
+        _os.path.join(path, "codebooks.json"), _json.dumps(meta)
+    )
+    return {k: v for k, v in meta.items() if k != "codebooks"}
+
+
+def pq_index_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 30,
+    corpus: DataFrame | None = None,
+    id_col: str | None = None,
+    vec_col: str = "embedding",
+    fs=None,
+) -> DataFrame:
+    """Search a persisted PQ index (``pq_index_write``) without
+    re-training or re-encoding anything: load the KB-sized codebooks,
+    scan the compressed code table, ADC-score via the codegen'd
+    ``zip_with`` lookup, and — when ``corpus`` (the raw-vector table)
+    is passed — exact-rerank the shortlist. Without ``corpus`` the
+    result ranks by ADC score alone: the raw vectors never load, which
+    is the point when they are 32× the index size."""
+    import json as _json
+    import os as _os
+
+    from ..fs import get_filesystem
+
+    fs = fs or get_filesystem(path, spark)
+    meta = _json.loads(fs.read_text(_os.path.join(path, "codebooks.json")))
+    cb = np.asarray(meta["codebooks"], dtype=np.float64)
+    codes = spark.read.parquet(_os.path.join(path, "codes")).withColumnRenamed(
+        "pq_id", "neighbor_id"
+    )
+    return _pq_adc_search(
+        codes, cb, queries, corpus, k=k, shortlist=shortlist,
+        id_col=id_col or meta["id_col"], vec_col=vec_col,
     )
 
 

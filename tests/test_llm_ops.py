@@ -1339,3 +1339,51 @@ def test_approx_top_k_sketch_vs_exact(spark):
     }
     assert set(sketch) == {f"hot{i}" for i in range(10)}
     assert all(abs(v - 1000) <= 20 for v in sketch.values()), sketch
+
+
+def test_pq_index_write_and_search(spark, tmp_path):
+    """PQ index lifecycle: persist once (codes parquet + codebooks
+    JSON), search later with no re-training/re-encoding; with the raw
+    corpus the reranked results match the inline pq_cosine_topk
+    exactly; without it the ADC-only path never touches raw vectors."""
+    from pyspark.sql import functions as F
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        pq_cosine_topk,
+        pq_index_search,
+        pq_index_write,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    idx = str(tmp_path / "pq_index")
+    meta = pq_index_write(emb, idx, m=16, ks=16)
+    assert meta["dim"] == 64 and meta["id_col"] == "vec_id"
+    import os
+
+    assert os.path.isfile(os.path.join(idx, "codebooks.json"))
+    assert os.path.isdir(os.path.join(idx, "codes"))
+
+    q = emb.where(F.col("vec_id") < 5)
+    via_index = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in pq_index_search(spark, idx, q, k=5, shortlist=60,
+                                 corpus=emb).collect()
+    }
+    inline = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in pq_cosine_topk(emb, q, k=5, m=16, ks=16, shortlist=60).collect()
+    }
+    assert via_index == inline  # deterministic training → identical results
+
+    # ADC-only (no raw vectors): right shape, k rows per query, scored
+    adc_only = pq_index_search(spark, idx, q, k=5).collect()
+    assert len(adc_only) == 25
+    assert {r.query_id for r in adc_only} == {0, 1, 2, 3, 4}
+    assert all(r.adc_score is not None for r in adc_only)
+
+    # idempotent rewrite: same artifact, search still works
+    pq_index_write(emb, idx, m=16, ks=16)
+    assert pq_index_search(spark, idx, q, k=3, corpus=emb).count() == 15
