@@ -319,3 +319,44 @@ def test_tfidf_topk_matches_python_oracle(spark, texts):
         for rank, (term, _n) in enumerate(ranked[:2], start=1):
             want[(i, rank)] = term
     assert got == want
+
+
+# hostname labels: lowercase alnum + dash, the realistic shapes plus
+# degenerate ones (single label, empty labels from doubled dots arrive
+# via the join below)
+_label = st.text(alphabet="abcxyz019-", min_size=1, max_size=6)
+_host = st.lists(_label, min_size=1, max_size=5).map(".".join)
+_ip = st.tuples(*[st.integers(0, 255)] * 4).map(
+    lambda t: ".".join(map(str, t))
+)
+
+
+def _ref_registered_domain(host: str) -> str:
+    """Plain-Python reference of the bounded registrable-domain rule."""
+    import re
+
+    if re.fullmatch(r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", host):
+        return host
+    labels = host.split(".")
+    n = len(labels)
+    multi = {"co", "com", "ac", "gov", "edu", "org", "net"}
+    take = 3 if n >= 3 and labels[-2] in multi else min(n, 2)
+    return ".".join(labels[-take:])
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(_host, _ip), min_size=1, max_size=30))
+def test_registered_domain_matches_python_reference(spark, hosts):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.urlops import (
+        registered_domain_col,
+    )
+
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: r["dom"]
+        for r in df.select(
+            "host", registered_domain_col(F.col("host")).alias("dom")
+        ).collect()
+    }
+    for h in set(hosts):
+        assert got[h] == _ref_registered_domain(h), (h, got[h])
