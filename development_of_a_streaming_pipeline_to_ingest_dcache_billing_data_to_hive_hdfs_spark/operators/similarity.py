@@ -288,7 +288,12 @@ def ivf_assign(
                 }
             )
 
-    out_schema = f"{id_col} long, {vec_col} array<double>, list_id int"
+    # id type follows the input column (see pq_encode) — a hardcoded
+    # long would reject string-keyed corpora at the Arrow boundary
+    out_schema = (
+        f"{id_col} {dict(df.dtypes)[id_col]}, {vec_col} array<double>, "
+        "list_id int"
+    )
     scan = df.select(F.col(id_col), F.col(vec_col))
     if spread:
         scan = spread_partitions(scan)
@@ -787,6 +792,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     normalize: bool = True,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Encode vectors to PQ codes: per subspace, the index of the
     nearest codeword — ``m`` small ints instead of ``d`` floats (for
@@ -794,9 +800,12 @@ def pq_encode(
     point of PQ at 100 TB). One scan, broadcast codebooks, all-subspace
     argmins batched as numpy inside mapInPandas. ``normalize`` encodes
     the L2-normalized vector so an inner-product ADC against a
-    normalized query approximates COSINE."""
+    normalized query approximates COSINE. ``passthrough`` columns (e.g.
+    an IVF ``list_id``) ride the same Arrow batch into the output — no
+    join needed to re-attach them."""
     import pandas as pd
 
+    passthrough = passthrough or []
     m, ks, sub = codebooks.shape
     sc = df.sparkSession.sparkContext
     b_cb = sc.broadcast(codebooks)
@@ -827,16 +836,20 @@ def pq_encode(
                     + (cb[s] * cb[s]).sum(axis=1)[None, :]
                 )
                 codes[:, s] = np.argmin(d2, axis=1)
-            yield pd.DataFrame(
-                {"pq_id": batch[id_col].to_numpy(), "codes": list(codes)}
-            )
+            out = {"pq_id": batch[id_col].to_numpy(), "codes": list(codes)}
+            for c in passthrough:
+                out[c] = batch[c].to_numpy()
+            yield pd.DataFrame(out)
 
     # id type follows the input column (documents carry string ids, the
     # embeddings table longs) — hardcoding long would make Arrow reject
     # every non-long id at the mapInPandas boundary
-    id_type = dict(df.dtypes)[id_col]
-    scan = spread_partitions(df.select(F.col(id_col), F.col(vec_col)))
-    return scan.mapInPandas(op, f"pq_id {id_type}, codes array<int>")
+    dtypes = dict(df.dtypes)
+    extra = "".join(f", {c} {dtypes[c]}" for c in passthrough)
+    scan = spread_partitions(
+        df.select(F.col(id_col), F.col(vec_col), *[F.col(c) for c in passthrough])
+    )
+    return scan.mapInPandas(op, f"pq_id {dtypes[id_col]}, codes array<int>{extra}")
 
 
 def pq_cosine_topk(
@@ -896,12 +909,17 @@ def _pq_adc_search(
     shortlist: int,
     id_col: str,
     vec_col: str,
+    probe_map: dict | None = None,
 ) -> DataFrame:
     """ADC scoring + optional exact rerank over an already-encoded code
     table (``neighbor_id``, ``codes``) — shared by the inline
     ``pq_cosine_topk`` and the persisted-index ``pq_index_search``.
     Without ``corpus`` (raw vectors unavailable or deliberately not
-    read) the ADC shortlist IS the result, ranked by ADC score."""
+    read) the ADC shortlist IS the result, ranked by ADC score.
+    ``probe_map`` (query id → probed IVF list ids) restricts each
+    query's scoring to its own lists inside the broadcast join; the
+    caller is responsible for the static list filter that prunes the
+    scan."""
     q_pdf = queries.select(F.col(id_col), F.col(vec_col)).toPandas()
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
@@ -912,21 +930,32 @@ def _pq_adc_search(
     ]
     spark = queries.sparkSession
     q_id_type = dict(queries.dtypes)[id_col]
-    q_frame = spark.createDataFrame(
-        list(zip(q_pdf[id_col].tolist(), luts)),
-        f"query_id {q_id_type}, luts array<array<double>>",
-    )
-    adc = (
-        codes.crossJoin(F.broadcast(q_frame))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.expr(
-                "aggregate(zip_with(codes, luts, (c, row) -> row[c]),"
-                " 0D, (s, v) -> s + v)"
-            ).alias("adc_score"),
+    q_ids = q_pdf[id_col].tolist()
+    if probe_map is None:
+        q_frame = spark.createDataFrame(
+            list(zip(q_ids, luts)),
+            f"query_id {q_id_type}, luts array<array<double>>",
         )
+        probe_pred = None
+    else:
+        q_frame = spark.createDataFrame(
+            [(qid, lut, probe_map[qid]) for qid, lut in zip(q_ids, luts)],
+            f"query_id {q_id_type}, luts array<array<double>>, "
+            "probe_lists array<int>",
+        )
+        probe_pred = F.expr("array_contains(probe_lists, list_id)")
+    adc = codes.crossJoin(F.broadcast(q_frame)).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    if probe_pred is not None:
+        adc = adc.where(probe_pred)
+    adc = adc.select(
+        "query_id",
+        "neighbor_id",
+        F.expr(
+            "aggregate(zip_with(codes, luts, (c, row) -> row[c]),"
+            " 0D, (s, v) -> s + v)"
+        ).alias("adc_score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("neighbor_id")
@@ -965,6 +994,7 @@ def pq_index_write(
     train_sample: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_lists: int = 0,
     fs=None,
 ) -> dict:
     """Persist a product-quantization index as a warehouse artifact:
@@ -974,6 +1004,15 @@ def pq_index_write(
     codebook tensor + metadata, KBs). Encode ONCE, search many times —
     the lifecycle split ``pq_cosine_topk`` (train+encode+search in one
     job) doesn't give you. Returns the metadata dict.
+
+    ``n_lists > 0`` makes it a full IVFADC index: a coarse quantizer
+    assigns each vector to an inverted list IN THE SAME scan that
+    encodes it (the list id rides the Arrow batch — no join), and the
+    code table is written ``partitionBy("list_id")`` — so probing at
+    search time is literal PARQUET PARTITION PRUNING: a query that
+    probes 4 of 256 lists plans a scan of 4 directories, and the other
+    252 are never opened. That directory-pruned probe is the mechanism
+    that keeps 100 TB ANN latency flat as the corpus grows.
 
     The JSON lands via the same atomic write the batch ledger uses, and
     AFTER the codes commit, so a readable codebooks.json implies a
@@ -993,8 +1032,18 @@ def pq_index_write(
     )
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     cb = pq_train_codebooks(sample, m=m, ks=ks)
-    codes = pq_encode(corpus, cb, id_col, vec_col)
-    codes.write.mode("overwrite").parquet(_os.path.join(path, "codes"))
+    coarse = None
+    if n_lists > 0:
+        coarse = _fit_centroids_kmeans(sample, min(n_lists, len(sample)))
+        assigned = ivf_assign(corpus, coarse, id_col, vec_col, n_probe=1)
+        codes = pq_encode(
+            assigned, cb, id_col, vec_col, passthrough=["list_id"]
+        )
+        writer = codes.write.mode("overwrite").partitionBy("list_id")
+    else:
+        codes = pq_encode(corpus, cb, id_col, vec_col)
+        writer = codes.write.mode("overwrite")
+    writer.parquet(_os.path.join(path, "codes"))
     meta = {
         "m": int(m),
         "ks": int(ks),
@@ -1002,13 +1051,17 @@ def pq_index_write(
         "id_col": id_col,
         "id_type": dict(corpus.dtypes)[id_col],
         "normalized": True,
+        "n_lists": int(coarse.shape[0]) if coarse is not None else 0,
+        "coarse_centroids": coarse.tolist() if coarse is not None else None,
         "codebooks": cb.tolist(),
     }
     fs.mkdirs(path)
     fs.write_text_atomic(
         _os.path.join(path, "codebooks.json"), _json.dumps(meta)
     )
-    return {k: v for k, v in meta.items() if k != "codebooks"}
+    return {
+        k: v for k, v in meta.items() if k not in ("codebooks", "coarse_centroids")
+    }
 
 
 def pq_index_search(
@@ -1020,6 +1073,7 @@ def pq_index_search(
     corpus: DataFrame | None = None,
     id_col: str | None = None,
     vec_col: str = "embedding",
+    n_probe: int = 4,
     fs=None,
 ) -> DataFrame:
     """Search a persisted PQ index (``pq_index_write``) without
@@ -1028,7 +1082,13 @@ def pq_index_search(
     ``zip_with`` lookup, and — when ``corpus`` (the raw-vector table)
     is passed — exact-rerank the shortlist. Without ``corpus`` the
     result ranks by ADC score alone: the raw vectors never load, which
-    is the point when they are 32× the index size."""
+    is the point when they are 32× the index size.
+
+    On an IVF-partitioned index (``n_lists > 0`` at write), each query
+    probes its ``n_probe`` nearest coarse lists. The union of probed
+    lists becomes a STATIC ``list_id IN (...)`` filter — parquet
+    partition pruning, unprobed directories never open — and the
+    per-query restriction applies inside the broadcast ADC join."""
     import json as _json
     import os as _os
 
@@ -1040,9 +1100,28 @@ def pq_index_search(
     codes = spark.read.parquet(_os.path.join(path, "codes")).withColumnRenamed(
         "pq_id", "neighbor_id"
     )
+    id_col = id_col or meta["id_col"]
+    probe_map = None
+    if meta.get("n_lists"):
+        coarse = np.asarray(meta["coarse_centroids"], dtype=np.float64)
+        q_pdf = queries.select(F.col(id_col), F.col(vec_col)).toPandas()
+        Q = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]]
+        )
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(Qn @ coarse.T), axis=1)[
+            :, : min(n_probe, coarse.shape[0])
+        ]
+        probe_map = {
+            qid: [int(l) for l in lists]
+            for qid, lists in zip(q_pdf[id_col].tolist(), order)
+        }
+        all_probed = sorted({l for ls in probe_map.values() for l in ls})
+        # static IN filter -> partition pruning on the list_id dirs
+        codes = codes.where(F.col("list_id").isin(all_probed))
     return _pq_adc_search(
         codes, cb, queries, corpus, k=k, shortlist=shortlist,
-        id_col=id_col or meta["id_col"], vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, probe_map=probe_map,
     )
 
 

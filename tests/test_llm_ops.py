@@ -1387,3 +1387,57 @@ def test_pq_index_write_and_search(spark, tmp_path):
     # idempotent rewrite: same artifact, search still works
     pq_index_write(emb, idx, m=16, ks=16)
     assert pq_index_search(spark, idx, q, k=3, corpus=emb).count() == 15
+
+
+def test_ivfadc_index_partition_pruned_probe(spark, tmp_path):
+    """IVFADC persisted index: the code table is laid out
+    partitionBy(list_id), so probing n of N lists is literal parquet
+    partition pruning — the physical plan carries a list_id partition
+    filter and unprobed directories are never read. Probing ALL lists
+    with rerank reproduces the flat-index result; a narrow probe
+    keeps a recall floor vs brute force."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        pq_cosine_topk,
+        pq_index_search,
+        pq_index_write,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    idx = str(tmp_path / "ivfadc")
+    meta = pq_index_write(emb, idx, m=16, ks=16, n_lists=8)
+    assert meta["n_lists"] == 8
+    list_dirs = [
+        d for d in os.listdir(os.path.join(idx, "codes"))
+        if d.startswith("list_id=")
+    ]
+    assert len(list_dirs) == 8  # the directory layout IS the index
+
+    q = emb.where(F.col("vec_id") < 5)
+    # full probe + rerank == flat PQ (same deterministic codebooks)
+    full = pq_index_search(spark, idx, q, k=5, shortlist=60, corpus=emb,
+                           n_probe=8)
+    inline = pq_cosine_topk(emb, q, k=5, m=16, ks=16, shortlist=60)
+    assert (
+        {(r.query_id, r.neighbor_id, r.rank) for r in full.collect()}
+        == {(r.query_id, r.neighbor_id, r.rank) for r in inline.collect()}
+    )
+
+    # narrow probe: the scan must be partition-pruned to the probed dirs
+    narrow = pq_index_search(spark, idx, q, k=5, shortlist=60, corpus=emb,
+                             n_probe=2)
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan, plan
+    got = {(r.query_id, r.neighbor_id) for r in narrow.collect()}
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.4, len(got & exact) / len(exact)
