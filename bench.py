@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     # URL/domain curation: scan-stage domain extraction + blocklist
     # anti-join + per-domain cap (one shuffle on the domain key)
     "q_llm_domain_blocklist_cap",
+    # serving-path ANN: search a standing IVFADC index (built once at
+    # warm-up, reused) — partition-pruned probe + ADC + exact rerank
+    "q_llm_ivfadc_search",
 ]
 
 

@@ -4436,6 +4436,40 @@ def q_llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_cosine_topk(emb, queries, k=5, m=16, ks=16, shortlist=60)
 
 
+# one persisted IVFADC index per (sf_dir) for the serving-latency bench
+# below: built on first touch, reused by later passes — the bench then
+# measures what a serving deployment measures (probe + ADC + rerank
+# against a standing index), not index construction.
+_IVFADC_INDEX_CACHE: dict[str, str] = {}
+
+
+@register_bench_only("q_llm_ivfadc_search")
+def q_llm_ivfadc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-path ANN: search a PERSISTED IVFADC index (built once per
+    bench run, like a standing warehouse artifact) with a 4-of-8-list
+    probe — the measured plan is a partition-pruned scan of the probed
+    code directories + broadcast ADC + exact rerank of the shortlist.
+    The write-side twin is exercised by pytest; timing it per-pass here
+    would measure index construction, which a serving deployment
+    amortizes to zero."""
+    import tempfile
+
+    from ..operators.similarity import pq_index_search, pq_index_write
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    if sf_dir not in _IVFADC_INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="bench_ivfadc_")
+        pq_index_write(emb, path, m=16, ks=16, n_lists=8)
+        _IVFADC_INDEX_CACHE[sf_dir] = path
+    queries = emb.where(F.col("vec_id") < 10)
+    return pq_index_search(
+        spark, _IVFADC_INDEX_CACHE[sf_dir], queries, k=5, shortlist=60,
+        corpus=emb, n_probe=4,
+    )
+
+
 @register_bench_only("q_llm_kmeans")
 def q_llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full distributed k-means fit (4 Lloyd iterations + final

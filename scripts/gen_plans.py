@@ -36,6 +36,7 @@ NOTES = {
  "q_llm_quality_classifier": "Linear quality filter: the whole model (features + weighted logit) is one codegen'd scan-stage projection; the only exchange is the per-source aggregate of the keep flags.",
  "q_llm_prefix_dups": "Truncation dups: prefix md5 in the scan stage; one groupBy with map-side partials - singleton prefixes never cross the network.",
  "q_llm_domain_blocklist_cap": "URL curation: host/registrable-domain extraction is a codegen'd scan-stage projection (parse_url + label slicing, no Python); the blocklist is a BroadcastHashJoin LeftAnti (the corpus never shuffles for it); the per-domain cap shuffles once on the domain key with WindowGroupLimit pruning rows below k before the final aggregate.",
+ "q_llm_ivfadc_search": "Serving-path ANN over a standing IVFADC index: the codes scan carries list_id PartitionFilters (only the 4 probed of 8 directories open - literal partition pruning), ADC scores as a codegen'd zip_with against the broadcast query LUTs, and only the 60-row shortlist re-attaches raw vectors for the exact rerank.",
 }
 
 hdr = """# PLANS — physical-plan audit of headline queries (sf0.1, AQE final plans)
