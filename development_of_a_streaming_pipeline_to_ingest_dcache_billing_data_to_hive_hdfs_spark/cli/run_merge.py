@@ -33,6 +33,10 @@ def def_arguments() -> argparse.ArgumentParser:
                    default="partitions",
                    help="'table' also rewrites partitions a matched key "
                         "moved away from")
+    p.add_argument("--delete-col", default=None,
+                   help="CDC tombstones: rows where this boolean column "
+                        "is true DELETE their matched key instead of "
+                        "replacing it")
     p.add_argument("--lock-path", default="/tmp/dcache_warehouse.lock",
                    help="one lock shared by ingest/compaction/merge: any "
                         "two of them racing the same table can interleave "
@@ -59,6 +63,7 @@ def main(argv: list[str] | None = None) -> None:
             [k.strip() for k in args.keys.split(",") if k.strip()],
             version_col=args.version_col,
             scope=args.scope,
+            delete_col=args.delete_col,
         )
         print(f"{args.table}: merged partitions {rewritten}")
 

@@ -70,6 +70,7 @@ def merge_into(
     version_col: str | None = None,
     scope: str = "partitions",
     allow_new_columns: bool = False,
+    delete_col: str | None = None,
     fs=None,
 ) -> list[str]:
     """Upsert ``updates`` into the partitioned table at ``path``:
@@ -89,6 +90,14 @@ def merge_into(
     ``mergeSchema`` (or declare a schema) until every partition has
     been rewritten. Without the flag an extra column is a loud error,
     not silent schema drift.
+    ``delete_col``: CDC tombstones — update rows where this boolean
+    column is true DELETE their matched key instead of replacing it
+    (WHEN MATCHED AND <del> THEN DELETE). NULL/false means upsert.
+    Version resolution runs BEFORE the split, so a tombstone and a
+    later re-insert of the same key resolve by ``version_col`` exactly
+    like two upserts (delete-then-reinsert converges to the reinsert).
+    A partition whose rows are all deleted has its directory removed —
+    dynamic overwrite alone would leave the stale files in place.
     """
     if scope not in ("partitions", "table"):
         raise ValueError(f"scope must be 'partitions' or 'table', got {scope!r}")
@@ -96,12 +105,26 @@ def merge_into(
     pf = PARTITION_FIELD
     if pf not in updates.columns:
         raise ValueError(f"updates must carry the partition column {pf!r}")
+    if delete_col is not None:
+        if delete_col not in updates.columns:
+            raise ValueError(
+                f"delete_col {delete_col!r} not in the update batch"
+            )
     if version_col is not None:
         w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
         updates = (
             updates.withColumn("_mrg_rn", F.row_number().over(w))
             .where(F.col("_mrg_rn") == 1)
             .drop("_mrg_rn")
+        )
+    # the tombstone flag is materialized AFTER version resolution (a
+    # newer insert must beat an older delete and vice versa) and carried
+    # as a helper column through schema alignment, because delete_col
+    # itself may not be a table column
+    if delete_col is not None:
+        updates = updates.withColumn(
+            "_mrg_del",
+            F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False)),
         )
 
     # first write iff no partition directory exists yet — the path dir
@@ -112,6 +135,11 @@ def merge_into(
         for name, is_dir in fs.list_entries(path)
     )
     if not has_data:  # first write: the merge is a plain insert
+        if delete_col is not None:
+            # tombstones for rows that never existed are no-ops
+            updates = updates.where(~F.col("_mrg_del")).drop(
+                "_mrg_del", delete_col
+            )
         _dyn_writer(updates, pf).parquet(path)
         return sorted(
             _part_name(r[0])
@@ -164,11 +192,13 @@ def merge_into(
         part_filter = part_filter | F.col(pf).isNull()
     target = target_all.where(part_filter)
     extra = set(updates.columns) - set(target.columns)
-    if version_col in extra:
-        # a pure resolution column (not stored in the table): its job —
-        # last-write-wins within the batch — is done, drop it
-        updates = updates.drop(version_col)
-        extra.discard(version_col)
+    for helper in (version_col, delete_col):
+        if helper in extra:
+            # pure resolution/flag columns (not stored in the table):
+            # their job is done, drop them
+            updates = updates.drop(helper)
+            extra.discard(helper)
+    extra.discard("_mrg_del")  # internal tombstone flag, never stored
     if extra and not allow_new_columns:
         raise ValueError(f"updates carry columns absent from the table: {sorted(extra)}")
     for c in sorted(extra):  # schema evolution: surviving rows get nulls
@@ -178,22 +208,33 @@ def merge_into(
         if f_.name not in aligned.columns:
             raise ValueError(f"updates missing table column {f_.name!r}")
         aligned = aligned.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
-    aligned = aligned.select(target.columns)
+    keep = target.columns + (
+        ["_mrg_del"] if "_mrg_del" in aligned.columns else []
+    )
+    aligned = aligned.select(keep)
 
+    # the anti-join removes EVERY matched key — upserts replace theirs,
+    # tombstones simply don't add a replacement row back
+    inserts = (
+        aligned.where(~F.col("_mrg_del")).drop("_mrg_del")
+        if delete_col is not None
+        else aligned
+    )
     merged = target.join(
         aligned.select(*key_cols).distinct(), key_cols, "left_anti"
-    ).unionByName(aligned)
+    ).unionByName(inserts)
     merged.persist(StorageLevel.MEMORY_AND_DISK)
+    collect_written = scope == "table" or delete_col is not None
     try:
         # dynamic overwrite only rewrites partitions PRESENT in merged;
-        # a partition fully vacated by a table-scope key MOVE would be
-        # absent and must be deleted explicitly below. Only scope=
-        # "table" can vacate one — under "partitions" every update row
-        # survives into merged with its own partition value, so the
-        # vacated set is provably empty and the extra distinct+collect
-        # job (one per streaming micro-batch via UpsertStreamWriter)
-        # is skipped.
-        if scope == "table":
+        # a partition fully vacated by a table-scope key MOVE or by
+        # tombstones deleting its every row would be absent and must be
+        # deleted explicitly below. Under scope="partitions" WITHOUT
+        # tombstones every update row survives into merged with its own
+        # partition value, so the vacated set is provably empty and the
+        # extra distinct+collect job (one per streaming micro-batch via
+        # UpsertStreamWriter) is skipped.
+        if collect_written:
             written_parts, written_null = _collect_parts(merged)
         _dyn_writer(merged, pf).parquet(path)
     finally:
@@ -201,7 +242,7 @@ def merge_into(
     affected_dirs = list(affected) + (
         [DEFAULT_PARTITION_NAME] if has_null else []
     )
-    if scope == "table":
+    if collect_written:
         written_dirs = written_parts | (
             {DEFAULT_PARTITION_NAME} if written_null else set()
         )

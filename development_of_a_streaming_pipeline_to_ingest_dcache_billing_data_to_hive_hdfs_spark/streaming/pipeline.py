@@ -214,6 +214,7 @@ class UpsertStreamWriter:
         *,
         version_col: str | None = None,
         scope: str = "partitions",
+        delete_col: str | None = None,
     ):
         from ..merge import merge_into  # late: avoid cycle at import
 
@@ -223,6 +224,7 @@ class UpsertStreamWriter:
         self.key_cols = key_cols
         self.version_col = version_col
         self.scope = scope
+        self.delete_col = delete_col
         self.fs = get_filesystem(
             path, source.sparkSession if source is not None else None
         )
@@ -240,6 +242,7 @@ class UpsertStreamWriter:
             self.key_cols,
             version_col=self.version_col,
             scope=self.scope,
+            delete_col=self.delete_col,
             fs=self.fs,
         )
         self.ledger.commit(batch_id)

@@ -305,3 +305,90 @@ def test_merge_non_canonical_partition_string_no_data_loss(spark, tmp_path):
         4: ("2024-03-03", 40.0),
     }
     assert not os.path.exists(os.path.join(path, f"{PF}=2024-3-1"))
+
+
+def test_merge_delete_tombstones(spark, tmp_path):
+    """CDC deletes: tombstone rows remove their matched key; a
+    partition fully emptied by tombstones loses its directory (dynamic
+    overwrite alone would strand the stale files); tombstones for
+    unknown keys are no-ops; the flag column never lands in the table."""
+    path = str(tmp_path / "t")
+    merge_into(spark, path, _base(spark), ["event_id"])
+
+    upd = spark.createDataFrame(
+        [
+            (2, "2024-03-01", None, True),    # delete existing
+            (3, "2024-03-02", 33.0, False),   # plain update
+            (4, "2024-03-03", None, True),    # delete -> empties 03-03
+            (9, "2024-03-02", None, True),    # tombstone, key unknown
+        ],
+        f"event_id long, {PF} string, value double, is_deleted boolean",
+    )
+    rewritten = merge_into(
+        spark, path, upd, ["event_id"], delete_col="is_deleted"
+    )
+    assert rewritten == ["2024-03-01", "2024-03-02", "2024-03-03"]
+    got = {
+        r.event_id: (str(r[PF]), r.value)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {1: ("2024-03-01", 10.0), 3: ("2024-03-02", 33.0)}
+    assert "is_deleted" not in spark.read.parquet(path).columns
+    # the fully-deleted partition's directory is gone, not stranded
+    assert not os.path.exists(os.path.join(path, f"{PF}=2024-03-03"))
+
+
+def test_merge_delete_version_resolution(spark, tmp_path):
+    """A tombstone and a later re-insert of the same key resolve by
+    version exactly like two upserts: the higher version wins whichever
+    side it is."""
+    path = str(tmp_path / "t")
+    merge_into(spark, path, _base(spark), ["event_id"])
+
+    upd = spark.createDataFrame(
+        [
+            # key 1: delete v5 beats update v3 -> row gone
+            (1, "2024-03-01", 11.0, False, 3),
+            (1, "2024-03-01", None, True, 5),
+            # key 2: re-insert v6 beats delete v4 -> row updated
+            (2, "2024-03-01", None, True, 4),
+            (2, "2024-03-01", 22.0, False, 6),
+        ],
+        f"event_id long, {PF} string, value double, "
+        "is_deleted boolean, ver int",
+    )
+    merge_into(
+        spark, path, upd, ["event_id"],
+        version_col="ver", delete_col="is_deleted",
+    )
+    got = {r.event_id: r.value for r in spark.read.parquet(path).collect()}
+    assert 1 not in got
+    assert got[2] == 22.0
+    assert got[3] == 30.0 and got[4] == 40.0  # untouched partitions
+
+
+def test_upsert_stream_writer_with_tombstones(spark, tmp_path):
+    """The streaming upsert sink applies CDC deletes per micro-batch,
+    and a replayed batch (same id) converges to the same state."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.streaming.pipeline import (
+        UpsertStreamWriter,
+    )
+
+    path = str(tmp_path / "t")
+    w = UpsertStreamWriter(
+        source=None, path=path, key_cols=["event_id"],
+        version_col="ver", delete_col="is_deleted",
+    )
+    b0 = spark.createDataFrame(
+        [(1, "2024-03-01", 10.0, False, 1), (2, "2024-03-01", 20.0, False, 1)],
+        f"event_id long, {PF} string, value double, is_deleted boolean, ver int",
+    )
+    w.process_batch(b0, 0)
+    b1 = spark.createDataFrame(
+        [(1, "2024-03-01", None, True, 2), (3, "2024-03-01", 30.0, False, 2)],
+        f"event_id long, {PF} string, value double, is_deleted boolean, ver int",
+    )
+    w.process_batch(b1, 1)
+    w.process_batch(b1, 1)  # replay: ledger skips, state unchanged
+    got = {r.event_id: r.value for r in spark.read.parquet(path).collect()}
+    assert got == {2: 20.0, 3: 30.0}
