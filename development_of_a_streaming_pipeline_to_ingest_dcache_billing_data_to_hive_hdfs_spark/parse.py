@@ -79,3 +79,32 @@ def parse_billing(df: DataFrame, value_col: str = "value") -> DataFrame:
         flat.withColumn(PARTITION_FIELD, partition_date_col())
         .withColumn("event_ts", F.try_to_timestamp(F.col("date")))
     )
+
+
+def schema_drift_stats(
+    df: DataFrame,
+    known_keys: set[str] | list[str],
+    json_col: str = "value",
+) -> DataFrame:
+    """Feed schema-drift report: which top-level JSON keys does the feed
+    actually send, how often, and which of them does our typed schema
+    silently DROP? ``from_json`` against a fixed schema discards unknown
+    fields without a trace (the reference's json_tuple parse does the
+    same, `Dcache_kafka_to_hive.py:62-86`) — so a producer adding a
+    field, or renaming one, is invisible until someone needs the data.
+    This is the watcher: ``json_object_keys`` in the scan stage (no
+    Python, no second parse of the values), one explode, one groupBy on
+    the key — output cardinality is the feed's KEY vocabulary (tens),
+    regardless of row count. Malformed JSON rows yield NULL key arrays
+    and drop out (the corrupt-capture route already accounts for them).
+
+    Returns (json_key, n_rows, is_known) — run per batch or per day and
+    alert on new ``is_known = false`` keys."""
+    known = sorted(set(known_keys))
+    keys = F.json_object_keys(F.col(json_col).cast("string"))
+    return (
+        df.select(F.explode(keys).alias("json_key"))
+        .groupBy("json_key")
+        .agg(F.count("*").alias("n_rows"))
+        .withColumn("is_known", F.col("json_key").isin(known))
+    )

@@ -5050,6 +5050,48 @@ def q_llm_vocab_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return violations.unionByName(guard)
 
 
+# A deterministically EVOLVING feed for the drift detector: the base
+# events carry only {"k": n}; a quarter of producers added client_ip,
+# a seventh ship a beta_field. Identical SQL text on both engines.
+_DRIFT_FEED = """
+    '{"k": ' || CAST(event_id % 50 AS STRING)
+    || CASE WHEN event_id % 4 = 0
+            THEN ', "client_ip": "10.0.0.1"' ELSE '' END
+    || CASE WHEN event_id % 7 = 0
+            THEN ', "beta_field": true' ELSE '' END
+    || '}'
+"""
+
+
+@register(
+    "q_billing_schema_drift",
+    f"""
+    WITH feed AS (
+      SELECT ({_DRIFT_FEED}) AS value FROM events)
+    SELECT json_key,
+           COUNT(*) AS n_rows,
+           json_key IN ('k') AS is_known
+    FROM (SELECT unnest(json_keys(value)) AS json_key FROM feed)
+    GROUP BY json_key
+    ORDER BY json_key
+    """,
+)
+def q_billing_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed schema-drift report (parse.schema_drift_stats): top-level
+    JSON keys the feed sends vs the keys the typed schema keeps — the
+    watcher for the silent-field-drop blind spot every fixed-schema
+    parse has (the reference's json_tuple included). Key extraction is
+    a scan-stage ``json_object_keys`` (no second parse, no Python); the
+    one groupBy's cardinality is the feed's key vocabulary, not its row
+    count. An ops deployment runs this per day and alerts on new
+    ``is_known = false`` rows."""
+    from ..parse import schema_drift_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    feed = ev.select(F.expr(_DRIFT_FEED).alias("value"))
+    return schema_drift_stats(feed, known_keys={"k"}).orderBy("json_key")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: billing-core semantics in one plan."""
     return q_billing_flagship_daily(spark, sf_dir)
@@ -5079,6 +5121,7 @@ _DRIVER_PRIORITY = [
     "q_llm_domain_blocklist_cap",
     "q_llm_pseudonymize",
     "q_llm_vocab_sketch_check",
+    "q_billing_schema_drift",
     "q_llm_bpe_pairs",
     "q_llm_pq_recall",
     "q_rel_recursive_cte",
@@ -5140,9 +5183,8 @@ _DRIVER_PRIORITY = [
     "q_rel_q17_small_qty_revenue",
     "q_rel_q20_excess_inventory",
     "q_rel_q21_sole_blame",
-    "q_llm_dedup_exact",
-    # (quantized/ivf recall gates, BPE token counts and cosine top-k
-    # displaced by the four new curation queries: r2-green, still
+    # (quantized/ivf recall gates, exact dedup, BPE token counts and
+    # cosine top-k displaced by the five new queries: r2-green, still
     # within the two-round staleness bar, first in line for round 5's
     # backfill — test_no_query_goes_stale enforces that rotation the
     # moment CORRECTNESS_r04 lands)

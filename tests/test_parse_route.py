@@ -135,3 +135,37 @@ def test_non_canonical_date_prefix_rejected(spark):
     got = {r.date: r.partition_date for r in out}
     assert got["2024-3-1T10:00:00"] is None
     assert got["2024-03-01T10:00:00.000+0000"] == "2024-03-01"
+
+
+def test_schema_drift_stats_on_billing_feed(spark):
+    """The drift detector surfaces fields the typed parse silently
+    drops: a producer adding 'experimentalTag' shows up is_known=false;
+    corrupt rows don't crash the report; known keys stay known."""
+    import json as _json
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.parse import (
+        schema_drift_stats,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.schema import (
+        BILLING_SCHEMA,
+    )
+
+    known = {f.name for f in BILLING_SCHEMA.fields}
+    rows = [
+        _json.dumps({"msgType": "transfer", "date": "2024-03-01T10:00:00",
+                     "fileSize": 1.0}),
+        _json.dumps({"msgType": "remove", "date": "2024-03-01T11:00:00",
+                     "experimentalTag": "A"}),
+        _json.dumps({"msgType": "transfer", "experimentalTag": "B",
+                     "newNestedThing": {"x": 1}}),
+        "{corrupt json",
+    ]
+    df = spark.createDataFrame([(v,) for v in rows], ["value"])
+    got = {
+        r.json_key: (r.n_rows, r.is_known)
+        for r in schema_drift_stats(df, known).collect()
+    }
+    assert got["msgType"] == (3, True)
+    assert got["experimentalTag"] == (2, False)
+    assert got["newNestedThing"] == (1, False)
+    assert "corrupt" not in " ".join(got)  # malformed rows drop out
