@@ -325,11 +325,7 @@ def ivf_cosine_topk(
        per query instead of all of it).
     4. *Rerank*: exact cosine + per-query top-k window over candidates.
     """
-    sample_pdf = (
-        corpus.select(vec_col).limit(train_sample).toPandas()
-    )
-    sample = np.stack([np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]])
-    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    sample = _sampled_normalized(corpus, vec_col, train_sample, "ivf_cosine_topk")
     cent = _fit_centroids_kmeans(sample, min(n_lists, len(sample)), seed=seed)
 
     c_assigned = ivf_assign(corpus, cent, id_col, vec_col, n_probe=1).select(
@@ -767,6 +763,23 @@ def _lloyd_numpy(sample: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
     return cent
 
 
+def _sampled_normalized(
+    df: DataFrame, vec_col: str, n: int, what: str
+) -> np.ndarray:
+    """Bounded, L2-normalized training sample — the one definition of
+    the sampling step shared by PQ (inline + persisted index) and IVF
+    training, so the empty-corpus guard, the sampling strategy, and the
+    norm floor can never drift apart across the three trainers."""
+    sample_pdf = df.select(vec_col).limit(n).toPandas()
+    if not len(sample_pdf):
+        raise ValueError(f"{what}: corpus is empty — nothing to train on")
+    sample = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]]
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    return sample
+
+
 def pq_train_codebooks(
     sample: np.ndarray, m: int, ks: int = 16, iters: int = 8
 ) -> np.ndarray:
@@ -880,15 +893,7 @@ def pq_cosine_topk(
        against the raw vectors (re-attached by join — shortlist ≪
        corpus), recovering the recall ADC alone gives up.
     """
-    sample_pdf = corpus.select(vec_col).limit(train_sample).toPandas()
-    if not len(sample_pdf):
-        raise ValueError(
-            "pq_cosine_topk: corpus is empty — nothing to train codebooks on"
-        )
-    sample = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]]
-    )
-    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    sample = _sampled_normalized(corpus, vec_col, train_sample, "pq_cosine_topk")
     cb = pq_train_codebooks(sample, m=m, ks=ks)
 
     codes = pq_encode(corpus, cb, id_col, vec_col).withColumnRenamed(
@@ -910,6 +915,8 @@ def _pq_adc_search(
     id_col: str,
     vec_col: str,
     probe_map: dict | None = None,
+    exclude_self: bool = True,
+    q_pdf=None,
 ) -> DataFrame:
     """ADC scoring + optional exact rerank over an already-encoded code
     table (``neighbor_id``, ``codes``) — shared by the inline
@@ -919,8 +926,15 @@ def _pq_adc_search(
     ``probe_map`` (query id → probed IVF list ids) restricts each
     query's scoring to its own lists inside the broadcast join; the
     caller is responsible for the static list filter that prunes the
-    scan."""
-    q_pdf = queries.select(F.col(id_col), F.col(vec_col)).toPandas()
+    scan. ``exclude_self`` drops query_id == neighbor_id matches —
+    right when queries ARE corpus rows, wrong when an external query
+    id space coincidentally overlaps corpus ids (see pq_index_search).
+    ``q_pdf``: the queries already collected by the caller (the IVF
+    probe step needs the same frame) — passing it avoids a second
+    toPandas job AND the id-set drift a nondeterministic queries plan
+    could produce between two collects."""
+    if q_pdf is None:
+        q_pdf = queries.select(F.col(id_col), F.col(vec_col)).toPandas()
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     sub = cb.shape[2]
@@ -944,9 +958,9 @@ def _pq_adc_search(
             "probe_lists array<int>",
         )
         probe_pred = F.expr("array_contains(probe_lists, list_id)")
-    adc = codes.crossJoin(F.broadcast(q_frame)).where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
+    adc = codes.crossJoin(F.broadcast(q_frame))
+    if exclude_self:
+        adc = adc.where(F.col("query_id") != F.col("neighbor_id"))
     if probe_pred is not None:
         adc = adc.where(probe_pred)
     adc = adc.select(
@@ -1014,9 +1028,18 @@ def pq_index_write(
     252 are never opened. That directory-pruned probe is the mechanism
     that keeps 100 TB ANN latency flat as the corpus grows.
 
-    The JSON lands via the same atomic write the batch ledger uses, and
-    AFTER the codes commit, so a readable codebooks.json implies a
-    complete index; re-running the write is idempotent (overwrite).
+    Rewrite protocol (retrain/refresh): each write lands its codes in a
+    FRESH versioned directory (``codes-<n>``) and then atomically swaps
+    ``codebooks.json`` to point at it — so a concurrent reader always
+    pairs a codebook tensor with the code table it encoded (pairing old
+    codebooks with re-encoded codes would produce garbage ADC scores),
+    and a partitioned rewrite can never leave a stale ``list_id``
+    directory behind the way an in-place dynamic overwrite would (a
+    coarse list that receives zero rows on retrain simply doesn't exist
+    in the new directory). Superseded code directories are dropped
+    AFTER the swap; a crash mid-write leaves the previous index fully
+    intact and at most one orphaned unreferenced directory, which the
+    next write clears.
     """
     import json as _json
     import os as _os
@@ -1024,13 +1047,7 @@ def pq_index_write(
     from ..fs import get_filesystem
 
     fs = fs or get_filesystem(path, corpus.sparkSession)
-    sample_pdf = corpus.select(vec_col).limit(train_sample).toPandas()
-    if not len(sample_pdf):
-        raise ValueError("pq_index_write: corpus is empty — nothing to index")
-    sample = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]]
-    )
-    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    sample = _sampled_normalized(corpus, vec_col, train_sample, "pq_index_write")
     cb = pq_train_codebooks(sample, m=m, ks=ks)
     coarse = None
     if n_lists > 0:
@@ -1039,11 +1056,22 @@ def pq_index_write(
         codes = pq_encode(
             assigned, cb, id_col, vec_col, passthrough=["list_id"]
         )
-        writer = codes.write.mode("overwrite").partitionBy("list_id")
     else:
         codes = pq_encode(corpus, cb, id_col, vec_col)
-        writer = codes.write.mode("overwrite")
-    writer.parquet(_os.path.join(path, "codes"))
+    fs.mkdirs(path)
+    existing = [
+        name
+        for name, is_dir in fs.list_entries(path)
+        if is_dir and (name == "codes" or name.startswith("codes-"))
+    ]
+    version = 1 + max(
+        (int(n.split("-")[1]) for n in existing if "-" in n), default=0
+    )
+    codes_dir = f"codes-{version}"
+    writer = codes.write.mode("overwrite")
+    if n_lists > 0:
+        writer = writer.partitionBy("list_id")
+    writer.parquet(_os.path.join(path, codes_dir))
     meta = {
         "m": int(m),
         "ks": int(ks),
@@ -1051,14 +1079,16 @@ def pq_index_write(
         "id_col": id_col,
         "id_type": dict(corpus.dtypes)[id_col],
         "normalized": True,
+        "codes_dir": codes_dir,
         "n_lists": int(coarse.shape[0]) if coarse is not None else 0,
         "coarse_centroids": coarse.tolist() if coarse is not None else None,
         "codebooks": cb.tolist(),
     }
-    fs.mkdirs(path)
     fs.write_text_atomic(
         _os.path.join(path, "codebooks.json"), _json.dumps(meta)
     )
+    for stale in existing:  # superseded versions, only after the swap
+        fs.delete(_os.path.join(path, stale), recursive=True)
     return {
         k: v for k, v in meta.items() if k not in ("codebooks", "coarse_centroids")
     }
@@ -1074,6 +1104,7 @@ def pq_index_search(
     id_col: str | None = None,
     vec_col: str = "embedding",
     n_probe: int = 4,
+    exclude_self: bool = True,
     fs=None,
 ) -> DataFrame:
     """Search a persisted PQ index (``pq_index_write``) without
@@ -1088,7 +1119,13 @@ def pq_index_search(
     probes its ``n_probe`` nearest coarse lists. The union of probed
     lists becomes a STATIC ``list_id IN (...)`` filter — parquet
     partition pruning, unprobed directories never open — and the
-    per-query restriction applies inside the broadcast ADC join."""
+    per-query restriction applies inside the broadcast ADC join.
+
+    ``exclude_self`` (default True) drops a corpus row whose id equals
+    the query's — the right semantics when queries are corpus rows
+    ("more like this one"). Pass False for an EXTERNAL query id space:
+    an accidental id collision there would silently drop a legitimate
+    neighbor."""
     import json as _json
     import os as _os
 
@@ -1097,14 +1134,18 @@ def pq_index_search(
     fs = fs or get_filesystem(path, spark)
     meta = _json.loads(fs.read_text(_os.path.join(path, "codebooks.json")))
     cb = np.asarray(meta["codebooks"], dtype=np.float64)
-    codes = spark.read.parquet(_os.path.join(path, "codes")).withColumnRenamed(
-        "pq_id", "neighbor_id"
-    )
+    codes = spark.read.parquet(
+        _os.path.join(path, meta.get("codes_dir", "codes"))
+    ).withColumnRenamed("pq_id", "neighbor_id")
     id_col = id_col or meta["id_col"]
+    # ONE collect serves both the coarse probe and the ADC LUTs — a
+    # second toPandas would duplicate the job and, on a
+    # nondeterministic queries plan, could return a different id set
+    # than the probe map was built from
+    q_pdf = queries.select(F.col(id_col), F.col(vec_col)).toPandas()
     probe_map = None
     if meta.get("n_lists"):
         coarse = np.asarray(meta["coarse_centroids"], dtype=np.float64)
-        q_pdf = queries.select(F.col(id_col), F.col(vec_col)).toPandas()
         Q = np.stack(
             [np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]]
         )
@@ -1122,6 +1163,7 @@ def pq_index_search(
     return _pq_adc_search(
         codes, cb, queries, corpus, k=k, shortlist=shortlist,
         id_col=id_col, vec_col=vec_col, probe_map=probe_map,
+        exclude_self=exclude_self, q_pdf=q_pdf,
     )
 
 

@@ -39,8 +39,13 @@ _IP_RE = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
 
 
 def url_host_col(url_col: str = "url") -> Column:
-    """Lowercased host of a URL (JVM ``parse_url``; no Python)."""
-    return F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    """Lowercased host of a URL (JVM ``try_parse_url``; no Python).
+    ``try_`` matters: under ANSI mode (this engine's deliberate
+    default) plain ``parse_url`` throws INVALID_URL on the garbage a
+    real crawl reliably contains — one bad row would kill the whole
+    curation job. NULL host instead; downstream domain logic
+    propagates the NULL."""
+    return F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
 
 
 def registered_domain_col(host: Column) -> Column:
@@ -54,13 +59,21 @@ def registered_domain_col(host: Column) -> Column:
         (n >= 3) & sld.isin(*MULTI_PART_SLDS), F.lit(3)
     ).otherwise(F.least(n, F.lit(2)))
     dom = F.concat_ws(".", F.slice(labels, n - take + 1, take))
-    return F.when(host.rlike(_IP_RE), host).otherwise(dom)
+    # a NULL host (unparseable URL, or host-less schemes like mailto:)
+    # must stay NULL — concat_ws never returns NULL, so without the
+    # guard every host-less row would collapse into one phantom ''
+    # domain and a per-domain cap would silently discard all but k of
+    # them as if they were one site
+    return F.when(host.isNull(), F.lit(None).cast("string")).when(
+        host.rlike(_IP_RE), host
+    ).otherwise(dom)
 
 
 def path_depth_col(url_col: str = "url") -> Column:
-    """Number of non-empty path segments ('/a/b' → 2, '/' or none → 0)."""
+    """Number of non-empty path segments ('/a/b' → 2, '/' or none → 0).
+    ``try_parse_url`` for the same ANSI-survival reason as the host."""
     path = F.coalesce(
-        F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("")
+        F.try_parse_url(F.col(url_col), F.lit("PATH")), F.lit("")
     )
     return F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
 
@@ -117,8 +130,18 @@ def cap_per_domain(
     first (ties broken deterministically) — the mixture-balance cap
     that stops one crawled site from dominating a corpus. One shuffle
     on the domain key; `WindowGroupLimit` prunes rows below the cap
-    before the final sort at scale."""
-    w = Window.partitionBy(domain_col).orderBy(
+    before the final sort at scale.
+
+    NULL domains (garbage URLs, host-less schemes) are NOT one site:
+    each such row gets a synthetic per-row partition key, so it passes
+    the cap individually — capping them as a single group would both
+    discard real documents and funnel every unparseable-URL row on the
+    corpus into ONE straggler task."""
+    part_key = F.coalesce(
+        F.col(domain_col),
+        F.concat(F.lit("\0null-"), F.col(tiebreak_col).cast("string")),
+    )
+    w = Window.partitionBy(part_key).orderBy(
         F.col(order_col).desc(), F.col(tiebreak_col).asc()
     )
     return (

@@ -1364,7 +1364,7 @@ def test_pq_index_write_and_search(spark, tmp_path):
     import os
 
     assert os.path.isfile(os.path.join(idx, "codebooks.json"))
-    assert os.path.isdir(os.path.join(idx, "codes"))
+    assert os.path.isdir(os.path.join(idx, "codes-1"))
 
     q = emb.where(F.col("vec_id") < 5)
     via_index = {
@@ -1415,7 +1415,7 @@ def test_ivfadc_index_partition_pruned_probe(spark, tmp_path):
     meta = pq_index_write(emb, idx, m=16, ks=16, n_lists=8)
     assert meta["n_lists"] == 8
     list_dirs = [
-        d for d in os.listdir(os.path.join(idx, "codes"))
+        d for d in os.listdir(os.path.join(idx, "codes-1"))
         if d.startswith("list_id=")
     ]
     assert len(list_dirs) == 8  # the directory layout IS the index
@@ -1441,3 +1441,85 @@ def test_ivfadc_index_partition_pruned_probe(spark, tmp_path):
         for r in cosine_topk_bruteforce(emb, q, k=5).collect()
     }
     assert len(got & exact) / len(exact) >= 0.4, len(got & exact) / len(exact)
+
+
+def test_pq_index_rewrite_leaves_no_stale_lists(spark, tmp_path):
+    """Regression (review-confirmed): an in-place dynamic overwrite of
+    the partitioned code table left stale list_id directories when a
+    retrain emptied a coarse list — resurrecting deleted vectors scored
+    against the WRONG codebooks. The versioned-directory swap must (a)
+    drop superseded code dirs, (b) atomically repoint codebooks.json,
+    (c) never index rows that left the corpus."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        pq_index_search,
+        pq_index_write,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    idx = str(tmp_path / "ivfadc")
+    pq_index_write(emb, idx, m=16, ks=16, n_lists=8)
+    # retrain over a SHRUNK corpus (half the rows gone)
+    kept = emb.where(F.col("vec_id") % 2 == 0)
+    pq_index_write(kept, idx, m=16, ks=16, n_lists=8)
+    dirs = sorted(d for d in os.listdir(idx) if d.startswith("codes"))
+    assert dirs == ["codes-2"], dirs  # old version dropped after swap
+    meta = json.loads(open(os.path.join(idx, "codebooks.json")).read())
+    assert meta["codes_dir"] == "codes-2"
+    # no deleted vector can come back as a neighbor
+    q = kept.where(F.col("vec_id") < 6)
+    rows = pq_index_search(spark, idx, q, k=5, shortlist=60, corpus=kept,
+                           n_probe=8).collect()
+    assert rows and all(r.neighbor_id % 2 == 0 for r in rows)
+
+    # external-id query space: exclude_self=False keeps the colliding
+    # corpus id as a legitimate neighbor (it IS the nearest vector)
+    ext = kept.where(F.col("vec_id") == 4).select(
+        F.col("vec_id").alias("vec_id"), "embedding"
+    )
+    with_self = pq_index_search(spark, idx, ext, k=1, shortlist=30,
+                                corpus=kept, n_probe=8,
+                                exclude_self=False).collect()
+    assert with_self[0].neighbor_id == 4  # identical vector wins rank 1
+
+
+def test_url_parts_survive_garbage_urls(spark):
+    """Regression (review-confirmed ANSI kill): plain parse_url throws
+    INVALID_URL on crawl garbage under ANSI mode — one bad row killed
+    the whole curation job. try_parse_url yields NULL host instead, and
+    the registered domain must PROPAGATE the NULL (not collapse every
+    host-less row into one phantom '' domain that a per-domain cap
+    would then truncate as if it were one site)."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.urlops import (
+        cap_per_domain,
+        with_url_parts,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "ht tp://bad url with spaces", 10),
+            (2, "mailto:someone@example.com", 20),
+            (3, "https://ok.com/x", 30),
+            (4, "%%%not-a-url%%%", 40),
+            (5, "https://ok.com/y", 50),
+        ],
+        "doc_id long, url string, n_chars long",
+    )
+    parts = with_url_parts(df).collect()  # must not throw
+    by_id = {r.doc_id: r for r in parts}
+    assert by_id[3].registered_domain == "ok.com"
+    assert by_id[1].registered_domain is None
+    assert by_id[2].registered_domain is None
+    assert by_id[4].registered_domain is None
+    # NULL-domain rows pass the cap INDIVIDUALLY (they are not one
+    # site); real domains are capped to their best doc
+    capped = cap_per_domain(with_url_parts(df), k=1)
+    ids = {r.doc_id for r in capped.collect()}
+    assert ids == {1, 2, 4, 5}  # all null-domain rows kept; ok.com -> best
