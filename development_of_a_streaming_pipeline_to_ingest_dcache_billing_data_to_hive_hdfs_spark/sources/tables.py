@@ -41,6 +41,86 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+def table_snapshots(path: str, fs=None) -> list[int]:
+    """Committed batch ids of a warehouse route table (its ledger's
+    content) — the valid ``as_of`` points for ``read_table_as_of``."""
+    import json
+
+    from ..fs import get_filesystem
+
+    fs = fs or get_filesystem(path)
+    # route tables share the warehouse-level ledger one dir up; a
+    # table-local ledger (UpsertStreamWriter's) takes precedence
+    candidates = [
+        os.path.join(path, "_ledger.json"),
+        os.path.join(os.path.dirname(path.rstrip("/")), "_ledger.json"),
+    ]
+    for ledger in candidates:
+        try:
+            return sorted(json.loads(fs.read_text(ledger)))
+        except Exception:
+            continue
+    return []
+
+
+def read_table_as_of(
+    spark: SparkSession,
+    path: str,
+    batch_id: int,
+    fs=None,
+    allow_compacted: bool = False,
+) -> DataFrame:
+    """Snapshot read: the table as it stood after batch ``batch_id``
+    committed — TIME TRAVEL the batch-named sink layout gives for free.
+    Every data file the exactly-once sink promotes carries its batch id
+    in the file NAME (``batch<id>-...``, sink.write_partitioned_batch),
+    so "as of batch N" is a pure METADATA operation: list the partition
+    dirs, keep files whose embedded id is ≤ N, and hand Spark that file
+    list with ``basePath`` so partition columns still resolve. No data
+    is copied, no log replayed, no extra storage kept.
+
+    History exists until COMPACTION collapses it: a compacted partition's
+    files carry no batch names, so a snapshot below the compaction
+    horizon is unrecoverable — by default such files make this loudly
+    fail; ``allow_compacted=True`` includes them (semantics: compacted
+    partitions show their full compacted state, batch-named files still
+    filter). Pair retention/compaction policy with how far back
+    snapshots must stay readable."""
+    import re
+
+    from ..fs import get_filesystem
+
+    fs = fs or get_filesystem(path, spark)
+    pat = re.compile(r"^batch(\d+)-")
+    keep: list[str] = []
+    compacted: list[str] = []
+    for d, d_is_dir in fs.list_entries(path):
+        if not d_is_dir or d.startswith(("_", ".")):
+            continue
+        pdir = os.path.join(path, d)
+        for f_name, f_is_dir in fs.list_entries(pdir):
+            if f_is_dir or f_name.startswith(("_", ".")):
+                continue
+            m = pat.match(f_name)
+            if m is None:
+                compacted.append(os.path.join(pdir, f_name))
+            elif int(m.group(1)) <= batch_id:
+                keep.append(os.path.join(pdir, f_name))
+    if compacted and not allow_compacted:
+        raise ValueError(
+            f"read_table_as_of: {len(compacted)} file(s) under {path} have "
+            "no batch name (compaction collapsed their history), e.g. "
+            f"{compacted[0]} — a snapshot at batch {batch_id} cannot be "
+            "reconstructed below the compaction horizon. Pass "
+            "allow_compacted=True to include compacted partitions at "
+            "their full current state."
+        )
+    keep.extend(compacted)
+    if not keep:
+        return spark.read.parquet(path).limit(0)
+    return spark.read.option("basePath", path).parquet(*keep)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Expose the tables as temp views for the SQL API surface."""
     for n, df in load_tables(spark, sf_dir, names).items():

@@ -452,3 +452,48 @@ def test_per_batch_lock_scope_releases_between_batches(spark, tmp_path):
     with run_lock(lock, timeout_s=10):
         pass
     t.join()
+
+
+def test_read_table_as_of_batch_snapshots(spark, tmp_path):
+    """Time travel over the batch-named layout: 'as of batch N' is a
+    metadata-only file-list read; compaction collapses history and must
+    make an unreconstructable snapshot loudly fail (not silently show
+    the wrong rows)."""
+    import pytest as _pytest
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.compact import (
+        compact_table,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sources.tables import (
+        read_table_as_of,
+        table_snapshots,
+    )
+
+    warehouse = str(tmp_path / "wh")
+    pipe = BillingPipeline(source=None, warehouse_dir=warehouse)
+    for b in range(3):
+        batch = spark.createDataFrame(
+            [(billing_record("transfer",
+                             date=f"2024-03-0{b + 1}T10:00:00.000+0000"),)],
+            ["value"],
+        )
+        pipe.process_batch(batch, b)
+    t = pipe.table_path("transfers")
+    assert table_snapshots(t) == [0, 1, 2]
+
+    # snapshots: monotone row counts, correct per-batch content
+    assert read_table_as_of(spark, t, 0).count() == 1
+    snap1 = read_table_as_of(spark, t, 1)
+    assert snap1.count() == 2
+    days = {str(r.partition_date) for r in snap1.collect()}
+    assert days == {"2024-03-01", "2024-03-02"}  # batch 2's day absent
+    assert read_table_as_of(spark, t, 2).count() == 3
+    # partition column resolves through basePath
+    assert "partition_date" in snap1.columns
+
+    # compaction collapses history -> loud failure below the horizon...
+    compact_table(spark, t)
+    with _pytest.raises(ValueError, match="compaction"):
+        read_table_as_of(spark, t, 1)
+    # ...and the explicit opt-in reads the full compacted state
+    assert read_table_as_of(spark, t, 1, allow_compacted=True).count() == 3
