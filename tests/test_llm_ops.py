@@ -1523,3 +1523,35 @@ def test_url_parts_survive_garbage_urls(spark):
     capped = cap_per_domain(with_url_parts(df), k=1)
     ids = {r.doc_id for r in capped.collect()}
     assert ids == {1, 2, 4, 5}  # all null-domain rows kept; ok.com -> best
+
+
+def test_pq_index_write_crash_window_leaves_old_index_usable(spark, tmp_path):
+    """Crash between the codes write and the metadata swap: the
+    previous index stays fully searchable (meta still points at its
+    codes dir), and the next successful write supersedes BOTH the live
+    and the orphaned directory."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        pq_index_search,
+        pq_index_write,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    idx = str(tmp_path / "pq")
+    pq_index_write(emb, idx, m=16, ks=16)
+    # simulate a crashed rewrite: codes-2 landed, meta swap never did
+    os.makedirs(os.path.join(idx, "codes-2", "partial"))
+    q = emb.where(F.col("vec_id") < 3)
+    assert pq_index_search(spark, idx, q, k=3, corpus=emb).count() == 9
+
+    # the next write versions PAST the orphan and clears it
+    pq_index_write(emb, idx, m=16, ks=16)
+    dirs = sorted(d for d in os.listdir(idx) if d.startswith("codes"))
+    assert dirs == ["codes-3"], dirs
+    assert pq_index_search(spark, idx, q, k=3, corpus=emb).count() == 9
