@@ -5092,6 +5092,83 @@ def q_billing_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_drift_stats(feed, known_keys={"k"}).orderBy("json_key")
 
 
+@register(
+    "q_rel_referential_integrity",
+    """
+    WITH checks AS (
+      SELECT 'lineitem->orders' AS relation,
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+             AS n_orphans
+      UNION ALL
+      SELECT 'orders->customer',
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'lineitem->part',
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey))
+      UNION ALL
+      SELECT 'supplier->nation',
+             (SELECT COUNT(*) FROM supplier s
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = s.s_nationkey))
+      UNION ALL
+      SELECT 'degenerate_empty_fact',
+             CASE WHEN (SELECT COUNT(*) FROM lineitem) = 0
+                  THEN -1 ELSE 0 END)
+    SELECT relation, CAST(n_orphans AS BIGINT) AS n_orphans
+    FROM checks WHERE n_orphans <> 0
+    ORDER BY relation
+    """,
+)
+def q_rel_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse referential-integrity audit: orphan counts for the
+    star schema's FK edges, as LEFT ANTI joins (dims broadcast, facts
+    never shuffle — each check is one scan + one broadcast probe, the
+    only plan that survives a 100 TB fact table). Expected empty on
+    consistent data ⇒ zero-row oracle; an empty fact table trips the
+    degeneracy guard instead of reading as a vacuous pass. The audit an
+    operator runs after a merge/retention window to prove no edge
+    dangles."""
+    checks = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    frames = []
+    for name, fact, fk, dim, pk in checks:
+        f_df = load_table(spark, sf_dir, fact)
+        d_df = load_table(spark, sf_dir, dim).select(F.col(pk).alias(fk))
+        frames.append(
+            f_df.join(F.broadcast(d_df), fk, "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(name).alias("relation"), "n_orphans")
+        )
+    guard = (
+        load_table(spark, sf_dir, "lineitem")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("degenerate_empty_fact").alias("relation"),
+            F.when(F.col("n") == 0, F.lit(-1)).otherwise(F.lit(0))
+            .alias("n_orphans"),
+        )
+    )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return (
+        out.unionByName(guard)
+        .where(F.col("n_orphans") != 0)
+        .select("relation", F.col("n_orphans").cast("bigint").alias("n_orphans"))
+        .orderBy("relation")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: billing-core semantics in one plan."""
     return q_billing_flagship_daily(spark, sf_dir)
@@ -5122,6 +5199,7 @@ _DRIVER_PRIORITY = [
     "q_llm_pseudonymize",
     "q_llm_vocab_sketch_check",
     "q_billing_schema_drift",
+    "q_rel_referential_integrity",
     "q_llm_bpe_pairs",
     "q_llm_pq_recall",
     "q_rel_recursive_cte",
@@ -5182,9 +5260,8 @@ _DRIVER_PRIORITY = [
     "q_rel_q16_supplier_count",
     "q_rel_q17_small_qty_revenue",
     "q_rel_q20_excess_inventory",
-    "q_rel_q21_sole_blame",
-    # (quantized/ivf recall gates, exact dedup, BPE token counts and
-    # cosine top-k displaced by the five new queries: r2-green, still
+    # (quantized/ivf recall gates, exact dedup, Q21, BPE token counts
+    # and cosine top-k displaced by the six new queries: r2-green, still
     # within the two-round staleness bar, first in line for round 5's
     # backfill — test_no_query_goes_stale enforces that rotation the
     # moment CORRECTNESS_r04 lands)
