@@ -28,6 +28,12 @@ from ..operators.textops import (
     tfidf_top_terms,
     tokens_col,
 )
+from ..operators.profile import (
+    fixed_width_histogram,
+    group_zscore_anomalies,
+    profile_numeric,
+    winsorized_stats,
+)
 from ..operators.similarity import COSINE_EXPR
 from ..operators.urlops import (
     cap_per_domain,
@@ -69,4 +75,8 @@ __all__ = [
     "scrub_text",
     "pseudonymize_col",
     "COSINE_EXPR",
+    "profile_numeric",
+    "group_zscore_anomalies",
+    "fixed_width_histogram",
+    "winsorized_stats",
 ]

@@ -1,0 +1,166 @@
+"""Data-profiling / data-quality operators: one-pass column profiles,
+per-group z-score anomaly flags, fixed-width histograms, winsorized
+(percentile-clipped) robust statistics.
+
+The reference pipeline ships raw billing rows into Hive with no
+profiling surface at all (`/root/reference/Dcache_kafka_to_hive.py`
+writes and compacts, nothing reads back for quality); an operator the
+size of this warehouse needs first-class "is the data sane" queries.
+Everything here is JVM-side (codegen'd built-ins, no Python in the hot
+path) and shaped for the 100 TB case:
+
+- ``profile_numeric``: ONE scan for all columns. Exact multi-column
+  ``count(distinct)`` compiles to Spark's Expand + two-phase aggregate
+  (the input is replicated once per profiled column before the partial
+  agg — len(cols)× the shuffle bytes). That is the standard exact
+  plan; for wide profiles at the 100 TB end pass ``approx=True`` and
+  the distinct counts become HyperLogLog sketches (no Expand, one
+  ordinary partial agg) at ±2-3 % error.
+- ``group_zscore_anomalies``: per-key moments are a tiny aggregate
+  (keyed by the group column, two-phase, map-side partials), then a
+  **broadcast** join back onto the fact — the fact table never
+  shuffles. A window over the key would shuffle 100 % of rows on a
+  low-cardinality, likely-skewed key; the stats-join shape reads the
+  fact twice but both reads are columnar scans with pushdown.
+- ``fixed_width_histogram``: bucket id is a per-row arithmetic
+  expression (scan-stage), then one shuffle on the small bucket key.
+- ``winsorized_stats``: exact per-group percentiles (Spark's
+  ``percentile``) buffer each group's values — fine per-group up to
+  ~10^8 rows, and bit-comparable to the DuckDB oracle; at the 100 TB
+  end pass ``exact=False`` for ``approx_percentile`` (GK sketch,
+  bounded memory, mergeable partials).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_numeric(
+    df: DataFrame, cols: list[str], approx: bool = False
+) -> DataFrame:
+    """Long-format profile of numeric columns in ONE scan: for each
+    column a row (column_name, n_rows, n_nulls, n_distinct, min_v,
+    max_v, mean_v). ``approx=True`` swaps exact distinct counts for
+    HyperLogLog sketches (drops the Expand replication — the 100 TB
+    path)."""
+    distinct = (
+        (lambda c: F.approx_count_distinct(c)) if approx else (lambda c: F.countDistinct(c))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            distinct(c).alias(f"{c}__nd"),
+            F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("double")).alias(f"{c}__max"),
+            F.avg(F.col(c).cast("double")).alias(f"{c}__mean"),
+        ]
+    wide = df.agg(*aggs)  # single row; everything after is driver-free but trivial
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n").cast("bigint").alias("n_rows"),
+                (F.col("__n") - F.col(f"{c}__nn")).cast("bigint").alias("n_nulls"),
+                F.col(f"{c}__nd").cast("bigint").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_v"),
+                F.col(f"{c}__max").alias("max_v"),
+                F.round(F.col(f"{c}__mean"), 4).alias("mean_v"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(entries).alias("p")).select("p.*")
+
+
+def group_zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rows of ``df`` with ``z`` (standard score of ``value_col`` within
+    its ``key_col`` group) and ``is_anomaly`` (|z| > threshold)
+    attached. Group moments are a small two-phase aggregate broadcast
+    back onto the fact — the fact rows never shuffle. Groups with <2
+    rows or zero spread yield z = NULL / is_anomaly = false."""
+    stats = df.groupBy(key_col).agg(
+        F.avg(value_col).alias("__mean"),
+        F.stddev_samp(value_col).alias("__sd"),
+    )
+    z = F.when(
+        F.col("__sd").isNotNull() & (F.col("__sd") > 0),
+        (F.col(value_col) - F.col("__mean")) / F.col("__sd"),
+    )
+    return (
+        df.join(F.broadcast(stats), key_col)
+        .withColumn("z", z)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("z")) > threshold, F.lit(False)),
+        )
+        .drop("__mean", "__sd")
+    )
+
+
+def fixed_width_histogram(
+    df: DataFrame, col: str, width: float, min_edge: float = 0.0
+) -> DataFrame:
+    """Equi-width histogram: (bucket, lo_edge, hi_edge, cnt), bucket =
+    floor((col - min_edge) / width). The bucket id is a scan-stage
+    per-row expression; the only shuffle is the groupBy on the small
+    bucket key. NULL values are excluded (no bucket)."""
+    bucket = F.floor((F.col(col) - F.lit(min_edge)) / F.lit(width)).cast("bigint")
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bucket",
+            (F.lit(min_edge) + F.col("bucket") * F.lit(width)).alias("lo_edge"),
+            (F.lit(min_edge) + (F.col("bucket") + 1) * F.lit(width)).alias("hi_edge"),
+            "cnt",
+        )
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group winsorized mean: values are clipped to the group's
+    [lo, hi] percentiles before averaging, making the mean robust to
+    tail outliers. Exact ``percentile`` (linear interpolation at rank
+    p*(n-1) — DuckDB ``quantile_cont`` semantics) buffers each group;
+    ``exact=False`` switches to the mergeable GK sketch
+    (``approx_percentile``) for the 100 TB path. Output: key, n,
+    p_lo, p_hi, winsorized_mean, raw_mean."""
+    pct = F.approx_percentile if not exact else F.percentile
+    stats = df.groupBy(key_col).agg(
+        pct(F.col(value_col), F.lit(float(lo))).alias("p_lo"),
+        pct(F.col(value_col), F.lit(float(hi))).alias("p_hi"),
+    )
+    # least/greatest SKIP nulls (Postgres semantics in both Spark and
+    # DuckDB), which would silently impute p_lo for NULL values — guard
+    # so NULLs stay NULL and drop out of the mean on both engines
+    clipped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi")),
+    )
+    return (
+        df.join(F.broadcast(stats), key_col)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("p_lo"), 4).alias("p_lo"),
+            F.round(F.first("p_hi"), 4).alias("p_hi"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+            F.round(F.avg(value_col), 4).alias("raw_mean"),
+        )
+    )

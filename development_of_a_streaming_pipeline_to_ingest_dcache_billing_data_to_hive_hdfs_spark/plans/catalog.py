@@ -5169,6 +5169,154 @@ def q_rel_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_rel_table_profile",
+    """
+    SELECT 'l_quantity' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_quantity) AS n_nulls,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
+           ROUND(AVG(l_quantity), 4) AS mean_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice),
+           CAST(MIN(l_extendedprice) AS DOUBLE),
+           CAST(MAX(l_extendedprice) AS DOUBLE),
+           ROUND(AVG(l_extendedprice), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+           COUNT(DISTINCT l_discount),
+           CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+           ROUND(AVG(l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(l_tax),
+           COUNT(DISTINCT l_tax),
+           CAST(MIN(l_tax) AS DOUBLE), CAST(MAX(l_tax) AS DOUBLE),
+           ROUND(AVG(l_tax), 4)
+    FROM lineitem
+    """,
+)
+def q_rel_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan data-quality profile of the fact table's measure
+    columns (null counts, exact distinct cardinalities, min/max/mean).
+    The multi-column exact ``count(distinct)`` compiles to Spark's
+    Expand + two-phase aggregate — ONE pass over the fact where the
+    oracle needs four; ``profile_numeric(approx=True)`` is the
+    HLL-sketch variant for the 100 TB end (no Expand replication).
+    The post-merge / post-compaction sanity check the reference
+    pipeline never had."""
+    from ..operators.profile import profile_numeric
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_numeric(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+@register(
+    "q_rel_event_anomalies",
+    """
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN sd > 0 AND ABS((value - m) / sd) > 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           ROUND(MAX(CASE WHEN sd > 0 THEN ABS((value - m) / sd) END), 4)
+             AS max_abs_z
+    FROM events e JOIN stats s USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def q_rel_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier screen over the event stream: group
+    moments are a tiny two-phase aggregate BROADCAST back onto the
+    fact, so the fact rows never shuffle (a window over event_type
+    would shuffle 100 % of rows on a low-cardinality skewed key). The
+    drift/monitoring query an ingest operator runs per partition-day
+    at 100 TB."""
+    from ..operators.profile import group_zscore_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    flagged = group_zscore_anomalies(ev, "event_type", "value", threshold=3.0)
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("is_anomaly").cast("bigint")).alias("n_anomalies"),
+            F.round(F.max(F.abs(F.col("z"))), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_rel_value_histogram",
+    """
+    SELECT bucket, bucket * 10000.0 AS lo_edge,
+           (bucket + 1) * 10000.0 AS hi_edge, cnt
+    FROM (SELECT CAST(FLOOR(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
+                 COUNT(*) AS cnt
+          FROM lineitem WHERE l_extendedprice IS NOT NULL
+          GROUP BY 1)
+    ORDER BY bucket
+    """,
+)
+def q_rel_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of the price column: the bucket id is a
+    scan-stage per-row floor — the only exchange is the groupBy on the
+    ~dozen-key bucket space (map-side partials collapse it before the
+    shuffle). Floor-of-division is IEEE-deterministic in both engines,
+    so counts are exact, no tolerance needed."""
+    from ..operators.profile import fixed_width_histogram
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return fixed_width_histogram(li, "l_extendedprice", 10000.0).orderBy("bucket")
+
+
+@register(
+    "q_rel_winsorized_value",
+    """
+    WITH pct AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p_lo,
+             quantile_cont(value, 0.95) AS p_hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n,
+           ROUND(MAX(p.p_lo), 4) AS p_lo,
+           ROUND(MAX(p.p_hi), 4) AS p_hi,
+           ROUND(AVG(CASE WHEN value IS NOT NULL THEN
+                       LEAST(GREATEST(value, p.p_lo), p.p_hi) END), 4)
+             AS winsorized_mean,
+           ROUND(AVG(value), 4) AS raw_mean
+    FROM events e JOIN pct p USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def q_rel_winsorized_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (percentile-clipped) robust means per event type:
+    exact per-group percentiles (Spark ``percentile`` = DuckDB
+    ``quantile_cont``, rank p*(n-1) linear interpolation) broadcast
+    back onto the fact, values clipped to [p05, p95] before averaging.
+    ``winsorized_stats(exact=False)`` swaps in the mergeable GK sketch
+    (``approx_percentile``) for the 100 TB path where exact
+    percentiles would buffer whole groups."""
+    from ..operators.profile import winsorized_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return winsorized_stats(ev, "event_type", "value", 0.05, 0.95).orderBy(
+        "event_type"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: billing-core semantics in one plan."""
     return q_billing_flagship_daily(spark, sf_dir)
@@ -5194,6 +5342,10 @@ _DRIVER_PRIORITY = [
     # quality classifier, prefix dups, span dedup, tf-idf terms,
     # k-means invariant gate, URL/domain curation, pseudonymization,
     # sketch heavy-hitters)
+    "q_rel_table_profile",
+    "q_rel_event_anomalies",
+    "q_rel_value_histogram",
+    "q_rel_winsorized_value",
     "q_llm_url_domain_stats",
     "q_llm_domain_blocklist_cap",
     "q_llm_pseudonymize",
@@ -5256,15 +5408,11 @@ _DRIVER_PRIORITY = [
     "q_rel_q7_volume_shipping",
     "q_rel_q11_important_stock",
     "q_rel_q13_order_histogram",
-    "q_rel_q15_top_supplier",
-    "q_rel_q16_supplier_count",
-    "q_rel_q17_small_qty_revenue",
-    "q_rel_q20_excess_inventory",
-    # (quantized/ivf recall gates, exact dedup, Q21, BPE token counts
-    # and cosine top-k displaced by the six new queries: r2-green, still
-    # within the two-round staleness bar, first in line for round 5's
-    # backfill — test_no_query_goes_stale enforces that rotation the
-    # moment CORRECTNESS_r04 lands)
+    # (quantized/ivf recall gates, exact dedup, Q21, BPE token counts,
+    # cosine top-k, Q15/Q16/Q17/Q20 displaced by the ten new queries:
+    # r2-green, still within the two-round staleness bar, first in line
+    # for round 5's backfill — test_no_query_goes_stale enforces that
+    # rotation the moment CORRECTNESS_r04 lands)
 ]
 
 

@@ -1,0 +1,89 @@
+"""Unit semantics for the profiling operators (operators/profile.py):
+NULL handling, anomaly flag edges, histogram bucket edges, winsorize
+clipping — the cases the sf-table oracle queries can't isolate because
+the synthetic tables have no NULLs or degenerate groups."""
+
+from __future__ import annotations
+
+import math
+
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.profile import (
+    fixed_width_histogram,
+    group_zscore_anomalies,
+    profile_numeric,
+    winsorized_stats,
+)
+
+
+def test_profile_numeric_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, None), (2.0, 30.0), (None, 30.0)],
+        "a double, b double",
+    )
+    rows = {r["column_name"]: r for r in profile_numeric(df, ["a", "b"]).collect()}
+    assert rows["a"]["n_rows"] == 4 and rows["a"]["n_nulls"] == 1
+    assert rows["a"]["n_distinct"] == 2  # NULL not counted as a value
+    assert rows["a"]["min_v"] == 1.0 and rows["a"]["max_v"] == 2.0
+    assert math.isclose(rows["a"]["mean_v"], (1 + 2 + 2) / 3, abs_tol=1e-4)
+    assert rows["b"]["n_nulls"] == 1 and rows["b"]["n_distinct"] == 2
+
+
+def test_profile_numeric_approx_has_no_expand(spark):
+    """approx=True must NOT pay the Expand replication (the 100 TB
+    path) and still land within HLL tolerance."""
+    df = spark.range(1000).selectExpr("CAST(id % 37 AS DOUBLE) AS a")
+    prof = profile_numeric(df, ["a"], approx=True)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    [row] = prof.collect()
+    assert abs(row["n_distinct"] - 37) <= 3
+
+
+def test_group_zscore_flags_only_the_outlier(spark):
+    data = [("a", float(v)) for v in [10, 11, 9, 10, 11, 9, 10, 1000]]
+    data += [("b", 5.0)]  # singleton group: sd NULL, never anomalous
+    data += [("c", None)]  # NULL value: z NULL, not anomalous
+    df = spark.createDataFrame(data, "k string, value double")
+    out = group_zscore_anomalies(df, "k", "value", threshold=2.0).collect()
+    flagged = {(r["k"], r["value"]) for r in out if r["is_anomaly"]}
+    assert flagged == {("a", 1000.0)}
+    by_key = {(r["k"], r["value"]): r for r in out}
+    assert by_key[("b", 5.0)]["z"] is None
+    assert by_key[("c", None)]["z"] is None
+
+
+def test_histogram_edges_and_null_exclusion(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (9.99,), (10.0,), (25.0,), (None,)], "v double"
+    )
+    rows = {
+        r["bucket"]: r
+        for r in fixed_width_histogram(df, "v", 10.0).collect()
+    }
+    assert rows[0]["cnt"] == 2  # [0, 10): 0.0 and 9.99
+    assert rows[1]["cnt"] == 1  # [10, 20): exactly-on-edge goes up
+    assert rows[2]["cnt"] == 1
+    assert rows[0]["lo_edge"] == 0.0 and rows[0]["hi_edge"] == 10.0
+    assert sum(r["cnt"] for r in rows.values()) == 4  # NULL dropped
+
+
+def test_winsorized_mean_clips_the_tail(spark):
+    vals = [float(v) for v in range(1, 100)] + [10_000.0]
+    df = spark.createDataFrame([("k", v) for v in vals], "k string, value double")
+    [row] = winsorized_stats(df, "k", "value", 0.01, 0.99).collect()
+    assert row["n"] == 100
+    # raw mean dragged by the 10k outlier; winsorized mean is not
+    assert row["raw_mean"] > 140
+    assert row["winsorized_mean"] < 60
+    assert row["p_hi"] < 10_000.0
+
+
+def test_winsorized_null_values_stay_null(spark):
+    df = spark.createDataFrame(
+        [("k", 1.0), ("k", 2.0), ("k", 3.0), ("k", None)],
+        "k string, value double",
+    )
+    [row] = winsorized_stats(df, "k", "value", 0.0, 1.0).collect()
+    assert row["n"] == 4  # count includes the NULL row
+    # lo=0/hi=1 → no clipping; NULL must not be imputed to p_lo
+    assert math.isclose(row["winsorized_mean"], 2.0, abs_tol=1e-4)
