@@ -32,6 +32,11 @@ def def_arguments() -> argparse.ArgumentParser:
                    help="comma-separated columns: range-partition + sort the "
                         "rewrite so files carry disjoint min/max key ranges "
                         "(file-level data skipping); default: shuffle-free coalesce")
+    p.add_argument("--zorder-by", default=None,
+                   help="comma-separated NUMERIC columns: rewrite in Morton "
+                        "Z-order so EVERY keyed column gets narrow per-file "
+                        "min/max stats (multi-column data skipping); "
+                        "mutually exclusive with --cluster-by")
     p.add_argument("--only-needed", action="store_true",
                    help="skip partitions already at their target file "
                         "layout (metadata check, no data read)")
@@ -76,6 +81,13 @@ def main(argv: list[str] | None = None) -> None:
         if args.cluster_by
         else None
     )
+    zorder_by = (
+        [c.strip() for c in args.zorder_by.split(",") if c.strip()]
+        if args.zorder_by
+        else None
+    )
+    if cluster_by and zorder_by:
+        parser.error("--cluster-by and --zorder-by are mutually exclusive")
     with run_lock(args.lock_path, args.status_path, timeout_s=args.lock_wait_s):
         spark = get_spark_session(app_name="dcache_compact", loglevel=args.loglevel)
         for table in args.tables.split(","):
@@ -88,7 +100,7 @@ def main(argv: list[str] | None = None) -> None:
                 print(f"{table}: expired {dropped}")
             result = compact_table(
                 spark, path, partitions, args.target_bytes, cluster_by,
-                only_needed=args.only_needed,
+                only_needed=args.only_needed, zorder_by=zorder_by,
             )
             print(f"{table}: compacted {result}")
             if args.analyze is not None:

@@ -37,6 +37,65 @@ from .schema import DEFAULT_PARTITION_NAME, PARTITION_FIELD
 DEFAULT_TARGET_BYTES = 512 * 1024 * 1024
 
 
+def zorder_key(
+    bounds: dict[str, tuple[float, float]], bits: int = 8
+) -> "F.Column":
+    """Morton (Z-order) interleave key over 2+ numeric columns: each
+    column is linearly bucketed to ``bits`` bits inside its [lo, hi]
+    bounds (values outside clamp to the edge buckets, NULLs to bucket
+    0), then the per-column bucket bits are interleaved. Sorting by
+    this key clusters rows so that EVERY keyed column's value range is
+    narrow within every output file — linear ``cluster_by`` gives
+    tight parquet min/max stats on the leading column only, Z-order
+    gives ~sqrt-of-file-count coverage on all of them, so predicates
+    on ANY keyed column skip most files at 100 TB. Linear in-bounds
+    bucketing is the standard practice (Iceberg's fixed-width byte
+    mapping; Delta OSS uses range-partition ids); [p01, p99] bounds
+    keep tail outliers from collapsing the useful resolution into one
+    bucket. Pure codegen'd integer bit arithmetic — no UDF, no shuffle
+    of its own."""
+    cols = list(bounds)
+    max_bucket = (1 << bits) - 1
+    buckets = []
+    for c, (lo, hi) in bounds.items():
+        span = (hi - lo) or 1.0  # degenerate column: everything → bucket 0
+        raw = F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * (1 << bits))
+        buckets.append(
+            F.coalesce(
+                F.greatest(F.least(raw, F.lit(max_bucket)), F.lit(0)),
+                F.lit(0),
+            ).cast("bigint")
+        )
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * len(cols) + j)
+            )
+    return z
+
+
+def _zorder_bounds(
+    df: DataFrame, cols: list[str]
+) -> dict[str, tuple[float, float]]:
+    """[p01, p99] per column, one small aggregate (a bounded 2×n-column
+    driver collect — the same class as the IVF train sample)."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.approx_percentile(F.col(c).cast("double"), F.lit(0.01)).alias(f"{c}__lo"),
+            F.approx_percentile(F.col(c).cast("double"), F.lit(0.99)).alias(f"{c}__hi"),
+        ]
+    row = df.agg(*aggs).first()
+    return {
+        c: (
+            row[f"{c}__lo"] if row[f"{c}__lo"] is not None else 0.0,
+            row[f"{c}__hi"] if row[f"{c}__hi"] is not None else 0.0,
+        )
+        for c in cols
+    }
+
+
 def resolve_partition_policy(policy: str, today: dt.date | None = None) -> list[str] | None:
     """'yesterday' (default) / 'all' / comma-separated YYYY-MM-DD list
     ≙ `run_compact_tables.py:47-58`. Returns None for 'all' (= enumerate
@@ -128,6 +187,7 @@ def compact_partition(
     cluster_by: list[str] | None = None,
     known_bytes: int | None = None,
     fs=None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Rewrite one day-partition to ~target_bytes files. Returns the file
     count written. ≙ `Dcache_kafka_to_hive.py:376-385` minus the staging
@@ -140,7 +200,13 @@ def compact_partition(
     every file/row-group carries tight parquet min/max stats — point and
     range predicates on those columns then skip whole files at plan time
     instead of scanning the day. Costs one shuffle (vs the shuffle-free
-    coalesce); worth it for the clustering read-pattern at scale."""
+    coalesce); worth it for the clustering read-pattern at scale.
+
+    ``zorder_by`` (mutually exclusive with ``cluster_by``): rewrite in
+    Morton Z-order over 2+ numeric columns — every keyed column gets
+    narrow per-file min/max stats, not just the leading one, so
+    predicates on ANY of them prune files. Same single shuffle as
+    ``cluster_by`` plus one tiny bounds aggregate."""
     fs = fs or get_filesystem(path, spark)
     pdir = os.path.join(path, f"{PARTITION_FIELD}={partition}")
     # Scratch dirs live beside the partition, dot-prefixed: Spark's file
@@ -157,7 +223,17 @@ def compact_partition(
     )
     n_files = max(1, math.ceil(size / target_bytes))
     df = spark.read.parquet(pdir)
-    if cluster_by:
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
+    if zorder_by:
+        key = zorder_key(_zorder_bounds(df, zorder_by))
+        df = (
+            df.withColumn("__zorder", key)
+            .repartitionByRange(n_files, F.col("__zorder"))
+            .sortWithinPartitions("__zorder")
+            .drop("__zorder")
+        )
+    elif cluster_by:
         cols = [F.col(c) for c in cluster_by]
         df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
     else:
@@ -287,6 +363,7 @@ def compact_table(
     cluster_by: list[str] | None = None,
     only_needed: bool = False,
     fs=None,
+    zorder_by: list[str] | None = None,
 ) -> dict[str, int]:
     """Compact the given (or all) partitions of one table path. Partition
     enumeration happens here, per table — the reference's cross-table
@@ -298,15 +375,15 @@ def compact_table(
     (file count ≤ ceil(bytes/target)) — an FS-metadata check, so nightly
     maintenance over a mostly-compacted table rewrites only the
     fragmented days instead of re-shuffling every byte it owns. Not
-    applied when ``cluster_by`` is set (the stats can't see whether the
-    existing files are clustered)."""
+    applied when ``cluster_by``/``zorder_by`` is set (the stats can't
+    see whether the existing files are clustered)."""
     fs = fs or get_filesystem(path, spark)
     recover_crashed_compactions(path, fs=fs)
     parts = partitions if partitions is not None else list_partitions(spark, path, fs=fs)
     existing = set(list_partitions(spark, path, fs=fs))
     parts = [p for p in parts if p in existing]
     known: dict[str, int] = {}
-    if only_needed and not cluster_by:
+    if only_needed and not cluster_by and not zorder_by:
         stats = table_stats(spark, path, partitions=parts, fs=fs)
         parts = [
             p
@@ -318,7 +395,7 @@ def compact_table(
     return {
         p: compact_partition(
             spark, path, p, target_bytes, cluster_by,
-            known_bytes=known.get(p), fs=fs,
+            known_bytes=known.get(p), fs=fs, zorder_by=zorder_by,
         )
         for p in parts
     }
