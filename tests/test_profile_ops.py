@@ -87,3 +87,40 @@ def test_winsorized_null_values_stay_null(spark):
     assert row["n"] == 4  # count includes the NULL row
     # lo=0/hi=1 → no clipping; NULL must not be imputed to p_lo
     assert math.isclose(row["winsorized_mean"], 2.0, abs_tol=1e-4)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_profile_query_is_one_scan_expand(spark):
+    """Exact multi-distinct must be ONE pass: a single Expand over a
+    single parquet scan (the oracle needs four scans)."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
+        q_rel_table_profile,
+    )
+
+    plan = _plan(q_rel_table_profile(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan
+
+
+def test_zscore_query_broadcasts_stats_not_fact(spark):
+    """The group-moments side must be the broadcast build; the events
+    fact must NOT shuffle for the join (no window over event_type)."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
+        q_rel_event_anomalies,
+    )
+
+    plan = _plan(q_rel_event_anomalies(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan
+
+
+def test_winsorized_query_broadcasts_percentiles(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
+        q_rel_winsorized_value,
+    )
+
+    plan = _plan(q_rel_winsorized_value(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
