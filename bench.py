@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     # serving-path ANN: search a standing IVFADC index (built once at
     # warm-up, reused) — partition-pruned probe + ADC + exact rerank
     "q_llm_ivfadc_search",
+    # one-scan multi-distinct column profile (Expand two-phase agg) —
+    # the data-quality surface's heaviest shape
+    "q_rel_table_profile",
 ]
 
 
@@ -139,6 +142,23 @@ def bench_ingest(spark, n_records: int = 50_000) -> dict:
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def calibrate(spark) -> float:
+    """Host-speed probe: a fixed pure-CPU codegen pipeline (no I/O, no
+    shuffle read) timed min-of-3. Round-over-round query timings are
+    only comparable modulo the host the round happens to run on —
+    round 4's box measured ~1.6× slower per core than round 3's on
+    byte-identical queries — so the payload carries this number and
+    comparisons should use query_sec / calibration_sec."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("xxhash64(id) AS h").agg(
+            {"h": "sum"}
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def consume(df) -> None:
@@ -242,6 +262,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "consumer": "noop-write (full evaluation of every output column)",
+        "host_calibration_sec": calibrate(spark),
         "count_consumer_total": round(sum(count_timings.values()), 3),
         "count_consumer_queries": count_timings,
     }

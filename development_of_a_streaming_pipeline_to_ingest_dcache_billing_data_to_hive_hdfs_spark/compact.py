@@ -188,6 +188,7 @@ def compact_partition(
     known_bytes: int | None = None,
     fs=None,
     zorder_by: list[str] | None = None,
+    file_stats_for: list[str] | None = None,
 ) -> int:
     """Rewrite one day-partition to ~target_bytes files. Returns the file
     count written. ≙ `Dcache_kafka_to_hive.py:376-385` minus the staging
@@ -248,6 +249,13 @@ def compact_partition(
     fs.rename(pdir, retired)
     fs.rename(tmp, pdir)
     fs.delete(retired, recursive=True)
+    if file_stats_for:
+        # after the swap: a crash leaves fresh stats or none, never
+        # stats describing files that no longer exist (pruning fails
+        # open on unknown files either way)
+        from .filestats import write_file_stats
+
+        write_file_stats(spark, path, partition, file_stats_for, fs=fs)
     return n_files
 
 
@@ -364,6 +372,7 @@ def compact_table(
     only_needed: bool = False,
     fs=None,
     zorder_by: list[str] | None = None,
+    file_stats_for: list[str] | None = None,
 ) -> dict[str, int]:
     """Compact the given (or all) partitions of one table path. Partition
     enumeration happens here, per table — the reference's cross-table
@@ -396,6 +405,7 @@ def compact_table(
         p: compact_partition(
             spark, path, p, target_bytes, cluster_by,
             known_bytes=known.get(p), fs=fs, zorder_by=zorder_by,
+            file_stats_for=file_stats_for,
         )
         for p in parts
     }

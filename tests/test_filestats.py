@@ -1,0 +1,106 @@
+"""File-skipping index (filestats.py): pruned reads must scan fewer
+files yet return exactly the full-scan-filter result; unindexed
+appends and missing stats must fail open (correctness never depends on
+the advisory index)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.compact import (
+    compact_partition,
+)
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.filestats import (
+    read_file_stats,
+    read_partition_pruned,
+    write_file_stats,
+)
+
+PART = "2024-03-01"
+
+
+def _table(spark, tmp_path, name="t") -> str:
+    table = str(tmp_path / name)
+    df = spark.range(4096).selectExpr(
+        "CAST(id % 64 AS DOUBLE) AS a",
+        "CAST((id DIV 64) % 64 AS DOUBLE) AS b",
+        "id AS payload",
+    )
+    df.repartition(8).write.parquet(os.path.join(table, f"partition_date={PART}"))
+    return table
+
+
+def _expected(spark, pdir: str, lo: float, hi: float):
+    full = spark.read.parquet(pdir).where(
+        (F.col("a") >= lo) & (F.col("a") <= hi)
+    )
+    return sorted(r["payload"] for r in full.collect())
+
+
+def test_pruned_read_skips_files_and_matches_full_scan(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    pdir = os.path.join(table, f"partition_date={PART}")
+    pbytes = sum(
+        os.path.getsize(os.path.join(pdir, f))
+        for f in os.listdir(pdir)
+        if f.endswith(".parquet")
+    )
+    n = compact_partition(
+        spark, table, PART, target_bytes=max(1, pbytes // 16),
+        zorder_by=["a", "b"], file_stats_for=["a", "b"],
+    )
+    assert n > 4
+    stats = read_file_stats(table, PART)
+    assert stats and set(stats["cols"]) == {"a", "b"}
+    assert len(stats["files"]) == len(
+        [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+    )
+    pruned = read_partition_pruned(spark, table, PART, "a", lo=10.0, hi=12.0)
+    n_total = len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
+    assert len(pruned.inputFiles()) < n_total  # actually skipped files
+    assert sorted(r["payload"] for r in pruned.collect()) == _expected(
+        spark, pdir, 10.0, 12.0
+    )
+
+
+def test_unindexed_append_is_always_read(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    pdir = os.path.join(table, f"partition_date={PART}")
+    write_file_stats(spark, table, PART, ["a"])
+    # append a file AFTER the stats snapshot, containing in-range rows
+    spark.createDataFrame(
+        [(11.0, 0.0, 999_999)], "a double, b double, payload long"
+    ).coalesce(1).write.mode("append").parquet(pdir)
+    pruned = read_partition_pruned(spark, table, PART, "a", lo=10.0, hi=12.0)
+    got = sorted(r["payload"] for r in pruned.collect())
+    assert 999_999 in got
+    assert got == _expected(spark, pdir, 10.0, 12.0)
+
+
+def test_missing_stats_degrades_to_full_read(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    pdir = os.path.join(table, f"partition_date={PART}")
+    pruned = read_partition_pruned(spark, table, PART, "a", lo=10.0, hi=12.0)
+    assert sorted(r["payload"] for r in pruned.collect()) == _expected(
+        spark, pdir, 10.0, 12.0
+    )
+
+
+def test_disjoint_predicate_reads_zero_files_keeps_schema(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    write_file_stats(spark, table, PART, ["a"])
+    pruned = read_partition_pruned(spark, table, PART, "a", lo=1000.0)
+    assert pruned.count() == 0
+    assert set(pruned.columns) == {"a", "b", "payload"}
+
+
+def test_stats_survive_the_compaction_swap_only_when_fresh(spark, tmp_path):
+    """Compaction without file_stats_for must leave NO stale stats
+    behind (the old stats file lived in the replaced directory)."""
+    table = _table(spark, tmp_path)
+    write_file_stats(spark, table, PART, ["a"])
+    assert read_file_stats(table, PART)
+    compact_partition(spark, table, PART, target_bytes=1 << 40)
+    assert read_file_stats(table, PART) is None
