@@ -27,6 +27,7 @@ from ..operators.textops import (
     token_count_col,
     tfidf_top_terms,
     tokens_col,
+    unigram_nll,
 )
 from ..operators.profile import (
     fixed_width_histogram,
@@ -58,6 +59,7 @@ __all__ = [
     "ngram_jaccard",
     "estimated_jaccard",
     "tokens_col",
+    "unigram_nll",
     "token_count_col",
     "bpe_ish_token_count",
     "quality_score_cols",

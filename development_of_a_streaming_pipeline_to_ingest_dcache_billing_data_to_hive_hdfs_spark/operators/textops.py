@@ -600,3 +600,50 @@ def bpe_encode_words(
     )
     enc = words.mapInPandas(op, "word string, pieces array<string>")
     return enc.withColumn("n_pieces", F.size("pieces"))
+
+
+def unigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    freq_source: DataFrame | None = None,
+    broadcast_vocab: bool = False,
+) -> DataFrame:
+    """Per-document mean unigram negative log-likelihood — the
+    perplexity-proxy quality signal of pretraining pipelines (CCNet /
+    Gopher filter docs whose LM score says "not like the reference
+    corpus"; a full KenLM is out of scope, the unigram LM is the
+    engine-shaped core of it). Output: (id, n_toks, nll), nll =
+    avg(-ln(p(tok))) under the empirical unigram distribution of
+    ``freq_source`` (default: the scored corpus itself — self-scoring
+    flags gibberish against the corpus's own vocabulary; production
+    decontamination passes a held-out reference corpus instead).
+
+    Shape at 100 TB: one explode, one vocab-sized token groupBy, one
+    token-keyed join to attach probabilities, one doc groupBy — all
+    two-phase with map-side partials. The token join shuffles the
+    token stream twice; with ``broadcast_vocab=True`` the frequency
+    table broadcasts instead (only safe when the vocabulary fits an
+    executor — cap it first with a min-count gate if unsure). Pure
+    JVM: ln/div are IEEE ops identical across engines."""
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    src = (
+        toks
+        if freq_source is None
+        else freq_source.select(
+            F.explode(tokens_col(text_col)).alias("tok")
+        )
+    )
+    freq = src.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("t"))
+    freq = freq.crossJoin(F.broadcast(total))
+    if broadcast_vocab:
+        freq = F.broadcast(freq)
+    return (
+        toks.join(freq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 4).alias("nll"),
+        )
+    )

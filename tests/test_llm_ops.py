@@ -1555,3 +1555,51 @@ def test_pq_index_write_crash_window_leaves_old_index_usable(spark, tmp_path):
     dirs = sorted(d for d in os.listdir(idx) if d.startswith("codes"))
     assert dirs == ["codes-3"], dirs
     assert pq_index_search(spark, idx, q, k=3, corpus=emb).count() == 9
+
+
+def test_unigram_nll_ranks_rare_token_docs_higher(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        unigram_nll,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),          # all high-frequency
+            (2, "the the zzqx the"),         # one hapax
+            (3, "zzqa zzqb zzqc zzqd"),      # all hapaxes
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_nll(docs).collect()}
+    assert rows[1]["n_toks"] == 4
+    assert rows[1]["nll"] < rows[2]["nll"] < rows[3]["nll"]
+
+
+def test_unigram_nll_reference_corpus_and_broadcast_paths_agree(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        unigram_nll,
+    )
+
+    ref = spark.createDataFrame(
+        [(10, "alpha beta gamma alpha"), (11, "alpha beta")],
+        "doc_id long, text string",
+    )
+    scored = spark.createDataFrame(
+        [(1, "alpha alpha"), (2, "gamma")], "doc_id long, text string"
+    )
+    shuffle = {
+        r["doc_id"]: r["nll"]
+        for r in unigram_nll(scored, freq_source=ref).collect()
+    }
+    bcast = {
+        r["doc_id"]: r["nll"]
+        for r in unigram_nll(
+            scored, freq_source=ref, broadcast_vocab=True
+        ).collect()
+    }
+    assert shuffle == bcast
+    # alpha has p=3/6, gamma p=1/6 under the REFERENCE corpus
+    import math
+
+    assert abs(shuffle[1] - round(-math.log(3 / 6), 4)) < 1e-9
+    assert abs(shuffle[2] - round(-math.log(1 / 6), 4)) < 1e-9
