@@ -1,6 +1,7 @@
 import sys, io, contextlib; sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark import get_spark_session
 from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans import BENCH_EXTRA, QUERIES
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.metrics import run_with_metrics
 
 ALL_QUERIES = {**QUERIES, **BENCH_EXTRA}
 spark = get_spark_session(master="local[8]", shuffle_partitions=8)
@@ -37,28 +38,53 @@ NOTES = {
  "q_llm_prefix_dups": "Truncation dups: prefix md5 in the scan stage; one groupBy with map-side partials - singleton prefixes never cross the network.",
  "q_llm_domain_blocklist_cap": "URL curation: host/registrable-domain extraction is a codegen'd scan-stage projection (parse_url + label slicing, no Python); the blocklist is a BroadcastHashJoin LeftAnti (the corpus never shuffles for it); the per-domain cap shuffles once on the domain key with WindowGroupLimit pruning rows below k before the final aggregate.",
  "q_llm_ivfadc_search": "Serving-path ANN over a standing IVFADC index: the codes scan carries list_id PartitionFilters (only the 4 probed of 8 directories open - literal partition pruning), ADC scores as a codegen'd zip_with against the broadcast query LUTs, and only the 60-row shortlist re-attaches raw vectors for the exact rerank.",
+ "q_rel_table_profile": "One-scan column profile: exact multi-distinct compiles to Expand (input replicated once per profiled column) + two-phase aggregate — ONE pass where the DuckDB oracle needs four; the approx variant drops the Expand for HLL sketches.",
+ "q_rel_event_anomalies": "Z-score screen: group moments are a tiny two-phase aggregate BROADCAST back onto the events fact (the fact never shuffles — a window over event_type would shuffle 100% of rows on a low-cardinality key); the only exchange is the final per-type summary.",
+ "q_rel_winsorized_value": "Winsorized means: exact per-group percentiles aggregate once, broadcast back, clip + mean fold into one two-phase aggregate.",
+ "q_llm_unigram_nll": "Perplexity-proxy scoring: one explode, vocab-sized frequency groupBy, token-keyed probability join, per-doc aggregate — all two-phase with map-side partials; ln/div stay in codegen.",
 }
 
 hdr = """# PLANS — physical-plan audit of headline queries (sf0.1, AQE final plans)
 
 Regenerate with: `python scripts/gen_plans.py`.
 Each plan is captured AFTER execution so AQE's final plan (with codegen
-span annotations) is shown, not the pre-execution placeholder.
+span annotations) is shown, not the pre-execution placeholder. The
+"measured" line quotes the SQLMetric accumulators of that execution
+(plans/metrics.py) — shuffle bytes the query actually wrote, spill,
+scan bytes, exchange/broadcast counts — so the audit states what the
+engine DID, not what the tree suggests.
 
 """
+
+
+def fmt_bytes(n: int) -> str:
+    for unit in ("B", "KB", "MB", "GB"):
+        if n < 1024 or unit == "GB":
+            return f"{n:.1f} {unit}" if unit != "B" else f"{n} B"
+        n /= 1024
+
+
 out = [hdr]
 for name, note in NOTES.items():
     df = ALL_QUERIES[name](spark, sf)
-    # finalize AQE with the same full-evaluation consumer bench.py uses
-    # (a count() would let Catalyst prune aggregate columns and could
-    # show a thinner plan than the one the bench actually times)
-    df.write.format("noop").mode("overwrite").save()
+    # finalize AQE by driving the plan's own QueryExecution with every
+    # output column materialized (a count() would let Catalyst prune
+    # aggregate columns and show a thinner plan than the bench times)
+    m = run_with_metrics(df)
+    measured = (
+        f"measured (sf0.1): {m['n_exchanges']} exchange(s) / "
+        f"{fmt_bytes(m['shuffle_bytes_written'])} shuffled"
+        f" ({m['shuffle_records']} records), "
+        f"{m['n_broadcasts']} broadcast(s) / {fmt_bytes(m['broadcast_bytes'])}, "
+        f"scan {fmt_bytes(m['scan_bytes'])} in {m['scan_files']} file(s), "
+        f"spill {fmt_bytes(m['spill_bytes'])}"
+    )
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
     # keep the operator tree, drop the verbose per-operator detail section
     tree = plan.split("\n\n")[0]
-    out.append(f"## {name}\n\n{note}\n\n```\n{tree}\n```\n")
+    out.append(f"## {name}\n\n{note}\n\n`{measured}`\n\n```\n{tree}\n```\n")
 open(str(__import__("pathlib").Path(__file__).resolve().parents[1] / "PLANS.md"), "w").write("\n".join(out))
 print("written", sum(len(o) for o in out), "chars")
