@@ -45,8 +45,8 @@ def collect_plan_metrics(df: DataFrame) -> dict[str, int]:
     """Aggregate executed-plan metrics of ``df``'s LAST execution (run
     an action first; a never-executed plan reports zeros). Keys:
     shuffle_bytes_written / shuffle_records / spill_bytes /
-    scan_bytes / scan_files / broadcast_bytes / n_exchanges /
-    n_broadcasts."""
+    scan_bytes / scan_files / broadcast_bytes / broadcast_rows /
+    n_exchanges / n_broadcasts."""
     agg = {
         "shuffle_bytes_written": 0,
         "shuffle_records": 0,
@@ -54,6 +54,7 @@ def collect_plan_metrics(df: DataFrame) -> dict[str, int]:
         "scan_bytes": 0,
         "scan_files": 0,
         "broadcast_bytes": 0,
+        "broadcast_rows": 0,
         "n_exchanges": 0,
         "n_broadcasts": 0,
     }
@@ -66,7 +67,13 @@ def collect_plan_metrics(df: DataFrame) -> dict[str, int]:
             agg["shuffle_records"] += m.get("shuffleRecordsWritten", 0)
         elif cls == "BroadcastExchangeExec":
             agg["n_broadcasts"] += 1
+            # dataSize is the in-memory hashed-relation footprint, which
+            # includes its page allocation (min one 64 MB page in this
+            # config) — a 5-row broadcast reports ~64 MB. Read it as
+            # memory pressure, not wire bytes; broadcast_rows is the
+            # honest volume signal.
             agg["broadcast_bytes"] += m.get("dataSize", 0)
+            agg["broadcast_rows"] += m.get("numOutputRows", 0)
         elif "FileSourceScan" in cls or "BatchScan" in cls:
             agg["scan_bytes"] += m.get("filesSize", m.get("size of files read", 0))
             agg["scan_files"] += m.get("numFiles", 0)

@@ -75,7 +75,9 @@ for name, note in NOTES.items():
         f"measured (sf0.1): {m['n_exchanges']} exchange(s) / "
         f"{fmt_bytes(m['shuffle_bytes_written'])} shuffled"
         f" ({m['shuffle_records']} records), "
-        f"{m['n_broadcasts']} broadcast(s) / {fmt_bytes(m['broadcast_bytes'])}, "
+        f"{m['n_broadcasts']} broadcast(s) / {m['broadcast_rows']} rows "
+        f"({fmt_bytes(m['broadcast_bytes'])} hashed-relation memory incl. "
+        f"page allocation), "
         f"scan {fmt_bytes(m['scan_bytes'])} in {m['scan_files']} file(s), "
         f"spill {fmt_bytes(m['spill_bytes'])}"
     )
