@@ -190,6 +190,88 @@ def warehouse_summary(spark: SparkSession, warehouse_dir: str) -> dict:
     return out
 
 
+def audit_orphan_batches(warehouse_dir: str, fs=None) -> dict[str, dict[int, int]]:
+    """Find data files whose embedded batch id was never committed to
+    the ledger — the residue of a crashed micro-batch whose stream was
+    then ABANDONED (a restarted stream self-heals by replaying the
+    batch; nothing heals a stream that never comes back, and until then
+    those files are visible to readers as at-least-once duplicates).
+
+    Returns {table: {batch_id: n_files}} for uncommitted ids. Pure FS
+    metadata (name-scoped batch files + the tiny ledger) — no data
+    read at any scale. Committed ids come from the warehouse-level
+    ledger AND any table-local ledger (the streaming upsert sink keeps
+    its own), matching read-path precedence. Files without a batch
+    prefix (compaction rewrites) are never flagged — compaction
+    deliberately collapses batch history."""
+    import os as _os
+    import re as _re
+
+    from .fs import get_filesystem
+    from .sink import BatchLedger
+
+    fs = fs or get_filesystem(warehouse_dir)
+    wh_committed = BatchLedger(
+        _os.path.join(warehouse_dir, "_ledger.json"), fs=fs
+    ).committed()
+    out: dict[str, dict[int, int]] = {}
+    for table, is_dir in fs.list_entries(warehouse_dir):
+        if not is_dir or table.startswith(("_", ".")):
+            continue
+        tdir = _os.path.join(warehouse_dir, table)
+        committed = set(wh_committed)
+        local_ledger = _os.path.join(tdir, "_ledger.json")
+        if fs.exists(local_ledger):
+            committed |= BatchLedger(local_ledger, fs=fs).committed()
+        # walk promoted locations only (partition dirs) — a recursive
+        # listing would also surface files inside hidden staging dirs,
+        # which belong to a batch mid-write, not to an orphan
+        orphans: dict[int, int] = {}
+        for d, d_is_dir in fs.list_entries(tdir):
+            if not d_is_dir or d.startswith(("_", ".")):
+                continue
+            for f, f_is_dir in fs.list_entries(_os.path.join(tdir, d)):
+                if f_is_dir:
+                    continue
+                m = _re.match(r"batch(\d+)-", f)
+                if m and int(m.group(1)) not in committed:
+                    bid = int(m.group(1))
+                    orphans[bid] = orphans.get(bid, 0) + 1
+        if orphans:
+            out[table] = dict(sorted(orphans.items()))
+    return out
+
+
+def remove_orphan_batches(
+    warehouse_dir: str, fs=None, include_latest: bool = False
+) -> dict[str, dict[int, int]]:
+    """Delete the files ``audit_orphan_batches`` flags and any matching
+    staging dirs, returning what was removed (same shape as the audit).
+    The numerically-LARGEST uncommitted id per table is skipped unless
+    ``include_latest=True``: without the shared maintenance lock it may
+    be a batch mid-write right now; under the lock (ingest serialized)
+    pass True to clean everything."""
+    import os as _os
+
+    from .fs import get_filesystem
+    from .sink import cleanup_batch_files
+
+    fs = fs or get_filesystem(warehouse_dir)
+    audit = audit_orphan_batches(warehouse_dir, fs=fs)
+    removed: dict[str, dict[int, int]] = {}
+    for table, batches in audit.items():
+        ids = sorted(batches)
+        if not include_latest:
+            ids = ids[:-1]
+        for bid in ids:
+            n = cleanup_batch_files(
+                _os.path.join(warehouse_dir, table), bid, fs=fs
+            )
+            if n:
+                removed.setdefault(table, {})[bid] = n
+    return removed
+
+
 def analyze_table(
     spark: SparkSession,
     table: str,

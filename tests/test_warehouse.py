@@ -189,3 +189,63 @@ def test_compact_cli_analyze_flag(spark, tmp_path):
         assert "rows" in stats
     finally:
         spark.sql("DROP TABLE IF EXISTS transfers")
+
+
+def test_orphan_batch_audit_and_cleanup(spark, tmp_path):
+    """A committed batch is never flagged; an uncommitted (crash-
+    abandoned) batch is found and removed; the newest uncommitted id is
+    protected unless include_latest (it may be mid-write)."""
+    import os
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sink import (
+        BatchLedger,
+        write_partitioned_batch,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.warehouse import (
+        audit_orphan_batches,
+        remove_orphan_batches,
+    )
+
+    wh = str(tmp_path / "wh")
+    table = os.path.join(wh, "transfers")
+    df = spark.createDataFrame(
+        [("2024-03-01", 1), ("2024-03-02", 2)], "partition_date string, v int"
+    )
+    ledger = BatchLedger(os.path.join(wh, "_ledger.json"))
+    write_partitioned_batch(df, table, batch_id=0)
+    ledger.commit(0)
+    write_partitioned_batch(df, table, batch_id=1)  # crash before commit
+    write_partitioned_batch(df, table, batch_id=2)  # newer, also uncommitted
+
+    audit = audit_orphan_batches(wh)
+    assert set(audit["transfers"]) == {1, 2}
+    assert all(n > 0 for n in audit["transfers"].values())
+
+    removed = remove_orphan_batches(wh)  # default: keep latest (id 2)
+    assert set(removed["transfers"]) == {1}
+    assert set(audit_orphan_batches(wh)["transfers"]) == {2}
+
+    removed = remove_orphan_batches(wh, include_latest=True)
+    assert set(removed["transfers"]) == {2}
+    assert audit_orphan_batches(wh) == {}
+    # committed batch untouched
+    assert spark.read.parquet(table).count() == 2
+
+
+def test_orphan_audit_respects_table_local_ledger(spark, tmp_path):
+    import os
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sink import (
+        BatchLedger,
+        write_partitioned_batch,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.warehouse import (
+        audit_orphan_batches,
+    )
+
+    wh = str(tmp_path / "wh")
+    table = os.path.join(wh, "cdc")
+    df = spark.createDataFrame([("2024-03-01", 1)], "partition_date string, v int")
+    write_partitioned_batch(df, table, batch_id=7)
+    BatchLedger(os.path.join(table, "_ledger.json")).commit(7)  # table-local
+    assert audit_orphan_batches(wh) == {}
