@@ -53,8 +53,12 @@ def zorder_key(
     mapping; Delta OSS uses range-partition ids); [p01, p99] bounds
     keep tail outliers from collapsing the useful resolution into one
     bucket. Pure codegen'd integer bit arithmetic — no UDF, no shuffle
-    of its own."""
+    of its own. ``bits`` is capped so the interleave fits a signed
+    64-bit key (bits × n_cols ≤ 63): JVM shift counts wrap mod 64, so
+    an uncapped 9-column × 8-bit key would silently scramble the high
+    bit-planes into the low positions instead of overflowing loudly."""
     cols = list(bounds)
+    bits = min(bits, 63 // max(1, len(cols)))
     max_bucket = (1 << bits) - 1
     buckets = []
     for c, (lo, hi) in bounds.items():
@@ -227,13 +231,32 @@ def compact_partition(
     if cluster_by and zorder_by:
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
     if zorder_by:
-        key = zorder_key(_zorder_bounds(df, zorder_by))
-        df = (
-            df.withColumn("__zorder", key)
-            .repartitionByRange(n_files, F.col("__zorder"))
-            .sortWithinPartitions("__zorder")
-            .drop("__zorder")
-        )
+        numeric = {
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        }
+        bad = [
+            (c, t)
+            for c, t in df.dtypes
+            if c in zorder_by
+            and t.split("(")[0] not in numeric | {"decimal"}
+        ]
+        if bad:
+            # a string column casts to NULL double: every bucket would
+            # be 0, the z-key constant, and repartitionByRange would
+            # funnel the whole partition into ONE file — fail loudly
+            raise ValueError(f"zorder_by needs numeric columns, got: {bad}")
+        bounds = _zorder_bounds(df, zorder_by)
+        if all(lo == hi for lo, hi in bounds.values()):
+            # every keyed column is constant/all-NULL: no clustering
+            # signal exists; keep the shuffle-free size-targeted layout
+            df = df.coalesce(n_files)
+        else:
+            df = (
+                df.withColumn("__zorder", zorder_key(bounds))
+                .repartitionByRange(n_files, F.col("__zorder"))
+                .sortWithinPartitions("__zorder")
+                .drop("__zorder")
+            )
     elif cluster_by:
         cols = [F.col(c) for c in cluster_by]
         df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)

@@ -75,13 +75,32 @@ def write_file_stats(
         "cols": cols,
         "files": {
             posixpath.basename(r["__file"]): {
-                c: [r[f"{c}__min"], r[f"{c}__max"]] for c in cols
+                c: [_jsonable(r[f"{c}__min"]), _jsonable(r[f"{c}__max"])]
+                for c in cols
             }
             for r in rows
         },
     }
     fs.write_text_atomic(os.path.join(pdir, STATS_NAME), json.dumps(stats))
     return stats
+
+
+def _jsonable(v):
+    """Min/max values as JSON-safe ORDER-PRESERVING scalars: numerics
+    pass through; timestamps/dates/decimals become their canonical
+    strings (ISO order == value order), so pruning comparisons work
+    when the caller passes the same canonical form (e.g. lo='2024-03-01'
+    for a date column)."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+    if isinstance(v, _dec.Decimal):
+        return float(v)
+    return str(v)
 
 
 def read_file_stats(path: str, partition: str, fs=None) -> dict | None:
@@ -105,7 +124,11 @@ def read_partition_pruned(
     optional), skipping files whose stats prove they can't match. The
     real filter is still applied — stats only shrink the file list.
     Files absent from the stats (later appends) are always read;
-    missing/empty stats degrade to a full-partition read."""
+    missing/empty stats — or bounds whose type can't be compared to
+    the stored stats — degrade to reading everything. Timestamp/date
+    stats are stored as ISO strings (order-preserving): pass string
+    bounds like '2024-03-01' to prune on them (the Spark-side filter
+    still compares natively)."""
     fs = fs or get_filesystem(path, spark)
     pdir = _partition_dir(path, partition)
     stats = read_file_stats(path, partition, fs=fs)
@@ -129,7 +152,15 @@ def read_partition_pruned(
         if fmin is None or fmax is None:
             keep.append(name)  # all-NULL or unknown: fail open
             continue
-        if (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
+        try:
+            disjoint = (lo is not None and fmax < lo) or (
+                hi is not None and fmin > hi
+            )
+        except TypeError:
+            # bound/stat type mismatch (e.g. numeric lo vs string
+            # timestamp stat): fail open — skipping is an optimization
+            disjoint = False
+        if disjoint:
             continue  # provably disjoint: skip
         keep.append(name)
     if not keep:

@@ -125,7 +125,13 @@ class LocalFS:
             return f.read()
 
     def write_text_atomic(self, path: str, text: str) -> None:
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".")
+        # dot-prefixed temp name: some targets (e.g. the filestats
+        # index) live INSIDE directories Spark scans, and a crash
+        # between create and replace must leave a file Spark's listing
+        # ignores, not a bogus "data" file that breaks every read
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(path) or ".", prefix=".tmp-"
+        )
         with os.fdopen(fd, "w") as f:
             f.write(text)
         os.replace(tmp, path)

@@ -85,23 +85,28 @@ def group_zscore_anomalies(
     its ``key_col`` group) and ``is_anomaly`` (|z| > threshold)
     attached. Group moments are a small two-phase aggregate broadcast
     back onto the fact — the fact rows never shuffle. Groups with <2
-    rows or zero spread yield z = NULL / is_anomaly = false."""
+    rows or zero spread yield z = NULL / is_anomaly = false. The join
+    is null-safe: rows with a NULL group key (exactly the malformed
+    rows a quality screen must surface) stay in the output as their
+    own group instead of being dropped by inner-join semantics."""
     stats = df.groupBy(key_col).agg(
         F.avg(value_col).alias("__mean"),
         F.stddev_samp(value_col).alias("__sd"),
-    )
+    ).withColumnRenamed(key_col, "__key")
     z = F.when(
         F.col("__sd").isNotNull() & (F.col("__sd") > 0),
         (F.col(value_col) - F.col("__mean")) / F.col("__sd"),
     )
     return (
-        df.join(F.broadcast(stats), key_col)
+        df.join(
+            F.broadcast(stats), F.col(key_col).eqNullSafe(F.col("__key"))
+        )
         .withColumn("z", z)
         .withColumn(
             "is_anomaly",
             F.coalesce(F.abs(F.col("z")) > threshold, F.lit(False)),
         )
-        .drop("__mean", "__sd")
+        .drop("__key", "__mean", "__sd")
     )
 
 
@@ -145,7 +150,7 @@ def winsorized_stats(
     stats = df.groupBy(key_col).agg(
         pct(F.col(value_col), F.lit(float(lo))).alias("p_lo"),
         pct(F.col(value_col), F.lit(float(hi))).alias("p_hi"),
-    )
+    ).withColumnRenamed(key_col, "__key")
     # least/greatest SKIP nulls (Postgres semantics in both Spark and
     # DuckDB), which would silently impute p_lo for NULL values — guard
     # so NULLs stay NULL and drop out of the mean on both engines
@@ -154,7 +159,10 @@ def winsorized_stats(
         F.least(F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi")),
     )
     return (
-        df.join(F.broadcast(stats), key_col)
+        df.join(
+            F.broadcast(stats), F.col(key_col).eqNullSafe(F.col("__key"))
+        )
+        .drop("__key")
         .groupBy(key_col)
         .agg(
             F.count(F.lit(1)).alias("n"),

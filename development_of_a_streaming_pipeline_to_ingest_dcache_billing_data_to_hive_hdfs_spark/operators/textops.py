@@ -619,6 +619,13 @@ def unigram_nll(
     flags gibberish against the corpus's own vocabulary; production
     decontamination passes a held-out reference corpus instead).
 
+    Out-of-vocabulary tokens (possible whenever ``freq_source`` is a
+    reference corpus) score at the Laplace floor p = 1/(total+1) — the
+    highest surprisal in the model — via a LEFT join, so a document of
+    pure gibberish ranks WORST instead of silently vanishing from the
+    output (an inner join would drop its unmatched tokens, and with
+    them the very documents the filter exists to catch).
+
     Shape at 100 TB: one explode, one vocab-sized token groupBy, one
     token-keyed join to attach probabilities, one doc groupBy — all
     two-phase with map-side partials. The token join shuffles the
@@ -636,14 +643,17 @@ def unigram_nll(
     )
     freq = src.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").cast("double").alias("t"))
-    freq = freq.crossJoin(F.broadcast(total))
     if broadcast_vocab:
         freq = F.broadcast(freq)
+    p = F.coalesce(
+        F.col("c") / F.col("t"), F.lit(1.0) / (F.col("t") + F.lit(1.0))
+    )
     return (
-        toks.join(freq, "tok")
+        toks.join(freq, "tok", "left")
+        .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_toks"),
-            F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 4).alias("nll"),
+            F.round(F.avg(-F.log(p)), 4).alias("nll"),
         )
     )

@@ -5229,7 +5229,8 @@ def q_rel_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
            ROUND(MAX(CASE WHEN sd > 0 THEN ABS((value - m) / sd) END), 4)
              AS max_abs_z
-    FROM events e JOIN stats s USING (event_type)
+    FROM events e JOIN stats s
+      ON e.event_type IS NOT DISTINCT FROM s.event_type
     GROUP BY e.event_type
     ORDER BY e.event_type
     """,
@@ -5296,7 +5297,8 @@ def q_rel_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                        LEAST(GREATEST(value, p.p_lo), p.p_hi) END), 4)
              AS winsorized_mean,
            ROUND(AVG(value), 4) AS raw_mean
-    FROM events e JOIN pct p USING (event_type)
+    FROM events e JOIN pct p
+      ON e.event_type IS NOT DISTINCT FROM p.event_type
     GROUP BY e.event_type
     ORDER BY e.event_type
     """,
@@ -5326,8 +5328,8 @@ def q_rel_winsorized_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
     tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM freq)
     SELECT doc_id, COUNT(*) AS n_toks,
-           ROUND(AVG(-LN(c / t)), 4) AS nll
-    FROM toks JOIN freq USING (tok) CROSS JOIN tot
+           ROUND(AVG(-LN(COALESCE(c / t, 1.0 / (t + 1.0)))), 4) AS nll
+    FROM toks LEFT JOIN freq USING (tok) CROSS JOIN tot
     GROUP BY doc_id
     ORDER BY doc_id
     """,

@@ -30,9 +30,19 @@ def _walk(node, visit) -> None:
     if cls == "AdaptiveSparkPlanExec":
         _walk(node.executedPlan(), visit)
         return
-    if cls == "ReusedExchangeExec":
-        return  # its metrics belong to the original exchange
+    if cls.startswith("Reused"):  # ReusedExchange / ReusedSubquery
+        return  # their metrics belong to the original node
     visit(node, cls)
+    # subquery fragments (scalar/IN subqueries not rewritten to joins,
+    # dynamic-pruning subqueries) hang off expressions, not children —
+    # missing them undercounts exactly the hidden extra scans/exchanges
+    # this walk exists to expose
+    try:
+        sq = node.subqueries()
+        for i in range(sq.size()):
+            _walk(sq.apply(i), visit)
+    except Exception:  # noqa: BLE001 — plan nodes without the method
+        pass
     if "QueryStageExec" in cls or "QueryStage" in cls:
         _walk(node.plan(), visit)
         return

@@ -104,3 +104,30 @@ def test_stats_survive_the_compaction_swap_only_when_fresh(spark, tmp_path):
     assert read_file_stats(table, PART)
     compact_partition(spark, table, PART, target_bytes=1 << 40)
     assert read_file_stats(table, PART) is None
+
+
+def test_timestamp_column_stats_round_trip_and_prune(spark, tmp_path):
+    """Timestamp min/max must serialize (ISO strings) and prune with
+    string bounds; a numeric bound against them fails open."""
+    table = str(tmp_path / "ts")
+    pdir = os.path.join(table, f"partition_date={PART}")
+    spark.sql(
+        "SELECT timestamp'2024-03-01 10:00:00' + make_interval(0,0,0,0,0,0,id*3600) AS ts,"
+        " id AS payload FROM range(48)"
+    ).repartitionByRange(4, "ts").write.parquet(pdir)
+    write_file_stats(spark, table, PART, ["ts"])
+    pruned = read_partition_pruned(
+        spark, table, PART, "ts",
+        lo="2024-03-01 10:00:00", hi="2024-03-01 13:00:00",
+    )
+    assert len(pruned.inputFiles()) < 4
+    assert pruned.count() == 4
+    # a native datetime bound is a VALID Spark filter but can't compare
+    # against the string-serialized stats: pruning must fail open (read
+    # all files) and still return the right rows
+    import datetime
+
+    lo_dt = datetime.datetime(2024, 3, 2, 10, 0, 0)
+    unpruned = read_partition_pruned(spark, table, PART, "ts", lo=lo_dt)
+    assert len(unpruned.inputFiles()) == 4  # no pruning, no crash
+    assert unpruned.count() == 24

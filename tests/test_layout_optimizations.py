@@ -117,3 +117,45 @@ def test_runtime_bloom_filter_injects_for_selective_dim(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_zorder_rejects_non_numeric_columns(spark, tmp_path):
+    t = str(tmp_path / "bad")
+    spark.createDataFrame(
+        [("x", 1.0)], "s string, a double"
+    ).write.parquet(os.path.join(t, f"partition_date={PART}"))
+    with pytest.raises(ValueError, match="numeric"):
+        compact_partition(spark, t, PART, zorder_by=["s"])
+
+
+def test_zorder_degenerate_bounds_keep_target_file_count(spark, tmp_path):
+    """All-constant keyed columns carry no clustering signal: the
+    rewrite must fall back to the size-targeted coalesce, not funnel
+    the partition into one giant file."""
+    t = str(tmp_path / "degen")
+    df = spark.range(4096).selectExpr("CAST(7 AS DOUBLE) AS a", "id AS payload")
+    df.repartition(8).write.parquet(os.path.join(t, f"partition_date={PART}"))
+    pdir = os.path.join(t, f"partition_date={PART}")
+    pbytes = sum(
+        os.path.getsize(os.path.join(pdir, f))
+        for f in os.listdir(pdir) if f.endswith(".parquet")
+    )
+    n = compact_partition(spark, t, PART, target_bytes=max(1, pbytes // 4),
+                          zorder_by=["a"])
+    files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+    assert n > 1 and len(files) == n
+    assert spark.read.parquet(pdir).count() == 4096
+
+
+def test_zorder_key_bits_capped_to_64bit_key(spark):
+    """9 columns x 8 bits would exceed a 64-bit key (JVM shifts wrap
+    mod 64); the cap must keep every column's buckets monotone in the
+    key's per-column bit planes instead of silently scrambling them."""
+    bounds = {f"c{i}": (0.0, 256.0) for i in range(9)}
+    df = spark.createDataFrame(
+        [tuple(float(v) for _ in range(9)) for v in (0.0, 128.0, 255.0)],
+        ", ".join(f"c{i} double" for i in range(9)),
+    )
+    zs = [r["z"] for r in df.select(zorder_key(bounds).alias("z")).collect()]
+    assert zs[0] < zs[1] < zs[2]  # monotone, no wrapped-bit collisions
+    assert all(z >= 0 for z in zs)

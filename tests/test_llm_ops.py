@@ -1603,3 +1603,27 @@ def test_unigram_nll_reference_corpus_and_broadcast_paths_agree(spark):
 
     assert abs(shuffle[1] - round(-math.log(3 / 6), 4)) < 1e-9
     assert abs(shuffle[2] - round(-math.log(1 / 6), 4)) < 1e-9
+
+
+def test_unigram_nll_oov_docs_rank_worst_not_dropped(spark):
+    """Against a reference corpus, fully-OOV documents must appear in
+    the output at the Laplace-floor (worst) score, not vanish via an
+    inner join — they are the documents the filter exists to catch."""
+    import math
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        unigram_nll,
+    )
+
+    ref = spark.createDataFrame(
+        [(10, "alpha beta gamma alpha")], "doc_id long, text string"
+    )
+    scored = spark.createDataFrame(
+        [(1, "alpha alpha"), (2, "zzq yyx")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in unigram_nll(scored, freq_source=ref).collect()}
+    assert set(rows) == {1, 2}  # the pure-gibberish doc is present
+    assert rows[2]["n_toks"] == 2  # OOV tokens counted
+    floor = round(-math.log(1.0 / 5.0), 4)  # p = 1/(total 4 + 1)
+    assert abs(rows[2]["nll"] - floor) < 1e-9
+    assert rows[2]["nll"] > rows[1]["nll"]  # gibberish ranks worst

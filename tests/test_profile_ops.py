@@ -124,3 +124,24 @@ def test_winsorized_query_broadcasts_percentiles(spark):
 
     plan = _plan(q_rel_winsorized_value(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_zscore_null_group_key_rows_survive(spark):
+    """Rows with a NULL group key must stay in the output as their own
+    group (null-safe join), not vanish via inner-join semantics."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), (None, 5.0), (None, 6.0)],
+        "k string, value double",
+    )
+    out = group_zscore_anomalies(df, "k", "value").collect()
+    assert len(out) == 4
+    nulls = [r for r in out if r["k"] is None]
+    assert len(nulls) == 2 and all(r["z"] is not None for r in nulls)
+
+
+def test_winsorized_null_group_key_reported(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 5.0), (None, 7.0)], "k string, value double"
+    )
+    rows = {r["k"]: r for r in winsorized_stats(df, "k", "value", 0.0, 1.0).collect()}
+    assert None in rows and rows[None]["n"] == 2
