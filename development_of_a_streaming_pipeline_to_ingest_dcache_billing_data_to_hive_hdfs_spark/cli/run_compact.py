@@ -55,6 +55,12 @@ def def_arguments() -> argparse.ArgumentParser:
                         "registered in the metastore (hive deployments); "
                         "unregistered path-only tables are skipped with "
                         "a notice")
+    p.add_argument("--clean-orphans", action="store_true",
+                   help="before compacting, delete data files of batches "
+                        "never committed to the ledger (crash residue of "
+                        "an abandoned stream); runs under the shared lock, "
+                        "so the newest uncommitted batch is cleaned too — "
+                        "no ingest can be mid-write")
     p.add_argument("--lock-path", default="/tmp/dcache_warehouse.lock",
                    help="one lock shared by ingest/compaction/merge: any "
                         "two of them racing the same table can interleave "
@@ -90,6 +96,11 @@ def main(argv: list[str] | None = None) -> None:
         parser.error("--cluster-by and --zorder-by are mutually exclusive")
     with run_lock(args.lock_path, args.status_path, timeout_s=args.lock_wait_s):
         spark = get_spark_session(app_name="dcache_compact", loglevel=args.loglevel)
+        if args.clean_orphans:
+            from ..warehouse import remove_orphan_batches
+
+            removed = remove_orphan_batches(args.warehouse, include_latest=True)
+            print(f"orphans removed: {removed or 'none'}")
         for table in args.tables.split(","):
             path = os.path.join(args.warehouse, table.strip())
             if args.retain_days is not None:

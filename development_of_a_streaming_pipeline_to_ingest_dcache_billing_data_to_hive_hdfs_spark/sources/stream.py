@@ -25,24 +25,36 @@ def billing_stream_source(
     fail_on_data_loss: bool = False,
     include_headers: bool = True,
     max_files_per_trigger: int | None = None,
+    max_offsets_per_trigger: int | None = None,
 ) -> DataFrame:
     """Return a streaming DataFrame with a string ``value`` column.
 
     kind='kafka' ≙ `Dcache_kafka_to_hive.py:293-301` (subscribePattern,
     includeHeaders, failOnDataLoss preserved); kind='file' reads text
     files of newline-delimited JSON for broker-less tests.
+
+    Backpressure: ``max_offsets_per_trigger`` (kafka) /
+    ``max_files_per_trigger`` (file) bound each micro-batch, so a
+    restart against a backlog (hours of broker lag, a bulk file drop)
+    drains in many right-sized batches instead of one giant batch that
+    blows past executor memory and holds the exactly-once commit open
+    for the whole backlog.
     """
     if kind == "kafka":
         if not (kafka_bootstrap and subscribe_pattern):
             raise ValueError("kafka source needs kafka_bootstrap and subscribe_pattern")
-        return (
+        reader = (
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", kafka_bootstrap)
             .option("subscribePattern", subscribe_pattern)
             .option("includeHeaders", str(include_headers).lower())
             .option("failOnDataLoss", str(fail_on_data_loss).lower())
-            .load()
         )
+        if max_offsets_per_trigger:
+            reader = reader.option(
+                "maxOffsetsPerTrigger", str(max_offsets_per_trigger)
+            )
+        return reader.load()
     if kind == "file":
         if not path:
             raise ValueError("file source needs path")

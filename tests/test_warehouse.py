@@ -249,3 +249,32 @@ def test_orphan_audit_respects_table_local_ledger(spark, tmp_path):
     write_partitioned_batch(df, table, batch_id=7)
     BatchLedger(os.path.join(table, "_ledger.json")).commit(7)  # table-local
     assert audit_orphan_batches(wh) == {}
+
+
+def test_compact_cli_clean_orphans_flag(spark, tmp_path):
+    import os
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.cli.run_compact import (
+        main,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sink import (
+        BatchLedger,
+        write_partitioned_batch,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.warehouse import (
+        audit_orphan_batches,
+    )
+
+    wh = str(tmp_path / "wh")
+    table = os.path.join(wh, "transfers")
+    df = spark.createDataFrame([("2024-03-01", 1)], "partition_date string, v int")
+    write_partitioned_batch(df, table, batch_id=0)
+    BatchLedger(os.path.join(wh, "_ledger.json")).commit(0)
+    write_partitioned_batch(df, table, batch_id=1)  # abandoned
+    assert audit_orphan_batches(wh)
+    main([
+        "--warehouse", wh, "--tables", "transfers", "--partition", "all",
+        "--clean-orphans", "--lock-path", str(tmp_path / "lock"),
+    ])
+    assert audit_orphan_batches(wh) == {}
+    assert spark.read.parquet(table).count() == 1
