@@ -154,8 +154,10 @@ def calibrate(spark) -> float:
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        spark.range(200_000_000).selectExpr("xxhash64(id) AS h").agg(
-            {"h": "sum"}
+        # xor-fold, not sum: summing 200M longs overflows BIGINT under
+        # ANSI mode (a sum here DNF'd an entire bench run)
+        spark.range(200_000_000).selectExpr("xxhash64(id) AS h").selectExpr(
+            "bit_xor(h) AS x"
         ).collect()
         best = min(best, time.perf_counter() - t0)
     return round(best, 3)
@@ -262,10 +264,13 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "consumer": "noop-write (full evaluation of every output column)",
-        "host_calibration_sec": calibrate(spark),
         "count_consumer_total": round(sum(count_timings.values()), 3),
         "count_consumer_queries": count_timings,
     }
+    try:
+        payload["host_calibration_sec"] = calibrate(spark)
+    except Exception as exc:  # noqa: BLE001 — the probe must not DNF the bench
+        errors["_calibration"] = _err_head(exc)
     try:
         payload["ingest"] = bench_ingest(spark)
     except Exception as exc:  # noqa: BLE001 — the probe must not DNF the bench
