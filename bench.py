@@ -154,9 +154,11 @@ def calibrate(spark) -> float:
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        # xor-fold, not sum: summing 200M longs overflows BIGINT under
-        # ANSI mode (a sum here DNF'd an entire bench run)
-        spark.range(200_000_000).selectExpr("xxhash64(id) AS h").selectExpr(
+        # xor-fold, not sum: summing the longs overflows BIGINT under
+        # ANSI mode (a sum here DNF'd an entire bench run). 1B rows ≈
+        # 0.5-1 s — large enough that scheduler noise doesn't dominate
+        # the signal the way a 0.1 s probe's did.
+        spark.range(1_000_000_000).selectExpr("xxhash64(id) AS h").selectExpr(
             "bit_xor(h) AS x"
         ).collect()
         best = min(best, time.perf_counter() - t0)
