@@ -217,3 +217,40 @@ def test_token_oracles_agree_on_whitespace_edges(spark, tmp_path):
     res = compare_all(spark, str(tmp_path), names)
     bad = {k: v for k, v in res.items() if not v.get("ok")}
     assert not bad, bad
+
+
+def test_unigram_nll_never_throws_on_nasty_corpus(spark, nasty):
+    """Empty/whitespace docs produce NO tokens (absent from output, not
+    a crash); everything else scores finite positive nll."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        unigram_nll,
+    )
+
+    rows = unigram_nll(nasty).collect()
+    ids = {r["doc_id"] for r in rows}
+    assert 1 not in ids and 2 not in ids  # token-less docs drop out
+    assert {3, 4, 5, 6, 7}.issubset(ids)
+    assert all(r["nll"] is not None and r["nll"] >= 0 for r in rows)
+
+
+def test_profile_ops_never_throw_on_degenerate_frames(spark):
+    """Single-row groups, all-NULL columns, empty input — the shapes
+    that turn unguarded aggregates into ANSI throws."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.profile import (
+        fixed_width_histogram,
+        group_zscore_anomalies,
+        profile_numeric,
+        winsorized_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", None)], "k string, v double"
+    )
+    assert len(profile_numeric(df, ["v"]).collect()) == 1
+    assert len(group_zscore_anomalies(df, "k", "v").collect()) == 2
+    assert len(winsorized_stats(df, "k", "v").collect()) == 2
+    assert fixed_width_histogram(df, "v", 10.0).count() == 1
+    empty = df.where("1=0")
+    assert profile_numeric(empty, ["v"]).collect()[0]["n_rows"] == 0
+    assert group_zscore_anomalies(empty, "k", "v").count() == 0
+    assert fixed_width_histogram(empty, "v", 10.0).count() == 0
