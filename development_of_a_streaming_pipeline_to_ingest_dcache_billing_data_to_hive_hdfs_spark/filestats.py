@@ -167,3 +167,39 @@ def read_partition_pruned(
         # empty selection: preserve schema via a zero-row slice
         return spark.read.parquet(pdir).where(F.lit(False))
     return spark.read.parquet(*[os.path.join(pdir, n) for n in keep]).where(cond)
+
+
+def read_table_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    partitions: list[str] | None = None,
+    fs=None,
+) -> DataFrame:
+    """Table-level pruned read: both pruning tiers in one call —
+    partition pruning (``partitions``, e.g. the day range a dashboard
+    query touches) and per-file stats pruning within each kept
+    partition. The union is by name (schemas are identical within a
+    table) and adds the ``partition_date`` column back, matching what a
+    full `spark.read.parquet(table)` exposes. At 100 TB this is the
+    read shape: days cut 100× by the partition list, files within a day
+    cut again by the stats index, and the scan only then starts."""
+    from .compact import list_partitions
+
+    fs = fs or get_filesystem(path, spark)
+    parts = (
+        partitions
+        if partitions is not None
+        else list_partitions(spark, path, fs=fs)
+    )
+    out = None
+    for p in parts:
+        part_df = read_partition_pruned(
+            spark, path, p, col, lo=lo, hi=hi, fs=fs
+        ).withColumn(PARTITION_FIELD, F.lit(p))
+        out = part_df if out is None else out.unionByName(part_df)
+    if out is None:
+        raise ValueError(f"no partitions to read under {path}")
+    return out

@@ -131,3 +131,34 @@ def test_timestamp_column_stats_round_trip_and_prune(spark, tmp_path):
     unpruned = read_partition_pruned(spark, table, PART, "ts", lo=lo_dt)
     assert len(unpruned.inputFiles()) == 4  # no pruning, no crash
     assert unpruned.count() == 24
+
+
+def test_table_pruned_read_combines_both_tiers(spark, tmp_path):
+    """Partition list cuts days; file stats cut files within each kept
+    day; results equal the full-scan filter."""
+    table = str(tmp_path / "multi")
+    for day in ("2024-03-01", "2024-03-02", "2024-03-03"):
+        pdir = os.path.join(table, f"partition_date={day}")
+        spark.range(1024).selectExpr(
+            "CAST(id % 64 AS DOUBLE) AS a", "id AS payload"
+        ).repartitionByRange(4, "a").write.parquet(pdir)
+        write_file_stats(spark, table, day, ["a"])
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.filestats import (
+        read_table_pruned,
+    )
+
+    df = read_table_pruned(
+        spark, table, "a", lo=5.0, hi=8.0,
+        partitions=["2024-03-01", "2024-03-02"],
+    )
+    assert set(df.columns) == {"a", "payload", "partition_date"}
+    assert len(df.inputFiles()) < 8  # 2 days kept x <4 files each
+    rows = df.collect()
+    assert {r["partition_date"] for r in rows} == {"2024-03-01", "2024-03-02"}
+    expected = (
+        spark.read.parquet(table)
+        .where("a BETWEEN 5.0 AND 8.0 AND partition_date <= '2024-03-02'")
+        .count()
+    )
+    assert len(rows) == expected
