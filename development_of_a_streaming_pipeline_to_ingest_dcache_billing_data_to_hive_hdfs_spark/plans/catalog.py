@@ -5367,83 +5367,65 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # --------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    # never driver-verified: the 3 queries registered after the r3
-    # driver run, plus this round's new operators (probe-table
-    # contamination, BPE pair counts, PQ recall gate, recursive CTE,
-    # quality classifier, prefix dups, span dedup, tf-idf terms,
-    # k-means invariant gate, URL/domain curation, pseudonymization,
-    # sketch heavy-hitters)
-    "q_llm_unigram_nll",
-    "q_rel_table_profile",
-    "q_rel_event_anomalies",
-    "q_rel_value_histogram",
-    "q_rel_winsorized_value",
-    "q_llm_url_domain_stats",
-    "q_llm_domain_blocklist_cap",
-    "q_llm_pseudonymize",
-    "q_llm_vocab_sketch_check",
-    "q_billing_schema_drift",
-    "q_rel_referential_integrity",
-    "q_llm_bpe_pairs",
-    "q_llm_pq_recall",
-    "q_rel_recursive_cte",
-    "q_llm_quality_classifier",
-    "q_llm_prefix_dups",
-    "q_rel_forward_fill",
-    "q_llm_semantic_dedup_check",
-    "q_llm_bpe_encode_check",
-    "q_llm_dup_span_fraction",
-    "q_llm_split_leakage_check",
-    "q_llm_span_dedup",
-    "q_llm_tfidf_terms",
-    "q_llm_kmeans_check",
-    "q_llm_contamination",
-    "q_llm_contamination_probe",
-    "q_llm_sequence_packing",
-    "q_llm_holdout_split",
-    "q_llm_mixture_budget",
-    "q_llm_incremental_dedup_check",
-    "q_rel_bitwise_funcs",
-    "q_rel_regex_funcs",
-    "q_llm_rare_token_stats",
-    "q_llm_dedup_kept_check",
-    "q_rel_salted_join",
-    # the two round-2 failures, in-window one more round to confirm the
-    # fixes are stable (asof NTZ cast; Q10 exact-decimal revenue)
-    "q_rel_asof_join",
-    "q_rel_q10_returned_items",
-    # rotated back in: queries whose last driver verdict is r2. The
-    # 26-slot head (24 never-verified + the 2 re-confirmations) leaves
-    # room for 24 of the 44 r2-green queries; the displaced TWENTY —
-    # chunk_stats, scrub_stats, vocab_top20, repetition_stats,
-    # curation_pipeline, near_dup_blocked, embedding_norms,
-    # ngram_jaccard_pairs, embedding_near_dup, rolling_fingerprint,
-    # multimodal_check, lsh_recall, simhash_check, cluster_check,
-    # minhash_check, shingle_stats, lang_id, fingerprints, token_counts,
-    # text_quality — stay
-    # pytest-oracle-verified at
-    # sf0.001 every run
-    # and MUST lead round 5's backfill
-    # (tests/test_driver_rotation.py turns that obligation into a build
-    # failure once CORRECTNESS_r04 lands).
-    "q_billing_hourly_windows",
-    "q_rel_approx_percentiles",
-    "q_rel_approx_distinct",
-    "q_rel_math_funcs",
-    "q_rel_correlated_subquery",
-    "q_rel_cross_join",
-    "q_rel_scalar_subquery",
-    "q_rel_latest_per_key",
-    "q_rel_unpivot",
-    "q_rel_stratified_sample",
-    "q_rel_q2_min_cost_supplier",
-    "q_rel_q7_volume_shipping",
-    "q_rel_q11_important_stock",
-    # (quantized/ivf recall gates, exact dedup, Q21, BPE token counts,
-    # cosine top-k, Q13/Q15/Q16/Q17/Q20 displaced by the eleven new queries:
-    # r2-green, still within the two-round staleness bar, first in line
-    # for round 5's backfill — test_no_query_goes_stale enforces that
-    # rotation the moment CORRECTNESS_r04 lands)
+    # (a) the rotation debt: all 31 queries whose last hard driver
+    # verdict is r2 (listed by test_no_query_goes_stale once
+    # CORRECTNESS_r04 landed) — they MUST re-verify this round.
+    "q_llm_dedup_exact",
+    "q_llm_fingerprints",
+    "q_llm_token_counts",
+    "q_llm_text_quality",
+    "q_llm_lang_id",
+    "q_llm_shingle_stats",
+    "q_llm_minhash_check",
+    "q_llm_cluster_check",
+    "q_llm_simhash_check",
+    "q_llm_cosine_topk",
+    "q_llm_quantized_recall",
+    "q_llm_ivf_recall",
+    "q_llm_lsh_recall",
+    "q_llm_embedding_norms",
+    "q_llm_ngram_jaccard_pairs",
+    "q_llm_embedding_near_dup",
+    "q_llm_near_dup_blocked",
+    "q_llm_token_counts_bpe",
+    "q_llm_rolling_fingerprint",
+    "q_llm_multimodal_check",
+    "q_llm_curation_pipeline",
+    "q_rel_q13_order_histogram",
+    "q_rel_q15_top_supplier",
+    "q_rel_q17_small_qty_revenue",
+    "q_rel_q21_sole_blame",
+    "q_rel_q16_supplier_count",
+    "q_rel_q20_excess_inventory",
+    "q_llm_repetition_stats",
+    "q_llm_scrub_stats",
+    "q_llm_vocab_top20",
+    "q_llm_chunk_stats",
+    # (b) backfill: the 19 oldest r3-green queries (billing core +
+    # the head of the relational set). The remaining 29 r3-green
+    # queries become round 6's rotation debt and must lead that
+    # window; the 50 r4-green queries follow in round 7. No new
+    # catalog queries this round — the debt fills the budget
+    # (r4 verdict instruction).
+    "q_billing_flagship_daily",
+    "q_billing_route_counts",
+    "q_billing_partition_days",
+    "q_billing_sessionization",
+    "q_billing_props_stats",
+    "q_rel_q1_pricing_summary",
+    "q_rel_q3_top_orders",
+    "q_rel_q5_nation_volume",
+    "q_rel_brand_revenue",
+    "q_rel_semi_join_customers",
+    "q_rel_anti_join_customers",
+    "q_rel_top3_parts_per_brand",
+    "q_rel_running_totals",
+    "q_rel_order_gaps",
+    "q_rel_rollup_orders",
+    "q_rel_cube_lineitem",
+    "q_rel_grouping_sets",
+    "q_rel_distinct_stats",
+    "q_rel_set_union",
 ]
 
 
