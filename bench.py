@@ -82,9 +82,11 @@ BENCH_QUERIES = [
     # serving-path ANN: search a standing IVFADC index (built once at
     # warm-up, reused) — partition-pruned probe + ADC + exact rerank
     "q_llm_ivfadc_search",
-    # one-scan multi-distinct column profile (Expand two-phase agg) —
-    # the data-quality surface's heaviest shape
+    # one-scan multi-distinct column profile: exact (Expand two-phase
+    # agg, the data-quality surface's heaviest shape) vs HLL-approx
+    # (no Expand — the 100 TB path), as a measured pair
     "q_rel_table_profile",
+    "q_rel_table_profile_approx",
 ]
 
 
@@ -104,6 +106,16 @@ def bench_ingest(spark, n_records: int = 50_000) -> dict:
     )
     from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.streaming.pipeline import (
         BillingPipeline,
+    )
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.parse import (
+        parse_billing,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.route import (
+        route,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.streaming.pipeline import (
+        drain_available_now,
     )
 
     tmp = tempfile.mkdtemp(prefix="bench_ingest_")
@@ -127,6 +139,44 @@ def bench_ingest(spark, n_records: int = 50_000) -> dict:
                     )
                     + "\n"
                 )
+        # Reference-shape twin (`Dcache_kafka_to_hive.py:328-336`): each
+        # route re-parses the batch from scratch — no persist, no
+        # ledger, plain appends — so the parse-once win is a measured
+        # ratio against the same input, not a claim in BASELINE.md.
+        # Rejects are dropped, as the reference drops them.
+        def ref_shape_batch(wh_dir):
+            def _process(batch_df, batch_id):
+                for name in ("transfers", "requests", "storage", "removes"):
+                    reparsed = parse_billing(batch_df)  # the 4x redundancy
+                    route(reparsed)[name].write.mode("append").partitionBy(
+                        "partition_date"
+                    ).parquet(os.path.join(wh_dir, name))
+
+            return _process
+
+        # Warm-up: drain a 200-row file through BOTH shapes untimed, so
+        # the one-time streaming costs (file-source init, foreachBatch
+        # Python callback setup, parquet committer classes) don't land
+        # on whichever shape happens to run first — round 5's first cut
+        # timed the pipeline cold and the twin warm, inverting the
+        # ratio.
+        winp = os.path.join(tmp, "warm_in")
+        os.makedirs(winp)
+        with open(os.path.join(inp, "events.json")) as src, open(
+            os.path.join(winp, "w.json"), "w"
+        ) as dst:
+            for _ in range(200):
+                dst.write(src.readline())
+        BillingPipeline(
+            billing_stream_source(spark, "file", path=winp),
+            os.path.join(tmp, "warm_wh"),
+        ).run_available_now(os.path.join(tmp, "warm_ck"))
+        drain_available_now(
+            billing_stream_source(spark, "file", path=winp),
+            ref_shape_batch(os.path.join(tmp, "warm_wh_ref")),
+            os.path.join(tmp, "warm_ck_ref"),
+        )
+
         pipe = BillingPipeline(
             billing_stream_source(spark, "file", path=inp),
             os.path.join(tmp, "wh"),
@@ -135,10 +185,21 @@ def bench_ingest(spark, n_records: int = 50_000) -> dict:
         pipe.run_available_now(os.path.join(tmp, "ck"))
         dt = time.perf_counter() - t0
         total = sum(m["total_rows"] for m in pipe.metrics())
+
+        t0 = time.perf_counter()
+        drain_available_now(
+            billing_stream_source(spark, "file", path=inp),
+            ref_shape_batch(os.path.join(tmp, "wh_ref")),
+            os.path.join(tmp, "ck_ref"),
+        )
+        ref_dt = time.perf_counter() - t0
         return {
             "rows": total,
             "seconds": round(dt, 3),
             "rows_per_sec": round(total / dt, 1),
+            "reference_shape_seconds": round(ref_dt, 3),
+            "reference_shape_rows_per_sec": round(total / ref_dt, 1),
+            "parse_once_speedup": round(ref_dt / dt, 2),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -281,7 +342,48 @@ def main() -> None:
         payload["errors"] = errors
     if count_errors:
         payload["count_consumer_errors"] = count_errors
-    print(json.dumps(payload))
+
+    # The driver captures only the tail of stdout, and the full payload
+    # (30+ noop timings + 30+ count timings + ingest) overflows it —
+    # rounds 2 and 4 shipped with BENCH_r{N}.json "parsed: null". So:
+    # write the COMPLETE payload to a repo file, and print a compact
+    # (≤1.5 KB) summary as the LAST stdout line for the driver to parse.
+    repo = Path(__file__).resolve().parent
+    prior = [
+        int(p.stem.split("_r")[1])
+        for p in repo.glob("BENCH_r*.json")
+        if p.stem.split("_r")[1].isdigit()
+    ]
+    rnd = max(prior, default=0) + 1
+    local_path = repo / f"BENCH_LOCAL_r{rnd:02d}.json"
+    try:
+        local_path.write_text(json.dumps(payload, indent=2, sort_keys=True))
+    except OSError as exc:
+        errors["_local_payload"] = _err_head(exc)
+
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    summary = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "sf": payload["sf"],
+        "consumer": "noop-write",
+        "n_queries": len(timings),
+        "queries": top10,  # top-10 by runtime; full set in full_payload
+        "count_consumer_total": payload["count_consumer_total"],
+        "ingest": payload.get("ingest"),
+        "n_errors": len(errors) + len(count_errors),
+        "full_payload": str(local_path),
+    }
+    if "host_calibration_sec" in payload:
+        summary["host_calibration_sec"] = payload["host_calibration_sec"]
+    line = json.dumps(summary)
+    if len(line) > 1500:  # hard driver-capture budget: shed detail, keep totals
+        summary.pop("queries", None)
+        line = json.dumps(summary)
+    print(line)
     spark.stop()
 
 

@@ -5217,6 +5217,25 @@ def q_rel_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_bench_only("q_rel_table_profile_approx")
+def q_rel_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-path twin of ``q_rel_table_profile``: HyperLogLog
+    approx distinct counts instead of exact multi-distinct, which
+    removes the Expand replication (the exact plan copies every input
+    row once per profiled column before the shuffle). Bench-only
+    because the HLL estimates are engine-specific — the exact twin in
+    QUERIES carries the oracle; this row exists so the exact-vs-approx
+    trade is a measured pair, not prose."""
+    from ..operators.profile import profile_numeric
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_numeric(
+        li,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        approx=True,
+    )
+
+
 @register(
     "q_rel_event_anomalies",
     """
