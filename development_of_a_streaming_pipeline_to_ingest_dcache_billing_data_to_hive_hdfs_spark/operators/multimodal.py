@@ -2,11 +2,14 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side architecture is real and tested — schema contracts, batch
-iteration, partition sizing — while the codec step itself is stubbed
-(Pillow/librosa/av are not in this container): ``decode_image`` raises
-NotImplementedError unless ``fake=True``, which substitutes a
-deterministic content-hash-seeded feature vector so the distributed
-plumbing can be exercised and asserted end-to-end.
+iteration, partition sizing. The codec step is REAL for PNG images: a
+pure-stdlib decoder/encoder (png.py — zlib inflate + spec filters 0–4)
+backs ``decode_image``/``resize_images``, so feature extraction and
+resizing run on actual pixels with no external image library. Non-PNG
+images and video frames still need codecs this container lacks
+(Pillow/opencv/pyav): those paths raise NotImplementedError unless
+``fake=True``, which substitutes a deterministic content-hash-seeded
+stand-in so the distributed plumbing is exercised regardless.
 
 At 100 TB: binary payloads dominate partition size, so media tables are
 repartitioned by target *bytes* (``media_repartition``), not row counts,
@@ -57,12 +60,19 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Real decode requires an image codec (not in this container)."""
+    """Payload → FEATURE_DIM feature vector. PNG payloads get a REAL
+    decode (png.py: stdlib zlib + spec unfiltering) and pixel-statistic
+    features; other formats need codecs absent from this container."""
     if fake:
         return _fake_decode(payload)
+    from .png import decode_png, image_features, is_png
+
+    if is_png(payload):
+        return image_features(decode_png(payload))
     raise NotImplementedError(
-        "image decode requires Pillow/opencv, not available in this "
-        "environment; pass fake=True for the deterministic test stub"
+        "non-PNG image decode requires Pillow/opencv, not available in "
+        "this environment; PNG decodes for real — pass fake=True for the "
+        "deterministic stub on other formats"
     )
 
 
@@ -120,12 +130,22 @@ def resize_images(
     media: DataFrame, width: int, height: int, fake: bool = True
 ) -> DataFrame:
     """Resize pass over an image table via Arrow-batched mapInPandas —
-    same no-shuffle shape as extract_features; the pixel work is the
-    stubbed codec step (real impl drops in Pillow/opencv here)."""
-    if not fake:
-        raise NotImplementedError(
-            "image resize requires Pillow/opencv; pass fake=True for the stub"
-        )
+    same no-shuffle shape as extract_features. With ``fake=False`` PNG
+    payloads are really resized (decode → nearest-neighbor resample →
+    re-encode, all stdlib+numpy in png.py); non-PNG payloads raise, as
+    their codecs are absent from this container."""
+
+    def _real_resize(payload: bytes) -> bytes:
+        from .png import decode_png, encode_png, is_png, resize_nearest
+
+        if not is_png(payload):
+            raise NotImplementedError(
+                "non-PNG image resize requires Pillow/opencv; PNG resizes "
+                "for real — pass fake=True for the stub on other formats"
+            )
+        return encode_png(resize_nearest(decode_png(payload), width, height))
+
+    one = (lambda p: _fake_resize(p, width, height)) if fake else _real_resize
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -134,7 +154,7 @@ def resize_images(
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "payload": [
-                        _fake_resize(p, width, height) if p is not None else None
+                        one(p) if p is not None else None
                         for p in pdf["payload"]
                     ],
                     "width": width,

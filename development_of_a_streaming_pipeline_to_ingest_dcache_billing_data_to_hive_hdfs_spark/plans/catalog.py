@@ -2488,7 +2488,14 @@ def q_llm_multimodal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       JVM-side length(payload) of the input row — catches row
       misalignment in the Python plumbing;
     - *shape*: exactly FEATURE_DIM features, exactly one output row per
-      input media_id.
+      input media_id;
+    - *real PNG decode*: deterministic 8×8 gray-gradient PNGs generated
+      in-executor (media_id-seeded, stdlib encoder) are decoded with
+      ``fake=False`` under two partitionings; beyond partition
+      invariance, the decoded luma-mean feature must equal the
+      CLOSED-FORM mean ((media_id%200 + 24.5)/255 — row r of image v is
+      the constant v+7r) the JVM computes independently — a genuine
+      pixel-correctness check on the codec, not just plumbing.
     """
     from ..operators.multimodal import FEATURE_DIM
 
@@ -2537,7 +2544,77 @@ def q_llm_multimodal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("degenerate_no_media").alias("reason"),
         )
     )
-    return pairwise.union(dupes).union(guard)
+
+    # Real-codec leg: synth PNGs whose luma mean has a closed form the
+    # JVM can compute without decoding, then decode them for real.
+    from ..operators.multimodal import MEDIA_SCHEMA
+
+    def _gen_png(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from ..operators.png import encode_png as _enc
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                v = int(mid) % 200
+                col = (v + 7 * _np.arange(8, dtype=_np.int64)).astype(_np.uint8)
+                px = _np.repeat(col, 8 * 3).reshape(8, 8, 3)
+                payloads.append(_enc(px))
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "mime": "image/png",
+                    "payload": payloads,
+                    "width": 8,
+                    "height": 8,
+                    "duration_ms": _np.zeros(len(pdf), dtype=_np.int64),
+                }
+            )
+
+    png_media = (
+        media.select("media_id")
+        .where(F.col("media_id") < 64)
+        .mapInPandas(_gen_png, MEDIA_SCHEMA)
+        .localCheckpoint()
+    )
+    real_a = extract_features(png_media.repartition(2), fake=False)
+    real_b = extract_features(png_media.repartition(5), fake=False)
+    real_joined = (
+        real_a.select("media_id", F.col("features").alias("feat_a"))
+        .join(
+            real_b.select("media_id", F.col("features").alias("feat_b")),
+            "media_id",
+            "full",
+        )
+        .withColumn(
+            "exp_luma", ((F.col("media_id") % 200) + F.lit(24.5)) / F.lit(255.0)
+        )
+    )
+    real_pairwise = real_joined.select(
+        "media_id",
+        F.when(F.col("feat_a").isNull() | F.col("feat_b").isNull(), "real_missing_row")
+        .when(F.col("feat_a") != F.col("feat_b"), "real_partition_dependent")
+        .when(F.size("feat_a") != FEATURE_DIM, "real_bad_feature_dim")
+        .when(
+            F.abs(F.element_at("feat_a", 1) - F.col("exp_luma")) > 2e-3,
+            "real_luma_mismatch",
+        )
+        .alias("reason"),
+    ).where(F.col("reason").isNotNull())
+    real_guard = (
+        png_media.agg(F.count("*").alias("n"))
+        .where(F.col("n") == 0)
+        .select(
+            F.lit(-2).cast("long").alias("media_id"),
+            F.lit("degenerate_no_png_media").alias("reason"),
+        )
+    )
+    return (
+        pairwise.union(dupes).union(guard).union(real_pairwise).union(real_guard)
+    )
 
 
 @register(

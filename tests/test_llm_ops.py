@@ -174,9 +174,55 @@ def test_multimodal_feature_extraction(spark):
     assert all(again[r.media_id] == r.features for r in rows)
 
 
-def test_real_decode_is_gated():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+def test_real_decode_png_and_non_png_gate():
+    """fake=False: PNG payloads decode for REAL (stdlib codec in
+    png.py); non-PNG formats still raise — the codec libs they need are
+    absent from this container."""
+    import numpy as np
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.png import (
+        encode_png,
+    )
+
+    with pytest.raises(NotImplementedError, match="non-PNG"):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish bytes")
+
+    rng = np.random.default_rng(3)
+    png = encode_png(rng.integers(0, 256, size=(12, 8, 3), dtype=np.uint8))
+    feats = decode_image(png)
+    assert feats.shape == (FEATURE_DIM,)
+    assert np.all(np.isfinite(feats))
+    np.testing.assert_array_equal(feats, decode_image(png))  # deterministic
+
+
+def test_extract_features_real_png_decode(spark):
+    """End-to-end real decode through the Arrow mapInPandas plumbing:
+    the feature vector for each media row must equal the local
+    decode_image of the same payload (executor and driver run the same
+    stdlib codec)."""
+    import numpy as np
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.png import (
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    payloads = {
+        i: encode_png(
+            rng.integers(0, 256, size=(8 + i, 6 + i, 3), dtype=np.uint8)
+        )
+        for i in range(6)
+    }
+    media = spark.createDataFrame(
+        [(i, "image", "image/png", p, None, None, None) for i, p in payloads.items()],
+        "media_id long, kind string, mime string, payload binary, width int, height int, duration_ms long",
+    )
+    rows = extract_features(media, fake=False).collect()
+    assert len(rows) == 6
+    for r in rows:
+        expected = decode_image(payloads[r.media_id])
+        np.testing.assert_allclose(r.features, expected, rtol=1e-6)
+        assert r.n_bytes == len(payloads[r.media_id])
 
 
 def test_rolling_hash_fingerprint_normalization(spark):
@@ -280,9 +326,48 @@ def test_multimodal_resize_and_frames(spark):
     assert len(by_id[3]) == 3            # 3500ms // 1000
     assert len(by_id[4]) == 1            # min 1 frame
     assert sorted(r.ts_ms for r in by_id[3]) == [0, 1000, 2000]
+    # fake=False on NON-PNG payloads: the gate now fires per-payload in
+    # the executor (PNG is really resized, so the plan can't refuse
+    # eagerly) — Spark surfaces the NotImplementedError as a
+    # PythonException whose message carries the original text
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        resize_images(media, 8, 8, fake=False)
+    with _pytest.raises(Exception, match="non-PNG image resize"):
+        resize_images(media.where("kind = 'image'"), 8, 8, fake=False).collect()
+
+
+def test_multimodal_resize_real_png(spark):
+    """fake=False really resizes PNG payloads: output payloads are valid
+    PNGs of the target dimensions whose pixels equal a local
+    decode → nearest-resample of the input."""
+    import numpy as np
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.multimodal import (
+        resize_images,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.png import (
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(23)
+    originals = {
+        i: rng.integers(0, 256, size=(20 + i, 30 - i, 3), dtype=np.uint8)
+        for i in range(4)
+    }
+    media = spark.createDataFrame(
+        [
+            (i, "image", "image/png", encode_png(px), px.shape[1], px.shape[0], None)
+            for i, px in originals.items()
+        ],
+        "media_id long, kind string, mime string, payload binary, width int, height int, duration_ms long",
+    )
+    out = {r.media_id: r for r in resize_images(media, 16, 12, fake=False).collect()}
+    assert set(out) == set(originals)
+    for i, px in originals.items():
+        got = decode_png(bytes(out[i].payload))
+        assert got.shape == (12, 16, 3)
+        np.testing.assert_array_equal(got, resize_nearest(px, 16, 12))
 
 
 def test_dedup_clusters_chain_transitivity(spark):
