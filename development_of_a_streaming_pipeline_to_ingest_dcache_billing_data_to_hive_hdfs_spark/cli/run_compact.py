@@ -55,6 +55,12 @@ def def_arguments() -> argparse.ArgumentParser:
                         "registered in the metastore (hive deployments); "
                         "unregistered path-only tables are skipped with "
                         "a notice")
+    p.add_argument("--expire-snapshots", action="store_true",
+                   help="after compacting, record the snapshot horizon at "
+                        "the max committed batch id and drop per-batch "
+                        "metrics files below it — time-travel reads below "
+                        "the horizon then fail fast with the operator-set "
+                        "reason instead of an incidental file-name error")
     p.add_argument("--clean-orphans", action="store_true",
                    help="before compacting, delete data files of batches "
                         "never committed to the ledger (crash residue of "
@@ -125,6 +131,15 @@ def main(argv: list[str] | None = None) -> None:
                 else:
                     print(f"{name}: not in the catalog — skipping ANALYZE "
                           "(register the table or use a hive session)")
+        if args.expire_snapshots:
+            from ..compact import expire_snapshots
+
+            try:
+                info = expire_snapshots(args.warehouse)
+                print(f"snapshots expired: horizon={info['horizon']} "
+                      f"metrics_removed={info['metrics_removed']}")
+            except ValueError as e:
+                print(f"snapshots not expired: {e}")
 
 
 if __name__ == "__main__":

@@ -432,3 +432,96 @@ def compact_table(
         )
         for p in parts
     }
+
+
+SNAPSHOT_HORIZON_FILE = "_snapshot_horizon.json"
+
+
+def expire_snapshots(
+    warehouse: str,
+    *,
+    up_to_batch: int | None = None,
+    fs=None,
+) -> dict[str, int]:
+    """Retention for TIME-TRAVEL state: declare every snapshot below a
+    horizon expired, and drop the per-batch metadata that served it.
+
+    Compaction collapses batch-named files into anonymous compacted
+    ones, which makes old ``read_table_as_of`` points silently
+    unreconstructible — until now that surfaced as an incidental
+    "files have no batch name" failure. This operator makes the
+    lifecycle explicit: record ``horizon`` (the first still-valid as-of
+    batch id) in ``_snapshot_horizon.json`` at the warehouse root, and
+    delete ``_metrics/batch-<id>.json`` files below it (bounded
+    metadata that would otherwise grow forever). Reads below the
+    horizon then fail FAST with an operator-set reason, and
+    ``table_snapshots`` stops advertising them.
+
+    The exactly-once ledger is deliberately NOT pruned: it is one int
+    per batch, and a from-scratch checkpoint reset replays batch ids
+    from 0 — the full ledger is what keeps that replay duplicate-free.
+
+    ``up_to_batch``: explicit horizon; default = the max committed
+    batch id (i.e. "only the current state and later batches are
+    readable as-of" — the right call immediately after compacting).
+    The horizon is monotonic: lowering it would re-advertise snapshots
+    whose metadata is already gone, so that is refused.
+
+    Scale: pure metadata — one ledger read, one listing of _metrics/,
+    bounded deletes. No data file is touched at any warehouse size.
+    """
+    import json as _json
+
+    fs = fs or get_filesystem(warehouse)
+    try:
+        committed = sorted(
+            _json.loads(fs.read_text(os.path.join(warehouse, "_ledger.json")))
+        )
+    except Exception:
+        committed = []
+    if up_to_batch is None:
+        if not committed:
+            raise ValueError(
+                "expire_snapshots: no committed batches and no explicit "
+                "up_to_batch — nothing to expire"
+            )
+        horizon = max(committed)
+    else:
+        horizon = int(up_to_batch)
+        if committed and horizon > max(committed):
+            raise ValueError(
+                f"expire_snapshots: up_to_batch={horizon} exceeds the max "
+                f"committed batch id {max(committed)} — that would expire "
+                "the CURRENT table state"
+            )
+    horizon_path = os.path.join(warehouse, SNAPSHOT_HORIZON_FILE)
+    prev = 0
+    try:
+        prev = int(_json.loads(fs.read_text(horizon_path))["horizon"])
+    except Exception:
+        pass
+    if horizon < prev:
+        raise ValueError(
+            f"expire_snapshots: horizon is monotonic — refusing to lower "
+            f"it from {prev} to {horizon} (the expired metadata is gone)"
+        )
+    removed = 0
+    metrics_dir = os.path.join(warehouse, "_metrics")
+    import re as _re
+
+    for name, is_dir in fs.list_entries(metrics_dir):
+        m = _re.fullmatch(r"batch-(\d+)\.json", name)
+        if not is_dir and m and int(m.group(1)) < horizon:
+            fs.delete(os.path.join(metrics_dir, name))
+            removed += 1
+    fs.write_text_atomic(
+        horizon_path,
+        _json.dumps(
+            {
+                "horizon": horizon,
+                "expired_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+            },
+            sort_keys=True,
+        ),
+    )
+    return {"horizon": horizon, "metrics_removed": removed}

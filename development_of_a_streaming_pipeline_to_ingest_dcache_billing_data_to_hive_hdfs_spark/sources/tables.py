@@ -41,14 +41,40 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+def snapshot_horizon(path: str, fs=None) -> int:
+    """The first still-valid as-of batch id, as recorded by
+    ``compact.expire_snapshots`` (0 = never expired). Checked at the
+    table dir and one level up (route tables share warehouse-level
+    lifecycle files, exactly like the ledger)."""
+    import json
+
+    from ..compact import SNAPSHOT_HORIZON_FILE
+    from ..fs import get_filesystem
+
+    fs = fs or get_filesystem(path)
+    candidates = [
+        os.path.join(path, SNAPSHOT_HORIZON_FILE),
+        os.path.join(os.path.dirname(path.rstrip("/")), SNAPSHOT_HORIZON_FILE),
+    ]
+    for hp in candidates:
+        try:
+            return int(json.loads(fs.read_text(hp))["horizon"])
+        except Exception:
+            continue
+    return 0
+
+
 def table_snapshots(path: str, fs=None) -> list[int]:
     """Committed batch ids of a warehouse route table (its ledger's
-    content) — the valid ``as_of`` points for ``read_table_as_of``."""
+    content) that are still READABLE ``as_of`` points — ids below an
+    operator-set snapshot horizon (compact.expire_snapshots) are
+    excluded, because their history was collapsed by compaction."""
     import json
 
     from ..fs import get_filesystem
 
     fs = fs or get_filesystem(path)
+    horizon = snapshot_horizon(path, fs=fs)
     # route tables share the warehouse-level ledger one dir up; a
     # table-local ledger (UpsertStreamWriter's) takes precedence
     candidates = [
@@ -57,9 +83,10 @@ def table_snapshots(path: str, fs=None) -> list[int]:
     ]
     for ledger in candidates:
         try:
-            return sorted(json.loads(fs.read_text(ledger)))
+            ids = sorted(json.loads(fs.read_text(ledger)))
         except Exception:
             continue
+        return [i for i in ids if i >= horizon]
     return []
 
 
@@ -81,16 +108,34 @@ def read_table_as_of(
 
     History exists until COMPACTION collapses it: a compacted partition's
     files carry no batch names, so a snapshot below the compaction
-    horizon is unrecoverable — by default such files make this loudly
-    fail; ``allow_compacted=True`` includes them (semantics: compacted
-    partitions show their full compacted state, batch-named files still
-    filter). Pair retention/compaction policy with how far back
-    snapshots must stay readable."""
+    horizon is unrecoverable. The lifecycle is operator-driven via
+    ``compact.expire_snapshots``, which records the horizon H (= max
+    committed batch at expiry time):
+
+    - ``batch_id >= H``: compacted files ARE the faithful pre-horizon
+      state (compaction ran at H), so they are included silently and
+      batch-named files filter as usual — no error, no opt-in needed.
+    - ``batch_id < H``: fails fast with the operator-set horizon in the
+      message; ``allow_compacted=True`` is the explicit opt-in for a
+      best-effort read (compacted partitions at their full current
+      state, batch-named files still filtered).
+    - no horizon recorded (H=0) but compacted files present — the
+      legacy incidental case: loud failure, same ``allow_compacted``
+      opt-in."""
     import re
 
     from ..fs import get_filesystem
 
     fs = fs or get_filesystem(path, spark)
+    horizon = snapshot_horizon(path, fs=fs)
+    if batch_id < horizon and not allow_compacted:
+        raise ValueError(
+            f"read_table_as_of: snapshot at batch {batch_id} is EXPIRED — "
+            f"expire_snapshots set the horizon to {horizon}, so pre-horizon "
+            "history has been collapsed by compaction. Pass "
+            "allow_compacted=True for a best-effort read (compacted "
+            "partitions at their full current state)."
+        )
     pat = re.compile(r"^batch(\d+)-")
     keep: list[str] = []
     compacted: list[str] = []
@@ -106,14 +151,15 @@ def read_table_as_of(
                 compacted.append(os.path.join(pdir, f_name))
             elif int(m.group(1)) <= batch_id:
                 keep.append(os.path.join(pdir, f_name))
-    if compacted and not allow_compacted:
+    if compacted and not allow_compacted and horizon == 0:
         raise ValueError(
             f"read_table_as_of: {len(compacted)} file(s) under {path} have "
             "no batch name (compaction collapsed their history), e.g. "
             f"{compacted[0]} — a snapshot at batch {batch_id} cannot be "
-            "reconstructed below the compaction horizon. Pass "
-            "allow_compacted=True to include compacted partitions at "
-            "their full current state."
+            "reconstructed below the compaction horizon, and no horizon "
+            "was recorded (run compact.expire_snapshots with compaction "
+            "to make this lifecycle explicit). Pass allow_compacted=True "
+            "to include compacted partitions at their full current state."
         )
     keep.extend(compacted)
     if not keep:

@@ -497,3 +497,104 @@ def test_read_table_as_of_batch_snapshots(spark, tmp_path):
         read_table_as_of(spark, t, 1)
     # ...and the explicit opt-in reads the full compacted state
     assert read_table_as_of(spark, t, 1, allow_compacted=True).count() == 3
+
+
+def test_snapshot_expiry_lifecycle(spark, tmp_path):
+    """Operator-driven snapshot retention: compact → expire_snapshots
+    records the horizon and drops pre-horizon batch metrics; reads
+    below the horizon fail fast with the operator-set reason (opt-in
+    still reads the compacted state); reads at/above the horizon
+    include compacted files SILENTLY — they are the faithful
+    pre-horizon state, so no error or opt-in is needed."""
+    import pytest as _pytest
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.compact import (
+        compact_table,
+        expire_snapshots,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sources.tables import (
+        read_table_as_of,
+        snapshot_horizon,
+        table_snapshots,
+    )
+
+    warehouse = str(tmp_path / "wh")
+    pipe = BillingPipeline(source=None, warehouse_dir=warehouse)
+    for b in range(3):
+        batch = spark.createDataFrame(
+            [(billing_record("transfer",
+                             date=f"2024-03-0{b + 1}T10:00:00.000+0000"),)],
+            ["value"],
+        )
+        pipe.process_batch(batch, b)
+    t = pipe.table_path("transfers")
+
+    # guard: an explicit horizon above the max committed id is refused
+    with _pytest.raises(ValueError, match="CURRENT table state"):
+        expire_snapshots(warehouse, up_to_batch=99)
+
+    compact_table(spark, t)
+    info = expire_snapshots(warehouse)
+    assert info["horizon"] == 2
+    # pre-horizon batch metrics removed, horizon batch's kept
+    assert [m["batch_id"] for m in pipe.metrics()] == [2]
+    assert snapshot_horizon(t) == 2
+    assert table_snapshots(t) == [2]
+
+    # below the horizon: operator-driven fail-fast naming the horizon
+    with _pytest.raises(ValueError, match="horizon to 2"):
+        read_table_as_of(spark, t, 1)
+    # ...with the explicit opt-in as the escape hatch
+    assert read_table_as_of(spark, t, 1, allow_compacted=True).count() == 3
+
+    # AT the horizon: the compacted state IS the snapshot — silent read
+    assert read_table_as_of(spark, t, 2).count() == 3
+
+    # post-expiry ingest keeps time travel working above the horizon
+    batch = spark.createDataFrame(
+        [(billing_record("transfer", date="2024-03-09T10:00:00.000+0000"),)],
+        ["value"],
+    )
+    pipe.process_batch(batch, 3)
+    assert table_snapshots(t) == [2, 3]
+    assert read_table_as_of(spark, t, 2).count() == 3
+    assert read_table_as_of(spark, t, 3).count() == 4
+
+    # the horizon is monotonic: lowering it is refused
+    with _pytest.raises(ValueError, match="monotonic"):
+        expire_snapshots(warehouse, up_to_batch=1)
+    # re-expiring at the current max advances it
+    assert expire_snapshots(warehouse)["horizon"] == 3
+    assert table_snapshots(t) == [3]
+
+
+def test_run_compact_cli_expire_snapshots(spark, tmp_path):
+    """--expire-snapshots on the maintenance CLI: one nightly command
+    compacts and retires the now-unreconstructible snapshots."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.cli.run_compact import (
+        main as compact_main,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sources.tables import (
+        snapshot_horizon,
+        table_snapshots,
+    )
+
+    warehouse = str(tmp_path / "wh")
+    pipe = BillingPipeline(source=None, warehouse_dir=warehouse)
+    for b in range(2):
+        batch = spark.createDataFrame(
+            [(billing_record("transfer",
+                             date=f"2024-03-0{b + 1}T10:00:00.000+0000"),)],
+            ["value"],
+        )
+        pipe.process_batch(batch, b)
+    compact_main([
+        "--warehouse", warehouse,
+        "--tables", "transfers",
+        "--partition", "all",
+        "--expire-snapshots",
+        "--lock-path", str(tmp_path / "lk"),
+    ])
+    t = pipe.table_path("transfers")
+    assert snapshot_horizon(t) == 1
+    assert table_snapshots(t) == [1]
