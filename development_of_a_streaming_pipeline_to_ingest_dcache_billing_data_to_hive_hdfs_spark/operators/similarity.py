@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 
 from .dedup import spread_partitions
 
+# auto-strategy memo for embedding_near_dup_pairs: logical-plan hash →
+# chosen strategy, so the bounded size probe runs once per distinct
+# input plan, not once per call
+_AUTO_STRATEGY_CACHE: dict[tuple[int, int], str] = {}
+
 
 # nullif guards the zero-norm vector: under ANSI mode (Spark 4 default)
 # even DOUBLE division by zero throws DIVIDE_BY_ZERO, so one all-zeros
@@ -103,12 +108,30 @@ def embedding_near_dup_pairs(
       pairs only.
     """
     if strategy == "auto":
-        strategy = (
-            "broadcast"
-            if df.select(id_col).limit(broadcast_max_rows + 1).count()
-            <= broadcast_max_rows
-            else "blocked"
-        )
+        # The size probe is a Spark job (bounded: limit(n+1).count()),
+        # and auto precedes EVERY near-dup call — so the decision is
+        # memoized on the frame's logical-plan hash. The cache stores a
+        # strategy choice, not data: if the underlying table grows past
+        # the gate under the same plan, pass strategy= explicitly (the
+        # stale entry can only choose broadcast near the boundary, and
+        # broadcast_max_rows is sized well under memory limits).
+        try:
+            cache_key = (df.semanticHash(), broadcast_max_rows)
+        except Exception:  # noqa: BLE001 — probe instead of failing auto
+            cache_key = None
+        if cache_key is not None and cache_key in _AUTO_STRATEGY_CACHE:
+            strategy = _AUTO_STRATEGY_CACHE[cache_key]
+        else:
+            strategy = (
+                "broadcast"
+                if df.select(id_col).limit(broadcast_max_rows + 1).count()
+                <= broadcast_max_rows
+                else "blocked"
+            )
+            if cache_key is not None:
+                if len(_AUTO_STRATEGY_CACHE) >= 256:
+                    _AUTO_STRATEGY_CACHE.clear()
+                _AUTO_STRATEGY_CACHE[cache_key] = strategy
     if strategy == "blocked":
         return _near_dup_blocked(
             df, threshold, id_col, vec_col, n_bits, n_tables, dim,

@@ -257,6 +257,43 @@ def test_embedding_near_dup_pairs(spark):
     assert all(c > 0.999 for c in pairs.values())
 
 
+def test_near_dup_auto_strategy_probe_is_cached(spark, monkeypatch):
+    """strategy='auto' runs its bounded size probe once per distinct
+    input plan: the second call with the same frame must plan WITHOUT
+    re-running the probe (here the probe is poisoned to prove it)."""
+    from pyspark.sql import DataFrame
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators import (
+        similarity,
+    )
+
+    similarity._AUTO_STRATEGY_CACHE.clear()
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    first = similarity.embedding_near_dup_pairs(df, threshold=0.99)
+    assert first.count() >= 0
+    assert list(similarity._AUTO_STRATEGY_CACHE.values()) == ["broadcast"]
+
+    def boom(self):
+        raise AssertionError("size probe re-ran despite cache")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    try:
+        again = similarity.embedding_near_dup_pairs(df, threshold=0.99)
+    finally:
+        monkeypatch.undo()
+    assert again.count() >= 0  # plan built from the cached decision
+    # an explicitly passed strategy always bypasses probe AND cache
+    similarity._AUTO_STRATEGY_CACHE.clear()
+    blocked = similarity.embedding_near_dup_pairs(
+        df, threshold=0.99, strategy="blocked"
+    )
+    assert blocked.count() >= 0
+    assert similarity._AUTO_STRATEGY_CACHE == {}
+
+
 def test_bpe_ish_token_count(spark):
     from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
         bpe_ish_token_count,

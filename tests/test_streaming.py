@@ -105,6 +105,62 @@ def test_tumbling_window_agg_streaming(spark, tmp_path):
     }
 
 
+def test_sliding_window_drops_late_data(spark, tmp_path):
+    """slide= + watermark in append mode: a second micro-batch's
+    too-late event must NOT reopen sliding windows the watermark
+    already finalized — tumbling and session windows have this
+    assertion; this is the sliding twin."""
+    input_dir = str(tmp_path / "in")
+    # batch 1: two on-time events + a far-future one that advances the
+    # watermark (max event time 12:10 − 30 min ⇒ watermark 11:40)
+    _write_input(
+        input_dir,
+        [
+            billing_record("transfer", date="2024-03-01T10:05:00.000+0000"),
+            billing_record("transfer", date="2024-03-01T10:20:00.000+0000"),
+            billing_record("transfer", date="2024-03-01T12:10:00.000+0000"),
+        ],
+        name="batch0.json",
+    )
+    src = billing_stream_source(spark, "file", path=input_dir)
+    agg = tumbling_counts(
+        parse_billing(src),
+        window_len="1 hour",
+        slide="30 minutes",
+        watermark="30 minutes",
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("slide_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: one LATE event (10:10 < watermark 11:40 — its windows
+    # [09:30,10:30) and [10:00,11:00) are already closed) and one
+    # on-time event keeping the stream alive
+    _write_input(
+        input_dir,
+        [
+            billing_record("transfer", date="2024-03-01T10:10:00.000+0000"),
+            billing_record("transfer", date="2024-03-01T12:20:00.000+0000"),
+        ],
+        name="batch1.json",
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        (str(r.w_start), str(r.w_end)): r.n
+        for r in spark.sql("select * from slide_out").collect()
+    }
+    # exactly the two finalized sliding windows, with the LATE row NOT
+    # counted (n=2, not 3); the 12:xx windows are still open → absent
+    assert rows == {
+        ("2024-03-01 09:30:00", "2024-03-01 10:30:00"): 2,
+        ("2024-03-01 10:00:00", "2024-03-01 11:00:00"): 2,
+    }
+
+
 def test_dedup_within_watermark_batch(spark):
     recs = [
         billing_record("transfer", session="dup"),
