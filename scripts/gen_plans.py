@@ -39,6 +39,7 @@ NOTES = {
  "q_llm_domain_blocklist_cap": "URL curation: host/registrable-domain extraction is a codegen'd scan-stage projection (parse_url + label slicing, no Python); the blocklist is a BroadcastHashJoin LeftAnti (the corpus never shuffles for it); the per-domain cap shuffles once on the domain key with WindowGroupLimit pruning rows below k before the final aggregate.",
  "q_llm_ivfadc_search": "Serving-path ANN over a standing IVFADC index: the codes scan carries list_id PartitionFilters (only the 4 probed of 8 directories open - literal partition pruning), ADC scores as a codegen'd zip_with against the broadcast query LUTs, and only the 60-row shortlist re-attaches raw vectors for the exact rerank.",
  "q_rel_table_profile": "One-scan column profile: exact multi-distinct compiles to Expand (input replicated once per profiled column) + two-phase aggregate — ONE pass where the DuckDB oracle needs four; the approx variant drops the Expand for HLL sketches.",
+ "q_rel_table_profile_approx": "The 100 TB twin: approx_count_distinct replaces the exact multi-distinct, so NO Expand appears — the shuffle carries one partial HLL sketch row per task instead of the per-column replicated input (the exact plan shuffled ~583k records here; this one shuffles the task count). This is the measured evidence for profile_numeric(approx=True) being the default at scale.",
  "q_rel_event_anomalies": "Z-score screen: group moments are a tiny two-phase aggregate BROADCAST back onto the events fact (the fact never shuffles — a window over event_type would shuffle 100% of rows on a low-cardinality key); the only exchange is the final per-type summary.",
  "q_rel_winsorized_value": "Winsorized means: exact per-group percentiles aggregate once, broadcast back, clip + mean fold into one two-phase aggregate.",
  "q_llm_unigram_nll": "Perplexity-proxy scoring: one explode, vocab-sized frequency groupBy, token-keyed probability join, per-doc aggregate — all two-phase with map-side partials; ln/div stay in codegen.",
