@@ -76,6 +76,37 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     )
 
 
+def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Payload → FEATURE_DIM feature vector. WAV payloads get a REAL
+    decode (audio.py: stdlib ``wave`` + numpy spectral statistics);
+    compressed audio needs codecs absent from this container."""
+    if fake:
+        return _fake_decode(payload)
+    from .audio import audio_features, decode_wav, is_wav
+
+    if is_wav(payload):
+        return audio_features(*decode_wav(payload))
+    raise NotImplementedError(
+        "compressed-audio decode requires librosa/ffmpeg, not available "
+        "in this environment; PCM WAV decodes for real — pass fake=True "
+        "for the deterministic stub on other formats"
+    )
+
+
+def _decode_any(payload: bytes, kind: str, fake: bool) -> np.ndarray:
+    """Per-row codec dispatch: image → decode_image (PNG real), audio →
+    decode_audio (WAV real), video → honest gate (pyav absent)."""
+    if fake:
+        return _fake_decode(payload)
+    if kind == "audio":
+        return decode_audio(payload)
+    if kind == "video":
+        raise NotImplementedError(
+            "video decode requires pyav/ffmpeg; pass fake=True for the stub"
+        )
+    return decode_image(payload)
+
+
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """media frame → per-item feature vectors via Arrow-batched
     mapInPandas. No shuffle; each partition streams pandas batches."""
@@ -83,8 +114,8 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                decode_image(p, fake=fake).tolist() if p is not None else None
-                for p in pdf["payload"]
+                _decode_any(p, k, fake).tolist() if p is not None else None
+                for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(
                 {

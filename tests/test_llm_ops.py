@@ -225,6 +225,46 @@ def test_extract_features_real_png_decode(spark):
         assert r.n_bytes == len(payloads[r.media_id])
 
 
+def test_extract_features_mixed_kinds_real_codecs(spark):
+    """fake=False over a MIXED media frame: image rows take the PNG
+    codec, audio rows the WAV codec, inside one mapInPandas pass —
+    per-row dispatch on kind, verified against local decodes."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.multimodal import (
+        decode_audio,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.png import (
+        encode_png,
+    )
+
+    rng = np.random.default_rng(5)
+    png = encode_png(rng.integers(0, 256, size=(9, 9, 3), dtype=np.uint8))
+    t = np.arange(8000) / 8000.0
+    pcm = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.tobytes())
+    wav = buf.getvalue()
+    media = spark.createDataFrame(
+        [
+            (1, "image", "image/png", png, None, None, None),
+            (2, "audio", "audio/wav", wav, None, None, None),
+        ],
+        "media_id long, kind string, mime string, payload binary, width int, height int, duration_ms long",
+    )
+    rows = {r.media_id: r for r in extract_features(media, fake=False).collect()}
+    assert set(rows) == {1, 2}
+    np.testing.assert_allclose(rows[1].features, decode_image(png), rtol=1e-6)
+    np.testing.assert_allclose(rows[2].features, decode_audio(wav), rtol=1e-6)
+
+
 def test_rolling_hash_fingerprint_normalization(spark):
     from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.dedup import (
         rolling_hash_fingerprint,
