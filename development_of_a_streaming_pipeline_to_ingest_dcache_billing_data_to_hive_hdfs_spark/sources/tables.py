@@ -167,6 +167,80 @@ def read_table_as_of(
     return spark.read.option("basePath", path).parquet(*keep)
 
 
+def read_table_changes(
+    spark: SparkSession,
+    path: str,
+    since_batch: int,
+    until_batch: int | None = None,
+    fs=None,
+) -> DataFrame:
+    """Incremental change feed over the batch-named exactly-once
+    layout: all rows appended by batches in ``(since_batch,
+    until_batch]`` (until defaults to everything), plus a derived
+    ``_batch_id`` column. The append-only complement of
+    ``read_table_as_of``: a downstream consumer remembers the last
+    batch id it processed and reads only the increment — a METADATA
+    file-list read like the snapshot path (no log, no copies, no full
+    scan), because every promoted data file carries its batch id in its
+    NAME (sink.write_partitioned_batch).
+
+    ``_batch_id`` derives JVM-side from ``input_file_name()`` (one
+    regexp per row in the scan stage — no Python, no join).
+
+    Lifecycle: increments at or below the snapshot horizon
+    (compact.expire_snapshots) were collapsed by compaction and cannot
+    be reconstructed — ``since_batch`` below the horizon fails fast
+    naming it. At 100 TB the cost is one directory listing plus the
+    parquet scan of exactly the increment's files."""
+    from ..fs import get_filesystem
+
+    fs = fs or get_filesystem(path, spark)
+    horizon = snapshot_horizon(path, fs=fs)
+    if since_batch < horizon:
+        raise ValueError(
+            f"read_table_changes: since_batch={since_batch} is below the "
+            f"snapshot horizon {horizon} — those increments were collapsed "
+            "by compaction (expire_snapshots). Re-baseline the consumer "
+            "with read_table_as_of at the horizon, then stream changes "
+            "from there."
+        )
+    import re
+
+    pat = re.compile(r"^batch(\d+)-")
+    keep: list[str] = []
+    for d, d_is_dir in fs.list_entries(path):
+        if not d_is_dir or d.startswith(("_", ".")):
+            continue
+        pdir = os.path.join(path, d)
+        for f_name, f_is_dir in fs.list_entries(pdir):
+            if f_is_dir or f_name.startswith(("_", ".")):
+                continue
+            m = pat.match(f_name)
+            if m is None:
+                continue  # compacted = pre-horizon state, never an increment
+            b = int(m.group(1))
+            if b > since_batch and (until_batch is None or b <= until_batch):
+                keep.append(os.path.join(pdir, f_name))
+    if not keep:
+        return (
+            spark.read.parquet(path)
+            .limit(0)
+            .withColumn("_batch_id", F.lit(None).cast("long"))
+        )
+    return (
+        spark.read.option("basePath", path)
+        .parquet(*keep)
+        .withColumn(
+            "_batch_id",
+            F.regexp_extract(
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+                r"^batch(\d+)-",
+                1,
+            ).cast("long"),
+        )
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Expose the tables as temp views for the SQL API surface."""
     for n, df in load_tables(spark, sf_dir, names).items():

@@ -654,3 +654,67 @@ def test_run_compact_cli_expire_snapshots(spark, tmp_path):
     t = pipe.table_path("transfers")
     assert snapshot_horizon(t) == 1
     assert table_snapshots(t) == [1]
+
+
+def test_read_table_changes_incremental_feed(spark, tmp_path):
+    """Change-feed reads over the batch-named layout: a consumer that
+    remembers its last batch id gets exactly the increment, with a
+    correct _batch_id column; increments below the snapshot horizon
+    fail fast after expiry."""
+    import pytest as _pytest
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.compact import (
+        compact_table,
+        expire_snapshots,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sources.tables import (
+        read_table_changes,
+    )
+
+    warehouse = str(tmp_path / "wh")
+    pipe = BillingPipeline(source=None, warehouse_dir=warehouse)
+    for b in range(3):
+        batch = spark.createDataFrame(
+            [
+                (billing_record(
+                    "transfer",
+                    date=f"2024-03-0{b + 1}T10:00:00.000+0000",
+                    cellName=f"pool-b{b}",
+                ),),
+            ],
+            ["value"],
+        )
+        pipe.process_batch(batch, b)
+    t = pipe.table_path("transfers")
+
+    # full feed from the beginning (exclusive since): batches 1..2
+    inc = read_table_changes(spark, t, since_batch=0)
+    rows = inc.select("cellName", "_batch_id").collect()
+    assert {(r.cellName, r._batch_id) for r in rows} == {
+        ("pool-b1", 1),
+        ("pool-b2", 2),
+    }
+    # bounded window (since, until]
+    one = read_table_changes(spark, t, since_batch=0, until_batch=1).collect()
+    assert [(r.cellName, r._batch_id) for r in one] == [("pool-b1", 1)]
+    # caught-up consumer: empty frame, schema intact
+    empty = read_table_changes(spark, t, since_batch=2)
+    assert empty.count() == 0 and "_batch_id" in empty.columns
+    # partition column resolves through basePath
+    assert "partition_date" in inc.columns
+
+    # compaction + expiry: pre-horizon increments are gone — loudly
+    compact_table(spark, t)
+    expire_snapshots(warehouse)
+    with _pytest.raises(ValueError, match="below the snapshot horizon"):
+        read_table_changes(spark, t, since_batch=0)
+    # re-baselined consumer streams from the horizon onward
+    assert read_table_changes(spark, t, since_batch=2).count() == 0
+    batch = spark.createDataFrame(
+        [(billing_record("transfer", date="2024-03-08T10:00:00.000+0000",
+                         cellName="pool-b3"),)],
+        ["value"],
+    )
+    pipe.process_batch(batch, 3)
+    post = read_table_changes(spark, t, since_batch=2).collect()
+    assert [(r.cellName, r._batch_id) for r in post] == [("pool-b3", 3)]
