@@ -137,3 +137,45 @@ def test_decode_audio_dispatch():
     with pytest.raises(NotImplementedError, match="compressed-audio"):
         decode_audio(b"ID3\x04mp3-ish bytes")
     assert decode_audio(b"anything", fake=True).shape == (FEATURE_DIM,)
+
+
+# ---------------------------------------------------------------------
+# property-based round trips (hypothesis)
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+        min_size=1,
+        max_size=2048,
+    ),
+    st.sampled_from([1, 2]),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_property_wav_round_trip(vals, n_ch, rate):
+    x = np.array(vals, dtype=np.float64)
+    x = np.stack([x] * n_ch, axis=1)
+    samples, got_rate = decode_wav(make_wav(x, rate=rate, width=2))
+    assert got_rate == rate and samples.shape == x.shape
+    assert float(np.abs(samples - np.clip(x, -1, 32767 / 32768)).max()) < 1e-3
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+        min_size=1,
+        max_size=1024,
+    )
+)
+def test_property_audio_features_finite_and_deterministic(vals):
+    x = np.array(vals, dtype=np.float64)
+    samples, rate = decode_wav(make_wav(x))
+    f = audio_features(samples, rate)
+    assert f.shape == (FEATURE_DIM,) and np.all(np.isfinite(f))
+    np.testing.assert_array_equal(f, audio_features(samples, rate))

@@ -195,3 +195,54 @@ def test_encode_rejects_bad_shapes():
         encode_png(np.zeros((2, 2, 5), dtype=np.uint8))
     with pytest.raises(ValueError):
         encode_png(np.zeros(8, dtype=np.uint8))
+
+
+# ---------------------------------------------------------------------
+# property-based round trips (hypothesis)
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def pixel_arrays(draw):
+    h = draw(st.integers(min_value=1, max_value=12))
+    w = draw(st.integers(min_value=1, max_value=12))
+    ch = draw(st.sampled_from([1, 2, 3, 4]))
+    data = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=255),
+            min_size=h * w * ch,
+            max_size=h * w * ch,
+        )
+    )
+    return np.array(data, dtype=np.uint8).reshape(h, w, ch)
+
+
+@settings(max_examples=60, deadline=None)
+@given(pixel_arrays())
+def test_property_encode_decode_identity(pixels):
+    np.testing.assert_array_equal(decode_png(encode_png(pixels)), pixels)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    pixel_arrays(),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=10),
+)
+def test_property_resize_shape_and_membership(pixels, w, h):
+    out = resize_nearest(pixels, w, h)
+    assert out.shape == (h, w, pixels.shape[2])
+    # nearest-neighbor never invents pixel values
+    src = {tuple(px) for px in pixels.reshape(-1, pixels.shape[2])}
+    assert all(tuple(px) in src for px in out.reshape(-1, out.shape[2]))
+
+
+@settings(max_examples=40, deadline=None)
+@given(pixel_arrays())
+def test_property_features_finite_and_deterministic(pixels):
+    f = image_features(pixels)
+    assert f.shape == (16,) and np.all(np.isfinite(f))
+    np.testing.assert_array_equal(f, image_features(pixels))
