@@ -1117,6 +1117,76 @@ def pq_index_write(
     }
 
 
+def pq_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    skip_existing: bool = False,
+    fs=None,
+) -> dict:
+    """Grow a persisted PQ/IVFADC index incrementally: encode NEW
+    vectors with the index's EXISTING codebooks (and coarse quantizer,
+    if IVF) and append their codes to the current code table — no
+    retraining, no re-encoding of the standing corpus. This closes the
+    encode-once lifecycle for a growing corpus: nightly ingest appends
+    codes; a periodic ``pq_index_write`` retrain (fresh versioned
+    directory + atomic metadata swap) re-centers the codebooks when
+    drift warrants it.
+
+    Because the SAME codebooks encode old and new rows, an appended
+    index is bit-identical to re-encoding the unioned corpus with those
+    codebooks — ADC scores stay exact w.r.t. the codebook geometry, and
+    on an IVF index the new codes land in their ``list_id=`` partition
+    directories so partition-pruned probing keeps working unchanged.
+
+    ``skip_existing=True`` anti-joins the new ids against the standing
+    code table (id column only — a pruned scan of the compressed index,
+    not the raw vectors) so replayed appends are idempotent.
+
+    Crash posture: the append is one Spark write job (job-level commit);
+    metadata is untouched, so a failed append leaves the index exactly
+    as it was. Returns the index metadata plus ``n_appended``."""
+    import json as _json
+    import os as _os
+
+    from ..fs import get_filesystem
+
+    spark = new_vectors.sparkSession
+    fs = fs or get_filesystem(path, spark)
+    meta = _json.loads(fs.read_text(_os.path.join(path, "codebooks.json")))
+    cb = np.asarray(meta["codebooks"])
+    id_col = meta["id_col"]
+    if dict(new_vectors.dtypes)[id_col] != meta["id_type"]:
+        raise ValueError(
+            f"pq_index_append: id column {id_col!r} has type "
+            f"{dict(new_vectors.dtypes)[id_col]} but the index was built "
+            f"with {meta['id_type']} — an id-space mismatch would corrupt "
+            "dedup and self-exclusion semantics"
+        )
+    codes_path = _os.path.join(path, meta["codes_dir"])
+    if skip_existing:
+        # the code table stores ids under the canonical "pq_id" name
+        existing_ids = spark.read.parquet(codes_path).select(
+            F.col("pq_id").alias(id_col)
+        )
+        new_vectors = new_vectors.join(existing_ids, id_col, "left_anti")
+    if meta["n_lists"] > 0:
+        coarse = np.asarray(meta["coarse_centroids"])
+        assigned = ivf_assign(new_vectors, coarse, id_col, vec_col, n_probe=1)
+        codes = pq_encode(assigned, cb, id_col, vec_col, passthrough=["list_id"])
+        n = codes.count()
+        codes.write.mode("append").partitionBy("list_id").parquet(codes_path)
+    else:
+        codes = pq_encode(new_vectors, cb, id_col, vec_col)
+        n = codes.count()
+        codes.write.mode("append").parquet(codes_path)
+    out = {
+        k: v for k, v in meta.items() if k not in ("codebooks", "coarse_centroids")
+    }
+    out["n_appended"] = int(n)
+    return out
+
+
 def pq_index_search(
     spark,
     path: str,

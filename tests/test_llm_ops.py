@@ -1789,3 +1789,65 @@ def test_unigram_nll_oov_docs_rank_worst_not_dropped(spark):
     floor = round(-math.log(1.0 / 5.0), 4)  # p = 1/(total 4 + 1)
     assert abs(rows[2]["nll"] - floor) < 1e-9
     assert rows[2]["nll"] > rows[1]["nll"]  # gibberish ranks worst
+
+
+def test_pq_index_append_incremental_growth(spark, tmp_path):
+    """Incremental index growth: append encodes NEW vectors with the
+    standing codebooks/coarse quantizer — the appended index equals a
+    from-scratch encode of the unioned corpus under the SAME codebooks,
+    search finds the new rows through partition-pruned probing, and
+    skip_existing makes replayed appends idempotent."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        pq_index_append,
+        pq_index_search,
+        pq_index_write,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .select("vec_id", "embedding")
+    )
+    base = emb.where(F.col("vec_id") < 40)
+    idx = str(tmp_path / "pq_idx")
+    meta = pq_index_write(base, idx, m=16, ks=16, n_lists=4)
+    assert meta["n_lists"] == 4
+
+    # "new arrivals": exact copies of vectors 0..4 under fresh ids —
+    # their nearest neighbor (excluding self) must become the original
+    newbies = (
+        emb.where(F.col("vec_id") < 5)
+        .select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    )
+    out = pq_index_append(newbies, idx)
+    assert out["n_appended"] == 5
+    codes = spark.read.parquet(os.path.join(idx, meta["codes_dir"]))
+    assert codes.count() == 45
+    assert "list_id" in codes.columns  # IVF partitioning survives append
+
+    full = base.unionByName(
+        emb.where(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+        )
+    )
+    hits = pq_index_search(
+        spark, idx, newbies, k=1, shortlist=30, corpus=full, n_probe=4
+    ).collect()
+    got = {r.query_id: r.neighbor_id for r in hits}
+    assert got == {1000 + i: i for i in range(5)}  # dup-of is rank-1
+
+    # replayed append: skip_existing keeps the code table exactly-once
+    again = pq_index_append(newbies, idx, skip_existing=True)
+    assert again["n_appended"] == 0
+    assert spark.read.parquet(os.path.join(idx, meta["codes_dir"])).count() == 45
+
+    # id-type mismatch is refused before any write
+    import pytest as _pytest
+
+    bad = newbies.select(F.col("vec_id").cast("int").alias("vec_id"), "embedding")
+    with _pytest.raises(ValueError, match="id-space mismatch"):
+        pq_index_append(bad, idx)
