@@ -241,6 +241,48 @@ def read_table_changes(
     )
 
 
+def stream_table_changes(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-Streaming change feed over a warehouse route table:
+    a ``readStream`` whose file source sees ONLY the exactly-once
+    promoted batch files (``pathGlobFilter="batch*"``), plus the same
+    derived ``_batch_id`` column as ``read_table_changes``.
+
+    Downstream pipelines subscribe to a table the way the billing
+    pipeline subscribes to Kafka — checkpointed progress, availableNow
+    drains, backpressure via ``max_files_per_trigger``. The glob filter
+    is what makes this SAFE under maintenance: compaction rewrites a
+    partition into anonymous ``part-*`` files, which the source never
+    matches — so a nightly compaction cannot re-deliver rows the
+    consumer already processed, and the removed batch files were
+    already checkpointed as seen.
+
+    ``schema``: pass the route schema explicitly for a fully streaming
+    plan; default infers it with a one-time batch read of the table.
+    """
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "batch*")
+        .option("basePath", path)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path).withColumn(
+        "_batch_id",
+        F.regexp_extract(
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+            r"^batch(\d+)-",
+            1,
+        ).cast("long"),
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Expose the tables as temp views for the SQL API surface."""
     for n, df in load_tables(spark, sf_dir, names).items():

@@ -718,3 +718,63 @@ def test_read_table_changes_incremental_feed(spark, tmp_path):
     pipe.process_batch(batch, 3)
     post = read_table_changes(spark, t, since_batch=2).collect()
     assert [(r.cellName, r._batch_id) for r in post] == [("pool-b3", 3)]
+
+
+def test_stream_table_changes_subscribes_and_survives_compaction(spark, tmp_path):
+    """A downstream pipeline subscribes to a route table as a stream:
+    checkpointed availableNow drains deliver each ingested batch exactly
+    once, and a compaction rewrite (anonymous part-* files) delivers
+    NOTHING — the glob-filtered source only ever sees promoted batch
+    files."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.compact import (
+        compact_table,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sources.tables import (
+        stream_table_changes,
+    )
+
+    warehouse = str(tmp_path / "wh")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    pipe = BillingPipeline(source=None, warehouse_dir=warehouse)
+    for b in range(2):
+        batch = spark.createDataFrame(
+            [(billing_record("transfer",
+                             date=f"2024-03-0{b + 1}T10:00:00.000+0000",
+                             cellName=f"pool-s{b}"),)],
+            ["value"],
+        )
+        pipe.process_batch(batch, b)
+    t = pipe.table_path("transfers")
+
+    def drain():
+        q = (
+            stream_table_changes(spark, t)
+            .select("cellName", "partition_date", "_batch_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    rows = {(r.cellName, r._batch_id) for r in spark.read.parquet(out).collect()}
+    assert rows == {("pool-s0", 0), ("pool-s1", 1)}
+
+    # maintenance rewrite: compaction must not re-deliver anything
+    compact_table(spark, t)
+    drain()
+    assert spark.read.parquet(out).count() == 2
+
+    # a post-compaction ingest batch flows through as the increment
+    batch = spark.createDataFrame(
+        [(billing_record("transfer", date="2024-03-07T10:00:00.000+0000",
+                         cellName="pool-s2"),)],
+        ["value"],
+    )
+    pipe.process_batch(batch, 2)
+    drain()
+    rows = {(r.cellName, r._batch_id) for r in spark.read.parquet(out).collect()}
+    assert rows == {("pool-s0", 0), ("pool-s1", 1), ("pool-s2", 2)}
