@@ -5462,67 +5462,68 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
 # tests/test_oracle_parity at sf0.001.
 # --------------------------------------------------------------------------
 
-_DRIVER_PRIORITY = [
-    # (a) the rotation debt: all 31 queries whose last hard driver
-    # verdict is r2 (listed by test_no_query_goes_stale once
-    # CORRECTNESS_r04 landed) — they MUST re-verify this round.
-    "q_llm_dedup_exact",
-    "q_llm_fingerprints",
-    "q_llm_token_counts",
-    "q_llm_text_quality",
-    "q_llm_lang_id",
-    "q_llm_shingle_stats",
-    "q_llm_minhash_check",
-    "q_llm_cluster_check",
-    "q_llm_simhash_check",
-    "q_llm_cosine_topk",
-    "q_llm_quantized_recall",
-    "q_llm_ivf_recall",
-    "q_llm_lsh_recall",
-    "q_llm_embedding_norms",
-    "q_llm_ngram_jaccard_pairs",
-    "q_llm_embedding_near_dup",
-    "q_llm_near_dup_blocked",
-    "q_llm_token_counts_bpe",
-    "q_llm_rolling_fingerprint",
-    "q_llm_multimodal_check",
-    "q_llm_curation_pipeline",
-    "q_rel_q13_order_histogram",
-    "q_rel_q15_top_supplier",
-    "q_rel_q17_small_qty_revenue",
-    "q_rel_q21_sole_blame",
-    "q_rel_q16_supplier_count",
-    "q_rel_q20_excess_inventory",
-    "q_llm_repetition_stats",
-    "q_llm_scrub_stats",
-    "q_llm_vocab_top20",
-    "q_llm_chunk_stats",
-    # (b) backfill: the 19 oldest r3-green queries (billing core +
-    # the head of the relational set). The remaining 29 r3-green
-    # queries become round 6's rotation debt and must lead that
-    # window; the 50 r4-green queries follow in round 7. No new
-    # catalog queries this round — the debt fills the budget
-    # (r4 verdict instruction).
-    "q_billing_flagship_daily",
-    "q_billing_route_counts",
-    "q_billing_partition_days",
-    "q_billing_sessionization",
-    "q_billing_props_stats",
-    "q_rel_q1_pricing_summary",
-    "q_rel_q3_top_orders",
-    "q_rel_q5_nation_volume",
-    "q_rel_brand_revenue",
-    "q_rel_semi_join_customers",
-    "q_rel_anti_join_customers",
-    "q_rel_top3_parts_per_brand",
-    "q_rel_running_totals",
-    "q_rel_order_gaps",
-    "q_rel_rollup_orders",
-    "q_rel_cube_lineitem",
-    "q_rel_grouping_sets",
-    "q_rel_distinct_stats",
-    "q_rel_set_union",
-]
+_WINDOW = 50  # queries the correctness driver verifies per round
+
+
+def _computed_driver_priority() -> list[str]:
+    """The driver window, COMPUTED from the recorded verdicts instead of
+    hand-rotated: rank every catalog query by (round of last green hard
+    driver verdict, original registration order) and take the first
+    _WINDOW. That single sort key implements the whole rotation
+    discipline mechanically — never-verified queries (round 0) lead,
+    failed queries keep their older green round so they re-queue for
+    re-confirmation, and the remaining slots backfill with the
+    OLDEST-verified greens. Because the ranking re-derives from
+    CORRECTNESS_r*.json at import, the window rotates ITSELF the moment
+    a round's artifact lands — the r4 failure mode (a hand-maintained
+    list going stale between the driver run and the next session,
+    tripping test_no_query_goes_stale) cannot recur. With 129 queries
+    and a 50-slot window the debt cycle is ~3 rounds, and the stale set
+    (no verdict in the last two recorded rounds) is at most
+    129 − 2×50 = 29 — it always fits the window, so the staleness
+    tripwire is satisfiable every round by construction."""
+    return _rank_window(_recorded_last_green(), list(QUERIES))
+
+
+def _recorded_last_green() -> dict[str, int]:
+    """{query: round of last green hard driver verdict} from the
+    CORRECTNESS_r*.json artifacts at the repo root."""
+    import json as _json
+    import re as _re
+    from pathlib import Path as _Path
+
+    root = _Path(__file__).resolve().parents[2]
+    last_green: dict[str, int] = {}
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = _re.search(r"_r(\d+)$", f.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = _json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue  # a torn artifact must not break query registration
+        for q, v in data.items():
+            ok = (
+                v.get("hash_match")
+                if v.get("hash_match") is not None
+                else v.get("rows_match")
+            )
+            if ok and q in QUERIES:
+                last_green[q] = max(last_green.get(q, 0), rnd)
+    return last_green
+
+
+def _rank_window(last_green: dict[str, int], names: list[str]) -> list[str]:
+    """Pure ranking core (separated so the rotation tests can simulate
+    arbitrary future verdict histories): oldest-verified first,
+    registration order as the deterministic tiebreak."""
+    reg = {n: i for i, n in enumerate(names)}
+    ranked = sorted(names, key=lambda n: (last_green.get(n, 0), reg[n]))
+    return ranked[:_WINDOW]
+
+
+_DRIVER_PRIORITY = _computed_driver_priority()
 
 
 def _reorder_queries() -> None:
