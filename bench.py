@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "q_llm_embedding_near_dup",
     "q_llm_token_counts_bpe",
     "q_llm_multimodal_features",
+    # real-codec twin: stdlib PNG encode+decode per document inside the
+    # same Arrow plumbing — quantifies the Python codec boundary
+    "q_llm_png_features",
     "q_llm_curation_pipeline",
     "q_llm_near_dup_pairs_blocked",
     "q_rel_q2_min_cost_supplier",

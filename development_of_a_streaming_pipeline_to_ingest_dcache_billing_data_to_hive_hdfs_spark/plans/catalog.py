@@ -2409,6 +2409,51 @@ def q_llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, fake=True)
 
 
+@register_bench_only("q_llm_png_features")
+def q_llm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec throughput row: every document becomes a 16×16 RGB
+    PNG in-executor (md5-seeded pixels, stdlib encoder) and flows
+    through ``extract_features(fake=False)`` — the pure-Python
+    decode path (zlib inflate + unfilter + pixel statistics) measured
+    at corpus scale, next to the fake-codec plumbing row above. The
+    codec is the documented Python-boundary slow path; this row is what
+    keeps that claim quantified round over round."""
+    from ..operators.multimodal import MEDIA_SCHEMA
+
+    def gen(batches):
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as _pd
+
+        from ..operators.png import encode_png as _enc
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                seed = _hl.md5(int(mid).to_bytes(8, "big")).digest()
+                raw = (seed * (16 * 16 * 3 // len(seed) + 1))[: 16 * 16 * 3]
+                px = _np.frombuffer(raw, dtype=_np.uint8).reshape(16, 16, 3)
+                payloads.append(_enc(px))
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "mime": "image/png",
+                    "payload": payloads,
+                    "width": 16,
+                    "height": 16,
+                    "duration_ms": _np.zeros(len(pdf), dtype=_np.int64),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = docs.repartition(8).mapInPandas(gen, MEDIA_SCHEMA)
+    return extract_features(media, fake=False)
+
+
 def _skewed_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem with a manufactured pathological hot key: ~30% of all
     rows remapped to supplier 1 (deterministic on l_orderkey, no RNG).
