@@ -180,22 +180,31 @@ def bench_ingest(spark, n_records: int = 50_000) -> dict:
             os.path.join(tmp, "warm_ck_ref"),
         )
 
-        pipe = BillingPipeline(
-            billing_stream_source(spark, "file", path=inp),
-            os.path.join(tmp, "wh"),
-        )
-        t0 = time.perf_counter()
-        pipe.run_available_now(os.path.join(tmp, "ck"))
-        dt = time.perf_counter() - t0
-        total = sum(m["total_rows"] for m in pipe.metrics())
+        # min of 2 runs per shape (fresh warehouse/checkpoint each):
+        # single-shot streaming timings swing >2x from page-cache and
+        # scheduler noise, which round 5 measured as a 1.1x..2.3x spread
+        # in the speedup ratio from identical code
+        dt = float("inf")
+        total = 0
+        for rep in range(2):
+            pipe = BillingPipeline(
+                billing_stream_source(spark, "file", path=inp),
+                os.path.join(tmp, f"wh{rep}"),
+            )
+            t0 = time.perf_counter()
+            pipe.run_available_now(os.path.join(tmp, f"ck{rep}"))
+            dt = min(dt, time.perf_counter() - t0)
+            total = sum(m["total_rows"] for m in pipe.metrics())
 
-        t0 = time.perf_counter()
-        drain_available_now(
-            billing_stream_source(spark, "file", path=inp),
-            ref_shape_batch(os.path.join(tmp, "wh_ref")),
-            os.path.join(tmp, "ck_ref"),
-        )
-        ref_dt = time.perf_counter() - t0
+        ref_dt = float("inf")
+        for rep in range(2):
+            t0 = time.perf_counter()
+            drain_available_now(
+                billing_stream_source(spark, "file", path=inp),
+                ref_shape_batch(os.path.join(tmp, f"wh_ref{rep}")),
+                os.path.join(tmp, f"ck_ref{rep}"),
+            )
+            ref_dt = min(ref_dt, time.perf_counter() - t0)
         return {
             "rows": total,
             "seconds": round(dt, 3),
