@@ -272,6 +272,10 @@ def compact_partition(
     fs.rename(pdir, retired)
     fs.rename(tmp, pdir)
     fs.delete(retired, recursive=True)
+    # after the swap: compacted files now hold state up to the max
+    # committed batch — pin that fact so time-travel/change-feed reads
+    # below it fail fast instead of silently including newer rows
+    _record_compacted_as_of(path, fs)
     if file_stats_for:
         # after the swap: a crash leaves fresh stats or none, never
         # stats describing files that no longer exist (pruning fails
@@ -435,6 +439,58 @@ def compact_table(
 
 
 SNAPSHOT_HORIZON_FILE = "_snapshot_horizon.json"
+COMPACTED_AS_OF_FILE = "_compacted_as_of.json"
+
+
+def _record_compacted_as_of(path: str, fs) -> int | None:
+    """Record the max committed batch id at compaction time, beside the
+    table's exactly-once ledger.
+
+    Compaction rewrites batch-named files into anonymous ones, so after
+    it runs the compacted files hold state up to the batch that was
+    current AT THAT MOMENT. ``read_table_as_of`` includes compacted
+    files silently for ``batch_id >= horizon`` on the assumption that
+    compaction last ran at the horizon — an assumption a later
+    compaction WITHOUT ``expire_snapshots`` would silently break
+    (compacted files then hold newer state, and a pre-compaction
+    snapshot read would return rows from batches after the requested
+    point). This marker pins the assumption: snapshot/change-feed reads
+    below it fail fast instead of lying.
+
+    Monotonic max, written atomically, pure metadata. Tables without a
+    ledger (not an exactly-once warehouse) record nothing — their files
+    never carried batch names to begin with."""
+    import json as _json
+
+    for base in (path.rstrip("/"), os.path.dirname(path.rstrip("/"))):
+        ledger = os.path.join(base, "_ledger.json")
+        try:
+            committed = _json.loads(fs.read_text(ledger))
+        except Exception:  # noqa: BLE001 — no ledger at this level
+            continue
+        if not committed:
+            return None
+        marker = os.path.join(base, COMPACTED_AS_OF_FILE)
+        prev = -1
+        try:
+            prev = int(_json.loads(fs.read_text(marker))["compacted_as_of"])
+        except Exception:  # noqa: BLE001 — first compaction
+            pass
+        val = max(prev, max(int(b) for b in committed))
+        fs.write_text_atomic(
+            marker,
+            _json.dumps(
+                {
+                    "compacted_as_of": val,
+                    "recorded_at": dt.datetime.now(
+                        dt.timezone.utc
+                    ).isoformat(),
+                },
+                sort_keys=True,
+            ),
+        )
+        return val
+    return None
 
 
 def expire_snapshots(

@@ -123,6 +123,22 @@ def minhash_signatures(
     )
 
 
+def band_hashes_expr(
+    bands: int, rows_per_band: int, sig_col: str = "sig"
+) -> Column:
+    """array<bigint>[bands] of banded LSH bucket hashes over a minhash
+    signature column: hash ``b`` = xxhash64 of the b-th
+    ``rows_per_band``-slice of the signature. The single definition of
+    the banding key, shared by the batch pair-expansion path
+    (``lsh_candidate_pairs``) and the persistent incremental store
+    (``BandBucketStore``) — the two MUST agree or cross-batch
+    candidates silently miss."""
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}),"
+        f" b -> xxhash64(concat_ws(',', slice({sig_col}, b * {rows_per_band} + 1, {rows_per_band}))))"
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -157,12 +173,9 @@ def lsh_candidate_pairs(
     """
     banded = sigs.select(
         F.col(id_col),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}),"
-                f" b -> xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, {rows_per_band}))))"
-            )
-        ).alias("band_id", "band_hash"),
+        F.posexplode(band_hashes_expr(bands, rows_per_band)).alias(
+            "band_id", "band_hash"
+        ),
     )
     buckets = (
         banded.groupBy("band_id", "band_hash")
@@ -465,6 +478,275 @@ class FingerprintStore:
             fps.select(
                 *[c for c in fps.columns if c in table_cols]
             ).write.insertInto(self.table)
+
+
+class BandBucketStore:
+    """Incremental NEAR-duplicate screening against a PERSISTENT MinHash
+    band-bucket store — the cross-batch twin of ``FingerprintStore``
+    for the continuously-ingested-corpus shape: every arriving batch is
+    screened against the near-dup structure of everything ever kept,
+    without rescanning or reshuffling the historical corpus.
+
+    Two catalog tables, both append-only and bucket-laid-out so the
+    store side of every screen join reads bucket-locally (NO Exchange):
+
+    - ``{table}``: one row per (band_id, band_hash, doc id) — the
+      banded LSH postings. BUCKETED on (band_id, band_hash), the
+      candidate-join key: only the (small) new batch's band rows
+      shuffle to the store's layout.
+    - ``{table}_sigs``: one row per admitted doc with its full minhash
+      signature. BUCKETED on the id column, the verification-join key.
+      Signatures are the verification payload — ``num_hashes`` longs
+      per doc (512 B at 64 hashes), NOT the document text or its
+      shingle set, so the store stays O(corpus rows), a fixed few
+      hundred bytes per document at any corpus size.
+
+    Candidate verification uses the minhash Jaccard ESTIMATOR over the
+    stored signatures (σ = √(J(1−J)/num_hashes) ≤ 0.063 at 64 hashes) —
+    the standard LSH verify tier. Exact shingle Jaccard would need the
+    standing corpus text (a corpus-sized join per micro-batch, the
+    exact shape this store exists to avoid); callers needing exact
+    confirmation re-read ONLY the candidate ids from the corpus, which
+    the screen's output makes a bounded set.
+
+    Banding parameters are a LAYOUT CONTRACT across the store's
+    lifetime (signatures and band hashes must be comparable across
+    batches), so the first commit persists them in ``{table}_params``
+    and every later open validates against it — a silently different
+    ``num_hashes`` would otherwise null out every zip_with comparison
+    and admit every duplicate.
+
+    Defaults (b=8, r=8 over 64 hashes) put the s-curve threshold at
+    (1/8)^(1/8) ≈ 0.77, matching ``lsh_candidate_pairs``; ``threshold``
+    is the verify cut on the estimated Jaccard.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: str,
+        *,
+        num_hashes: int = 64,
+        bands: int = 8,
+        rows_per_band: int = 8,
+        shingle_n: int = 3,
+        threshold: float = 0.8,
+        n_buckets: int = 64,
+    ):
+        if bands * rows_per_band > num_hashes:
+            raise ValueError(
+                f"bands({bands}) × rows_per_band({rows_per_band}) exceeds "
+                f"num_hashes({num_hashes})"
+            )
+        self.spark = spark
+        self.table = table
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.rows_per_band = rows_per_band
+        self.shingle_n = shingle_n
+        self.threshold = threshold
+        self.n_buckets = n_buckets
+        if self.exists():
+            self._validate_params()
+
+    # -- layout-contract plumbing ------------------------------------
+
+    def _params_table(self) -> str:
+        return f"{self.table}_params"
+
+    def _sigs_table(self) -> str:
+        return f"{self.table}_sigs"
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.table)
+
+    def _params(self) -> dict:
+        return {
+            "num_hashes": self.num_hashes,
+            "bands": self.bands,
+            "rows_per_band": self.rows_per_band,
+            "shingle_n": self.shingle_n,
+        }
+
+    def _validate_params(self) -> None:
+        if not self.spark.catalog.tableExists(self._params_table()):
+            return  # pre-params store: nothing recorded to check against
+        row = self.spark.table(self._params_table()).first()
+        stored = {k: int(getattr(row, k)) for k in self._params()}
+        if stored != self._params():
+            raise ValueError(
+                f"BandBucketStore {self.table!r} was created with "
+                f"{stored} but opened with {self._params()} — banding "
+                "parameters are a layout contract; mismatched signatures "
+                "would silently compare as non-duplicates"
+            )
+
+    # -- signature plumbing ------------------------------------------
+
+    def _signatures(
+        self, docs: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
+        return minhash_signatures(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=self.num_hashes,
+            shingle_n=self.shingle_n,
+        )
+
+    def _band_rows(self, sigs: DataFrame, id_col: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col),
+            F.posexplode(
+                band_hashes_expr(self.bands, self.rows_per_band)
+            ).alias("band_id", "band_hash"),
+        )
+
+    # -- the operator --------------------------------------------------
+
+    def screen(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        exclude_tag: str | None = None,
+        within_batch: bool = True,
+    ) -> DataFrame:
+        """Rows of ``docs`` with NO near-duplicate already in the store
+        (estimated Jaccard ≥ ``threshold`` against any admitted doc),
+        and — with ``within_batch`` — no SMALLER-id near-duplicate
+        inside this same batch (greedy min-id representative, the same
+        deterministic keep rule as ``exact_dedup_groups``). Does not
+        mutate the store; call ``commit`` with (a subset of) the result.
+
+        ``exclude_tag`` is the same replay contract as
+        ``FingerprintStore.screen``: ignore store rows committed under
+        this batch's own tag, so a crash between ``commit`` and the
+        caller's ledger commit cannot make the replayed batch screen
+        out its own documents.
+
+        Plan shape (the 100 TB contract, plan-asserted in tests): the
+        band table is scanned bucket-locally on (band_id, band_hash) and
+        the sig table bucket-locally on the id column — NO Exchange on
+        either store side; only the new batch's band rows (batch ×
+        bands) and the candidate set shuffle. The signature frame is
+        localCheckpoint()ed once: three branches (within-batch pairs,
+        store candidates, verification) would otherwise each re-run the
+        shingle→minhash pipeline."""
+        sigs = self._signatures(docs, id_col, text_col).localCheckpoint()
+        drop_ids = None
+        if self.exists():
+            store_bands = self.spark.table(self.table)
+            store_sigs = self.spark.table(self._sigs_table())
+            if exclude_tag is not None:
+                keep = F.col("batch_tag").isNull() | (
+                    F.col("batch_tag") != exclude_tag
+                )
+                store_bands = store_bands.where(keep)
+                store_sigs = store_sigs.where(keep)
+            cand = (
+                self._band_rows(sigs, id_col)
+                .join(
+                    store_bands.select(
+                        "band_id",
+                        "band_hash",
+                        F.col(id_col).alias("_cand_id"),
+                    ),
+                    ["band_id", "band_hash"],
+                )
+                .select(id_col, "_cand_id")
+                .distinct()
+            )
+            verified = (
+                cand.join(
+                    store_sigs.select(
+                        F.col(id_col).alias("_cand_id"),
+                        F.col("sig").alias("_sig_store"),
+                    ),
+                    "_cand_id",
+                )
+                .join(
+                    sigs.select(id_col, F.col("sig").alias("_sig_new")),
+                    id_col,
+                )
+                .where(
+                    estimated_jaccard("_sig_new", "_sig_store")
+                    >= self.threshold
+                )
+            )
+            drop_ids = verified.select(id_col).distinct()
+        if within_batch:
+            pairs = lsh_candidate_pairs(
+                sigs, id_col=id_col,
+                bands=self.bands, rows_per_band=self.rows_per_band,
+            )
+            wb = (
+                pairs.join(
+                    sigs.select(
+                        F.col(id_col).alias("id_a"),
+                        F.col("sig").alias("sig_a"),
+                    ),
+                    "id_a",
+                )
+                .join(
+                    sigs.select(
+                        F.col(id_col).alias("id_b"),
+                        F.col("sig").alias("sig_b"),
+                    ),
+                    "id_b",
+                )
+                .where(estimated_jaccard("sig_a", "sig_b") >= self.threshold)
+                .select(F.col("id_b").alias(id_col))  # id_a < id_b: min id wins
+                .distinct()
+            )
+            drop_ids = wb if drop_ids is None else drop_ids.unionByName(wb)
+        if drop_ids is None:
+            return docs
+        return docs.join(drop_ids, id_col, "left_anti")
+
+    def commit(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        batch_tag: str | None = None,
+    ) -> None:
+        """Admit these documents' band postings and signatures. First
+        commit creates both bucketed tables (and the params contract);
+        later commits append via ``insertInto``, which preserves the
+        bucket layout — the store never needs a maintenance re-shuffle.
+        A replayed batch appends duplicate rows, which the semi-join
+        screen tolerates (same bounded-by-crash-frequency posture as
+        ``FingerprintStore``; ``compact`` reclaims them)."""
+        from ..sink import write_bucketed_table
+
+        sigs = self._signatures(docs, id_col, text_col).localCheckpoint()
+        tag = F.lit(batch_tag).cast("string").alias("batch_tag")
+        band_rows = self._band_rows(sigs, id_col).select(
+            "band_id", "band_hash", F.col(id_col), tag
+        )
+        sig_rows = sigs.select(F.col(id_col), F.col("sig"), tag)
+        if not self.exists():
+            write_bucketed_table(
+                band_rows, self.table, ["band_id", "band_hash"],
+                n_buckets=self.n_buckets,
+                sort_cols=["band_id", "band_hash"],
+            )
+            write_bucketed_table(
+                sig_rows, self._sigs_table(), [id_col],
+                n_buckets=self.n_buckets, sort_cols=[id_col],
+            )
+            self.spark.createDataFrame(
+                [tuple(self._params().values())],
+                " ".join(f"{k} int," for k in self._params()).rstrip(","),
+            ).write.mode("overwrite").saveAsTable(self._params_table())
+        else:
+            for frame, table in (
+                (band_rows, self.table),
+                (sig_rows, self._sigs_table()),
+            ):
+                cols = self.spark.table(table).columns
+                frame.select(*cols).write.insertInto(table)
 
 
 def prefix_duplicate_groups(

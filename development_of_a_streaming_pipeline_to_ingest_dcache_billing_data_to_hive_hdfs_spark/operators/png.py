@@ -65,6 +65,11 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError("truncated PNG chunk")
         pos += 12 + length  # 4 len + 4 type + data + 4 crc
         if ctype == b"IHDR":
+            # a short IHDR would escape as struct.error, breaking the
+            # documented ValueError contract callers use to route bad
+            # payloads to a rejects table
+            if len(data) != 13:
+                raise ValueError(f"malformed PNG: IHDR length {len(data)} != 13")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )

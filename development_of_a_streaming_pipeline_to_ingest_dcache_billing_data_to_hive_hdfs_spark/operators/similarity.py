@@ -22,10 +22,22 @@ from pyspark.sql import functions as F
 
 from .dedup import spread_partitions
 
-# auto-strategy memo for embedding_near_dup_pairs: logical-plan hash →
-# chosen strategy, so the bounded size probe runs once per distinct
-# input plan, not once per call
-_AUTO_STRATEGY_CACHE: dict[tuple[int, int], str] = {}
+# auto-strategy memo for embedding_near_dup_pairs: (logical-plan hash,
+# input-file count, gate) → chosen strategy, so the bounded size probe
+# runs once per distinct input plan, not once per call. The file count
+# is the freshness component: a file-backed table that GROWS under the
+# same plan (new parquet files appended to the same path) changes its
+# key and re-probes, so a long-lived driver is never pinned to a stale
+# broadcast decision by plan identity alone.
+_AUTO_STRATEGY_CACHE: dict[tuple, str] = {}
+
+
+def clear_auto_strategy_cache() -> None:
+    """Drop every memoized auto-strategy decision — the explicit
+    invalidation knob for long-lived drivers whose inputs changed in a
+    way the (plan hash, file count) key cannot see (e.g. in-place file
+    rewrites at identical file count)."""
+    _AUTO_STRATEGY_CACHE.clear()
 
 
 # nullif guards the zero-norm vector: under ANSI mode (Spark 4 default)
@@ -116,7 +128,15 @@ def embedding_near_dup_pairs(
         # stale entry can only choose broadcast near the boundary, and
         # broadcast_max_rows is sized well under memory limits).
         try:
-            cache_key = (df.semanticHash(), broadcast_max_rows)
+            # inputFiles() is driver-side metadata (the already-resolved
+            # file index for file-source plans) — its COUNT is the cheap
+            # freshness signal that distinguishes "same plan, grown
+            # table" from "same plan, same data"
+            try:
+                n_input_files = len(df.inputFiles())
+            except Exception:  # noqa: BLE001 — non-file sources
+                n_input_files = -1
+            cache_key = (df.semanticHash(), n_input_files, broadcast_max_rows)
         except Exception:  # noqa: BLE001 — probe instead of failing auto
             cache_key = None
         if cache_key is not None and cache_key in _AUTO_STRATEGY_CACHE:
@@ -1174,11 +1194,21 @@ def pq_index_append(
         coarse = np.asarray(meta["coarse_centroids"])
         assigned = ivf_assign(new_vectors, coarse, id_col, vec_col, n_probe=1)
         codes = pq_encode(assigned, cb, id_col, vec_col, passthrough=["list_id"])
-        n = codes.count()
-        codes.write.mode("append").partitionBy("list_id").parquet(codes_path)
     else:
         codes = pq_encode(new_vectors, cb, id_col, vec_col)
-        n = codes.count()
+    # localCheckpoint BEFORE counting: the count and the append write are
+    # two actions over the same assign+encode pipeline — unpersisted, the
+    # full encode would run twice, and a nondeterministic input frame
+    # could make n_appended diverge from what the write committed. The
+    # checkpoint materializes the codes once; the count and the write
+    # both read the materialized blocks, and the index itself is still
+    # mutated by exactly one write job (a crash before it leaves the
+    # index untouched).
+    codes = codes.localCheckpoint()
+    n = codes.count()
+    if meta["n_lists"] > 0:
+        codes.write.mode("append").partitionBy("list_id").parquet(codes_path)
+    else:
         codes.write.mode("append").parquet(codes_path)
     out = {
         k: v for k, v in meta.items() if k not in ("codebooks", "coarse_centroids")

@@ -64,6 +64,32 @@ def snapshot_horizon(path: str, fs=None) -> int:
     return 0
 
 
+def compacted_as_of(path: str, fs=None) -> int:
+    """The max committed batch id at the LAST compaction of this table
+    (−1 = never compacted), as recorded by
+    ``compact._record_compacted_as_of``. Compacted files hold state up
+    to this batch, so snapshots strictly below it are unreconstructible
+    even when the snapshot horizon lags behind (a re-compaction without
+    ``expire_snapshots`` advances this marker but not the horizon).
+    Same two-level resolution as ``snapshot_horizon``."""
+    import json
+
+    from ..compact import COMPACTED_AS_OF_FILE
+    from ..fs import get_filesystem
+
+    fs = fs or get_filesystem(path)
+    candidates = [
+        os.path.join(path, COMPACTED_AS_OF_FILE),
+        os.path.join(os.path.dirname(path.rstrip("/")), COMPACTED_AS_OF_FILE),
+    ]
+    for mp in candidates:
+        try:
+            return int(json.loads(fs.read_text(mp))["compacted_as_of"])
+        except Exception:
+            continue
+    return -1
+
+
 def table_snapshots(path: str, fs=None) -> list[int]:
     """Committed batch ids of a warehouse route table (its ledger's
     content) that are still READABLE ``as_of`` points — ids below an
@@ -74,7 +100,10 @@ def table_snapshots(path: str, fs=None) -> list[int]:
     from ..fs import get_filesystem
 
     fs = fs or get_filesystem(path)
-    horizon = snapshot_horizon(path, fs=fs)
+    # a re-compaction after expiry can advance the unreconstructible
+    # boundary past the horizon without touching it — advertise only
+    # snapshots that are actually faithful
+    horizon = max(snapshot_horizon(path, fs=fs), compacted_as_of(path, fs=fs))
     # route tables share the warehouse-level ledger one dir up; a
     # table-local ledger (UpsertStreamWriter's) takes precedence
     candidates = [
@@ -136,6 +165,20 @@ def read_table_as_of(
             "allow_compacted=True for a best-effort read (compacted "
             "partitions at their full current state)."
         )
+    cao = compacted_as_of(path, fs=fs)
+    if batch_id < cao and not allow_compacted:
+        # the horizon can LAG the real unreconstructible boundary: a
+        # re-compaction without expire_snapshots folds newer batches
+        # into the anonymous files, and silently including them here
+        # would return rows from after the requested snapshot
+        raise ValueError(
+            f"read_table_as_of: snapshot at batch {batch_id} predates the "
+            f"last compaction, which ran when batch {cao} was committed — "
+            "the compacted files hold state through that batch, so the "
+            "requested snapshot cannot be reconstructed (run "
+            "expire_snapshots after compacting to make this lifecycle "
+            "explicit). Pass allow_compacted=True for a best-effort read."
+        )
     pat = re.compile(r"^batch(\d+)-")
     keep: list[str] = []
     compacted: list[str] = []
@@ -151,7 +194,7 @@ def read_table_as_of(
                 compacted.append(os.path.join(pdir, f_name))
             elif int(m.group(1)) <= batch_id:
                 keep.append(os.path.join(pdir, f_name))
-    if compacted and not allow_compacted and horizon == 0:
+    if compacted and not allow_compacted and horizon == 0 and cao < 0:
         raise ValueError(
             f"read_table_as_of: {len(compacted)} file(s) under {path} have "
             "no batch name (compaction collapsed their history), e.g. "
@@ -196,13 +239,34 @@ def read_table_changes(
 
     fs = fs or get_filesystem(path, spark)
     horizon = snapshot_horizon(path, fs=fs)
-    if since_batch < horizon:
+    # ``since_batch`` is EXCLUSIVE, so the increment delivers batches
+    # since_batch+1 .. until_batch. On a never-expired table (horizon 0)
+    # any start is fine — including the since_batch=-1 sentinel, the
+    # "from the very beginning" read that delivers batch 0 (matching
+    # stream_table_changes, which always starts at batch 0). With a
+    # recorded horizon H > 0, batches THROUGH H were collapsed by the
+    # compaction that preceded the expiry, so the first deliverable
+    # batch is H+1 (read_table_as_of at H is the baseline).
+    if horizon > 0 and since_batch < horizon:
         raise ValueError(
             f"read_table_changes: since_batch={since_batch} is below the "
             f"snapshot horizon {horizon} — those increments were collapsed "
             "by compaction (expire_snapshots). Re-baseline the consumer "
             "with read_table_as_of at the horizon, then stream changes "
             "from there."
+        )
+    cao = compacted_as_of(path, fs=fs)
+    if since_batch < cao:
+        # a compaction that ran when batch `cao` was committed collapsed
+        # the batch-named files of every batch THROUGH cao (including
+        # cao itself) — a silent read here would return an EMPTY
+        # increment for batches that really happened
+        raise ValueError(
+            f"read_table_changes: since_batch={since_batch} would deliver "
+            f"batch {since_batch + 1}, but the last compaction ran when "
+            f"batch {cao} was committed and collapsed the batch files "
+            "through it. Re-baseline the consumer with read_table_as_of "
+            f"at batch {cao}, then stream changes from there."
         )
     import re
 

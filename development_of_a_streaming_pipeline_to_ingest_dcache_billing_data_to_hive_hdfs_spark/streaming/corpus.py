@@ -49,7 +49,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 from ..fs import get_filesystem
-from ..operators.dedup import FingerprintStore
+from ..operators.dedup import BandBucketStore, FingerprintStore
 from ..sink import BatchLedger, write_partitioned_batch
 from .pipeline import drain_available_now
 
@@ -58,7 +58,19 @@ class CorpusIngestPipeline:
     """Wires a streaming document source into a deduplicated corpus.
 
     ``source`` columns must include ``id_col``, ``text_col`` and
-    ``partition_field`` (e.g. ``source`` for by-provenance layout)."""
+    ``partition_field`` (e.g. ``source`` for by-provenance layout).
+
+    ``near_store_table`` (optional) adds CROSS-BATCH NEAR-duplicate
+    screening between the exact screen and the append: each batch's
+    survivors are checked against the persistent MinHash band-bucket
+    store (``operators.dedup.BandBucketStore``) and near-dups of
+    previously admitted documents (est. Jaccard ≥ ``near_threshold``)
+    are dropped before they ever reach the corpus. The band store
+    commits under the same run-id#batch-id tag and the same
+    crash-window ordering as the fingerprint store, so the replay
+    matrix in the module docstring holds unchanged — a crash between
+    the band commit and the ledger commit replays with the batch's own
+    band rows excluded."""
 
     def __init__(
         self,
@@ -72,6 +84,8 @@ class CorpusIngestPipeline:
         gate: Callable[[DataFrame], DataFrame] | None = None,
         store_buckets: int = 64,
         run_tag: str | None = None,
+        near_store_table: str | None = None,
+        near_threshold: float = 0.8,
     ):
         self.source = source
         self.corpus_dir = corpus_dir
@@ -86,6 +100,8 @@ class CorpusIngestPipeline:
         )
         self._store_table = store_table
         self._store_buckets = store_buckets
+        self._near_store_table = near_store_table
+        self._near_threshold = near_threshold
         # Batch-tag identity: exclude_tag must be STORE-unique per
         # logical batch. foreachBatch ids restart at 0 per checkpoint,
         # so the tag prefixes them with a run id persisted BESIDE THE
@@ -113,6 +129,16 @@ class CorpusIngestPipeline:
             spark, self._store_table, n_buckets=self._store_buckets
         )
 
+    def _near_store(self, spark) -> BandBucketStore | None:
+        if self._near_store_table is None:
+            return None
+        return BandBucketStore(
+            spark,
+            self._near_store_table,
+            threshold=self._near_threshold,
+            n_buckets=self._store_buckets,
+        )
+
     def docs_path(self) -> str:
         return os.path.join(self.corpus_dir, "documents")
 
@@ -120,13 +146,25 @@ class CorpusIngestPipeline:
         if self.ledger.is_committed(batch_id):
             return
         store = self._store(batch_df.sparkSession)
+        near = self._near_store(batch_df.sparkSession)
+        tag = self._batch_tag(batch_id)
         gated = self.gate(batch_df) if self.gate is not None else batch_df
         kept = store.screen(
             gated,
             id_col=self.id_col,
             text_col=self.text_col,
-            exclude_tag=self._batch_tag(batch_id),
+            exclude_tag=tag,
         )
+        if near is not None:
+            # near-dup screen AFTER the exact screen: the exact pass has
+            # already collapsed identical texts, so the (more expensive)
+            # signature pipeline runs on the smaller survivor set
+            kept = near.screen(
+                kept,
+                id_col=self.id_col,
+                text_col=self.text_col,
+                exclude_tag=tag,
+            )
         # persist: the doc append and the fp commit are two actions over
         # the same gate+fingerprint+anti-join plan — unpersisted, the
         # full screen (including the store scan) would run twice, and a
@@ -145,8 +183,15 @@ class CorpusIngestPipeline:
                 kept,
                 id_col=self.id_col,
                 text_col=self.text_col,
-                batch_tag=self._batch_tag(batch_id),
+                batch_tag=tag,
             )
+            if near is not None:
+                near.commit(
+                    kept,
+                    id_col=self.id_col,
+                    text_col=self.text_col,
+                    batch_tag=tag,
+                )
             self.ledger.commit(batch_id)
         finally:
             kept.unpersist()

@@ -720,6 +720,100 @@ def test_read_table_changes_incremental_feed(spark, tmp_path):
     assert [(r.cellName, r._batch_id) for r in post] == [("pool-b3", 3)]
 
 
+def test_read_table_changes_delivers_batch_zero(spark, tmp_path):
+    """The since_batch=-1 sentinel reads 'from the very beginning' and
+    delivers batch 0 — parity with stream_table_changes, whose own test
+    asserts _batch_id 0 arrives. (A consumer calling since_batch=0
+    'from the beginning' would silently miss the first batch; -1 is the
+    exclusive bound that includes it.)"""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sources.tables import (
+        read_table_changes,
+    )
+
+    warehouse = str(tmp_path / "wh")
+    pipe = BillingPipeline(source=None, warehouse_dir=warehouse)
+    for b in range(2):
+        batch = spark.createDataFrame(
+            [(billing_record("transfer",
+                             date=f"2024-03-0{b + 1}T10:00:00.000+0000",
+                             cellName=f"pool-b{b}"),)],
+            ["value"],
+        )
+        pipe.process_batch(batch, b)
+    t = pipe.table_path("transfers")
+    rows = read_table_changes(spark, t, since_batch=-1).collect()
+    assert {(r.cellName, r._batch_id) for r in rows} == {
+        ("pool-b0", 0),
+        ("pool-b1", 1),
+    }
+
+
+def test_recompaction_without_expiry_cannot_silently_lie(spark, tmp_path):
+    """A re-compaction WITHOUT --expire-snapshots advances the real
+    unreconstructible boundary past the recorded horizon: compacted
+    files then hold state through a newer batch, and a snapshot read
+    between the horizon and that batch would silently include rows from
+    after the requested point. The _compacted_as_of marker (recorded at
+    every compaction) turns that into a loud failure, keeps the change
+    feed honest, and stops table_snapshots advertising stale points."""
+    import pytest as _pytest
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.compact import (
+        compact_table,
+        expire_snapshots,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sources.tables import (
+        compacted_as_of,
+        read_table_as_of,
+        read_table_changes,
+        table_snapshots,
+    )
+
+    warehouse = str(tmp_path / "wh")
+    pipe = BillingPipeline(source=None, warehouse_dir=warehouse)
+    for b in range(3):
+        batch = spark.createDataFrame(
+            [(billing_record("transfer",
+                             date=f"2024-03-0{b + 1}T10:00:00.000+0000"),)],
+            ["value"],
+        )
+        pipe.process_batch(batch, b)
+    t = pipe.table_path("transfers")
+
+    # first compaction + expiry: the documented lifecycle, horizon = 2
+    compact_table(spark, t)
+    expire_snapshots(warehouse)
+    assert compacted_as_of(t) == 2
+    assert read_table_as_of(spark, t, 2).count() == 3
+
+    # more ingest, then a re-compaction WITHOUT expiry (the CLI default)
+    batch = spark.createDataFrame(
+        [(billing_record("transfer", date="2024-03-09T10:00:00.000+0000"),)],
+        ["value"],
+    )
+    pipe.process_batch(batch, 3)
+    assert read_table_as_of(spark, t, 2).count() == 3  # still faithful
+    compact_table(spark, t)
+    assert compacted_as_of(t) == 3  # marker advanced, horizon still 2
+
+    # the snapshot between horizon (2) and the marker (3) is now
+    # unreconstructible — before the marker this read silently returned
+    # 4 rows (batch 3 leaked into the "as of batch 2" answer)
+    with _pytest.raises(ValueError, match="batch 3 was committed"):
+        read_table_as_of(spark, t, 2)
+    assert read_table_as_of(spark, t, 3).count() == 4  # faithful point
+    assert table_snapshots(t) == [3]
+
+    # the change feed fails the same way instead of returning an empty
+    # increment for a batch that really happened
+    with _pytest.raises(ValueError, match="batch 3 was committed"):
+        read_table_changes(spark, t, since_batch=2)
+    assert read_table_changes(spark, t, since_batch=3).count() == 0
+
+    # explicit opt-in still reads the full compacted state
+    assert read_table_as_of(spark, t, 2, allow_compacted=True).count() == 4
+
+
 def test_stream_table_changes_subscribes_and_survives_compaction(spark, tmp_path):
     """A downstream pipeline subscribes to a route table as a stream:
     checkpointed availableNow drains deliver each ingested batch exactly
