@@ -371,6 +371,88 @@ def simhash_bands(sigs: DataFrame, id_col: str = "doc_id", chunks: int = 4) -> D
     )
 
 
+def _bucket_spec(spark: SparkSession, table: str) -> tuple[list[str], int, list[str]]:
+    """(bucket_cols, n_buckets, sort_cols) of a catalog table, parsed
+    from DESCRIBE EXTENDED — the layout contract a lifecycle rewrite
+    must reproduce exactly."""
+    rows = {r.col_name: r.data_type for r in spark.sql(
+        f"DESCRIBE EXTENDED {table}"
+    ).collect()}
+
+    def cols(key: str) -> list[str]:
+        raw = rows.get(key, "[]") or "[]"
+        return [c.strip(" `") for c in raw.strip("[]").split(",") if c.strip(" `")]
+
+    n = int(rows.get("Num Buckets", "0") or 0)
+    return cols("Bucket Columns"), n, cols("Sort Columns")
+
+
+def rewrite_bucketed_table(spark: SparkSession, table: str, df: DataFrame) -> None:
+    """Replace a BUCKETED catalog table's contents with ``df`` while
+    preserving its exact bucket/sort layout — the rewrite primitive
+    behind store lifecycle operations (duplicate reclaim, retention).
+
+    Protocol: write ``df`` to ``{table}__compacting`` with the SAME
+    bucket spec (each task pre-partitioned to one bucket, so the
+    rewrite emits n_buckets files, not n_tasks × n_buckets), then
+    DROP the original and RENAME the scratch into place — two catalog
+    metadata operations. Crash windows: before the drop, the scratch
+    is stale residue (healed by ``heal_bucketed_rewrite``); between
+    drop and rename, only the scratch exists and the heal promotes it
+    (its content is complete — it was written before the drop)."""
+    bucket_cols, n_buckets, sort_cols = _bucket_spec(spark, table)
+    if not bucket_cols or n_buckets <= 0:
+        raise ValueError(
+            f"rewrite_bucketed_table: {table!r} is not bucketed — this "
+            "rewrite exists to preserve a bucket layout; use a plain "
+            "overwrite for unbucketed tables"
+        )
+    from ..sink import write_bucketed_table
+
+    scratch = f"{table}__compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+    write_bucketed_table(
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols]),
+        scratch,
+        bucket_cols,
+        n_buckets=n_buckets,
+        sort_cols=sort_cols or None,
+    )
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {scratch} RENAME TO {table}")
+
+
+def heal_bucketed_rewrite(spark: SparkSession, table: str) -> bool:
+    """Finish a ``rewrite_bucketed_table`` a previous process crashed in
+    the middle of. Returns True if a promotion happened. Safe to call
+    on every store open: two catalog existence checks."""
+    scratch = f"{table}__compacting"
+    if not spark.catalog.tableExists(scratch):
+        return False
+    if spark.catalog.tableExists(table):
+        # crash BEFORE the drop: the original is intact and authoritative;
+        # the scratch is a stale (possibly partial) write — discard it
+        spark.sql(f"DROP TABLE {scratch}")
+        return False
+    spark.sql(f"ALTER TABLE {scratch} RENAME TO {table}")
+    return True
+
+
+def _expired_tag_filter(expire_run_tag: str, expire_below_batch: int) -> Column:
+    """Rows to KEEP under batch-horizon retention: entries whose tag
+    belongs to ``expire_run_tag`` with batch id < ``expire_below_batch``
+    are dropped; NULL-tagged and foreign-run entries are kept (their
+    lifecycle belongs to their own run)."""
+    run = F.split(F.col("batch_tag"), "#").getItem(0)
+    bid = F.split(F.col("batch_tag"), "#").getItem(1).cast("bigint")
+    return ~(
+        F.col("batch_tag").isNotNull()
+        & (run == expire_run_tag)
+        & bid.isNotNull()
+        & (bid < expire_below_batch)
+    )
+
+
 class FingerprintStore:
     """Incremental corpus dedup against a PERSISTENT seen-fingerprint
     store — the continuously-ingested-corpus shape: every arriving batch

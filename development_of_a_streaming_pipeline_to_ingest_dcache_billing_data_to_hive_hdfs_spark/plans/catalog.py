@@ -5489,6 +5489,104 @@ def q_llm_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_nll(docs, "doc_id", "text").orderBy("doc_id")
 
 
+_EMPTY_INC_NEAR_DUP_ORACLE = """
+    SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS kind,
+           CAST(NULL AS DOUBLE) AS max_exact_jaccard
+    WHERE FALSE
+"""
+
+
+@register("q_llm_incremental_near_dup_check", _EMPTY_INC_NEAR_DUP_ORACLE)
+def q_llm_incremental_near_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch NEAR-dup screening gate (expected EMPTY): commit the
+    even-id half of the corpus to a fresh persistent band-bucket store
+    (operators.dedup.BandBucketStore — the incremental MinHash/LSH
+    store the streaming corpus builder screens against), screen the
+    odd-id half, then audit every screening decision against the EXACT
+    trigram Jaccard vs the committed half:
+
+    - ``false_positive``: a rejected document whose best exact Jaccard
+      is > 5σ below the store threshold (σ = √(J(1−J)/64) ≤ 0.063, so
+      the 0.35 tolerance mirrors q_llm_minhash_check);
+    - ``missed_near_dup``: an admitted document with an exact Jaccard
+      ≥ 0.98 twin already in the store — at that similarity the chance
+      all 8 bands miss is (1−0.98⁸)⁸ ≈ 2.4e-7, so a hit is a broken
+      pipeline, not bad luck;
+    - ``guard``: zero rejections at all — the synthetic corpus plants
+      cross-parity near-dups at every sf, so an empty rejection set
+      means the store screen is vacuous (degeneracy guard).
+
+    Bounded to doc_id < 1000 so the exact all-pairs audit stays a
+    ~500×500 crossJoin at any sf (the audit is the oracle here; the
+    OPERATOR under test never does all-pairs work). Store state is
+    eager and dropped before returning, so the result frame is a plain
+    local re-materialization."""
+    import uuid as _uuid
+
+    from ..operators.dedup import BandBucketStore
+
+    out_schema = "doc_id bigint, kind string, max_exact_jaccard double"
+    thr = 0.9
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 1000)
+        .select("doc_id", "text")
+    )
+    batch_a = docs.where(F.col("doc_id") % 2 == 0)
+    batch_b = docs.where(F.col("doc_id") % 2 == 1)
+    table = f"neardup_check_{_uuid.uuid4().hex[:12]}"
+    store = BandBucketStore(spark, table, threshold=thr, n_buckets=8)
+    try:
+        store.commit(batch_a, batch_tag="check#0")
+        b_kept = store.screen(batch_b, within_batch=False)
+        kept_ids = b_kept.select("doc_id").withColumn("_kept", F.lit(1))
+
+        sh_a = batch_a.select(
+            char_shingles("text", 3).alias("sh_a")
+        )
+        sh_b = batch_b.select(
+            "doc_id", char_shingles("text", 3).alias("sh_b")
+        )
+        maxj = (
+            sh_b.crossJoin(sh_a)
+            .groupBy("doc_id")
+            .agg(F.max(ngram_jaccard("sh_a", "sh_b")).alias("mj"))
+        )
+        audited = maxj.join(kept_ids, "doc_id", "left")
+        v1 = audited.where(
+            F.col("_kept").isNull() & (F.col("mj") < thr - 0.35)
+        ).select(
+            "doc_id",
+            F.lit("false_positive").alias("kind"),
+            F.col("mj").alias("max_exact_jaccard"),
+        )
+        v2 = audited.where(
+            F.col("_kept").isNotNull() & (F.col("mj") >= 0.98)
+        ).select(
+            "doc_id",
+            F.lit("missed_near_dup").alias("kind"),
+            F.col("mj").alias("max_exact_jaccard"),
+        )
+        guard = (
+            audited.agg(
+                F.sum(F.when(F.col("_kept").isNull(), 1).otherwise(0)).alias(
+                    "n_rej"
+                )
+            )
+            .where(F.col("n_rej") == 0)
+            .select(
+                F.lit(-1).cast("bigint").alias("doc_id"),
+                F.lit("guard").alias("kind"),
+                F.lit(-1.0).alias("max_exact_jaccard"),
+            )
+        )
+        rows = v1.unionByName(v2).unionByName(guard).limit(100).collect()
+    finally:
+        for t in (table, f"{table}_sigs", f"{table}_params"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return spark.createDataFrame(rows, out_schema)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: billing-core semantics in one plan."""
     return q_billing_flagship_daily(spark, sf_dir)
