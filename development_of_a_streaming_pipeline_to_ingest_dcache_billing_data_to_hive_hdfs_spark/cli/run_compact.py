@@ -67,6 +67,22 @@ def def_arguments() -> argparse.ArgumentParser:
                         "an abandoned stream); runs under the shared lock, "
                         "so the newest uncommitted batch is cleaned too — "
                         "no ingest can be mid-write")
+    p.add_argument("--dedup-store", default=None, metavar="TABLE",
+                   help="catalog table of a FingerprintStore (or, with "
+                        "--dedup-store-kind band, a BandBucketStore) to "
+                        "compact after table compaction: reclaims "
+                        "crash-replay duplicate rows and collapses small "
+                        "append files while PRESERVING the bucketed "
+                        "layout (the no-Exchange screen plan survives)")
+    p.add_argument("--dedup-store-kind", choices=["fingerprint", "band"],
+                   default="fingerprint")
+    p.add_argument("--dedup-store-expire-run", default=None, metavar="RUN",
+                   help="with --dedup-store-expire-below: drop store "
+                        "entries committed by this corpus run id below "
+                        "the batch horizon (retention twin of "
+                        "--expire-snapshots for the seen-fp store)")
+    p.add_argument("--dedup-store-expire-below", type=int, default=None,
+                   metavar="BATCH")
     p.add_argument("--lock-path", default="/tmp/dcache_warehouse.lock",
                    help="one lock shared by ingest/compaction/merge: any "
                         "two of them racing the same table can interleave "
@@ -131,6 +147,18 @@ def main(argv: list[str] | None = None) -> None:
                 else:
                     print(f"{name}: not in the catalog — skipping ANALYZE "
                           "(register the table or use a hive session)")
+        if args.dedup_store:
+            from ..operators.dedup import BandBucketStore, FingerprintStore
+
+            if args.dedup_store_kind == "band":
+                store = BandBucketStore.open(spark, args.dedup_store)
+            else:
+                store = FingerprintStore(spark, args.dedup_store)
+            info = store.compact(
+                expire_run_tag=args.dedup_store_expire_run,
+                expire_below_batch=args.dedup_store_expire_below,
+            )
+            print(f"dedup store compacted: {info}")
         if args.expire_snapshots:
             from ..compact import expire_snapshots
 

@@ -193,12 +193,22 @@ def compact_partition(
     fs=None,
     zorder_by: list[str] | None = None,
     file_stats_for: list[str] | None = None,
+    allow_unbucket: bool = False,
 ) -> int:
     """Rewrite one day-partition to ~target_bytes files. Returns the file
     count written. ≙ `Dcache_kafka_to_hive.py:376-385` minus the staging
     table and the repartition(1) shuffle. ``known_bytes``: partition size
     already measured by the caller (only_needed's stats pass) — skips a
     second full metadata listing of the same directory.
+
+    Refuses BUCKETED data files (the ``_NNNNN`` bucket-id suffix Spark
+    writes for bucketBy tables) unless ``allow_unbucket=True``: this
+    rewrite is a plain coalesce that would silently destroy the bucket
+    layout the fingerprint/band stores and co-located joins rely on —
+    every later "bucket-local" read would return wrong joins, not
+    errors. Bucketed stores compact through
+    ``operators.dedup.rewrite_bucketed_table`` instead, which preserves
+    the layout.
 
     ``cluster_by``: optionally range-partition + sort the rewrite on the
     given columns, so each output file covers a disjoint key range and
@@ -221,6 +231,23 @@ def compact_partition(
     tmp = os.path.join(path, f"._compact_new_{partition}")
     retired = os.path.join(path, f"._compact_old_{partition}")
     recover_crashed_compactions(path, only=partition, fs=fs)
+    import re as _re
+
+    bucketed = [
+        name
+        for name, _sz in _partition_files(fs, path, partition)
+        if _re.search(r"_\d{5}\.c\d{3}\.", name)
+    ]
+    if bucketed and not allow_unbucket:
+        raise ValueError(
+            f"compact_partition: partition {partition!r} of {path} holds "
+            f"{len(bucketed)} BUCKETED data file(s) (e.g. {bucketed[0]}) — "
+            "a coalesce rewrite would silently destroy the bucket layout "
+            "that bucket-local joins and the fingerprint/band stores "
+            "depend on. Use operators.dedup.rewrite_bucketed_table (which "
+            "preserves the layout), or pass allow_unbucket=True to "
+            "deliberately flatten it."
+        )
     size = (
         known_bytes
         if known_bytes is not None

@@ -16,7 +16,7 @@ Four tiers, all shuffle-architected for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -479,9 +479,68 @@ class FingerprintStore:
         self.spark = spark
         self.table = table
         self.n_buckets = n_buckets
+        heal_bucketed_rewrite(spark, table)  # finish a crashed compact()
 
     def exists(self) -> bool:
         return self.spark.catalog.tableExists(self.table)
+
+    def compact(
+        self,
+        *,
+        expire_run_tag: str | None = None,
+        expire_below_batch: int | None = None,
+    ) -> dict[str, int]:
+        """Lifecycle maintenance for the seen-fp store — the one
+        warehouse artifact that previously grew without bound:
+
+        - reclaim duplicate ``fp`` rows (crash-replay residue of
+          ``commit``): one survivor per fingerprint, deterministically
+          the lexicographically-least (batch_tag, first_doc_id) row.
+          Replay safety holds because duplicate rows of one fp are
+          produced by replays of the SAME batch and therefore share a
+          tag — the survivor still carries the tag a replayed screen
+          excludes;
+        - optional RETENTION mirroring ``compact.expire_snapshots``'
+          horizon pattern: drop entries committed by ``expire_run_tag``
+          with batch id < ``expire_below_batch`` (both required
+          together), so a corpus whose old partitions were expired can
+          re-admit their content instead of remembering it forever.
+          NULL-tagged and foreign-run entries are untouched.
+
+        The rewrite goes through ``rewrite_bucketed_table``: the
+        bucketed-on-fp layout (and with it the no-Exchange seen-check
+        plan) survives, small crash-replay append files collapse to
+        ``n_buckets`` files, and a crash mid-swap self-heals on the
+        next store open. Returns row counts before/after."""
+        if (expire_run_tag is None) != (expire_below_batch is None):
+            raise ValueError(
+                "pass expire_run_tag and expire_below_batch together"
+            )
+        if not self.exists():
+            return {"rows_before": 0, "rows_after": 0}
+        df = self.spark.table(self.table)
+        before = df.count()
+        if expire_run_tag is not None:
+            df = df.where(
+                _expired_tag_filter(expire_run_tag, expire_below_batch)
+            )
+        if "batch_tag" in df.columns:
+            w = Window.partitionBy("fp").orderBy(
+                F.col("batch_tag").asc_nulls_first(),
+                F.col("first_doc_id").asc(),
+            )
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            df = df.dropDuplicates(["fp"])
+        rewrite_bucketed_table(self.spark, self.table, df)
+        return {
+            "rows_before": before,
+            "rows_after": self.spark.table(self.table).count(),
+        }
 
     def screen(
         self,
@@ -628,10 +687,26 @@ class BandBucketStore:
         self.shingle_n = shingle_n
         self.threshold = threshold
         self.n_buckets = n_buckets
+        heal_bucketed_rewrite(spark, table)  # finish a crashed compact()
+        heal_bucketed_rewrite(spark, self._sigs_table())
         if self.exists():
             self._validate_params()
 
     # -- layout-contract plumbing ------------------------------------
+
+    @classmethod
+    def open(cls, spark: SparkSession, table: str, **overrides) -> "BandBucketStore":
+        """Open an EXISTING store adopting its recorded banding params
+        (the layout contract) — the maintenance/CLI entry point, where
+        the caller cannot know what parameters the store was created
+        with. ``overrides`` may set non-contract knobs (threshold,
+        n_buckets)."""
+        params_table = f"{table}_params"
+        if spark.catalog.tableExists(params_table):
+            row = spark.table(params_table).first()
+            for k in ("num_hashes", "bands", "rows_per_band", "shingle_n"):
+                overrides.setdefault(k, int(getattr(row, k)))
+        return cls(spark, table, **overrides)
 
     def _params_table(self) -> str:
         return f"{self.table}_params"
@@ -829,6 +904,58 @@ class BandBucketStore:
             ):
                 cols = self.spark.table(table).columns
                 frame.select(*cols).write.insertInto(table)
+
+    def compact(
+        self,
+        *,
+        expire_run_tag: str | None = None,
+        expire_below_batch: int | None = None,
+    ) -> dict[str, int]:
+        """Same lifecycle contract as ``FingerprintStore.compact``, over
+        both store tables: reclaim crash-replay duplicate rows (one
+        survivor per band posting / per doc signature), optionally
+        expire batch-tagged entries below a run horizon, and rewrite
+        through ``rewrite_bucketed_table`` so both bucket layouts — and
+        the no-Exchange screen plan — survive. A doc expired from the
+        sig table loses its band postings in the same pass (the two
+        tables stay consistent because the same tag filter applies to
+        both)."""
+        if (expire_run_tag is None) != (expire_below_batch is None):
+            raise ValueError(
+                "pass expire_run_tag and expire_below_batch together"
+            )
+        if not self.exists():
+            return {"rows_before": 0, "rows_after": 0}
+        out = {}
+        for table, keys in (
+            (self.table, ["band_id", "band_hash"]),
+            (self._sigs_table(), None),
+        ):
+            df = self.spark.table(table)
+            id_col = [
+                c for c in df.columns
+                if c not in {"band_id", "band_hash", "sig", "batch_tag"}
+            ][0]
+            before = df.count()
+            if expire_run_tag is not None:
+                df = df.where(
+                    _expired_tag_filter(expire_run_tag, expire_below_batch)
+                )
+            dedup_keys = (keys or []) + [id_col]
+            w = Window.partitionBy(*dedup_keys).orderBy(
+                F.col("batch_tag").asc_nulls_first()
+            )
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            rewrite_bucketed_table(self.spark, table, df)
+            out[table] = {
+                "rows_before": before,
+                "rows_after": self.spark.table(table).count(),
+            }
+        return out
 
 
 def prefix_duplicate_groups(
