@@ -5489,6 +5489,104 @@ def q_llm_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_nll(docs, "doc_id", "text").orderBy("doc_id")
 
 
+_EMPTY_INC_ROLLUP_ORACLE = """
+    SELECT CAST(NULL AS VARCHAR) AS partition_date,
+           CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS VARCHAR) AS side,
+           CAST(NULL AS BIGINT) AS n_events,
+           CAST(NULL AS DOUBLE) AS sum_value
+    WHERE FALSE
+"""
+
+
+@register("q_billing_incremental_rollup_check", _EMPTY_INC_ROLLUP_ORACLE)
+def q_billing_incremental_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view gate (expected EMPTY): ingest the
+    events table as three exactly-once batches into a scratch route
+    table, fold each increment into a persisted rollup via the change
+    feed (rollup.IncrementalRollup over read_table_changes), and emit
+    every (day × event_type) cell where the incrementally-maintained
+    rollup differs from the full recompute — in EXACT decimal, so
+    fold-order float drift cannot mask or fake a diff. A symmetric
+    diff row carries which ``side`` had it; ``guard`` fires if the
+    rollup came out empty (the events table is never empty, so an
+    empty rollup is a broken fold, not a clean pass).
+
+    This is the reference's daily-billing-summary shape maintained
+    WITHOUT rescanning history: each fold reads only the increment's
+    batch-named files. Scratch state (table dir + rollup versions)
+    lives in a tmp dir and is deleted before returning."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..rollup import IncrementalRollup
+    from ..sink import write_partitioned_batch
+
+    out_schema = (
+        "partition_date string, event_type string, side string, "
+        "n_events bigint, sum_value double"
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("partition_date"),
+        "event_type",
+        "value",
+    )
+    tmp = _tempfile.mkdtemp(prefix="rollup_check_")
+    try:
+        table = f"{tmp}/events_route"
+        ru = IncrementalRollup(
+            spark,
+            table,
+            f"{tmp}/rollup",
+            keys=["partition_date", "event_type"],
+            aggs={
+                "n_events": ("count",),
+                "sum_value": ("sum", F.col("value").cast("decimal(28,10)")),
+            },
+        )
+        for b in range(3):
+            write_partitioned_batch(
+                events.where(F.pmod("event_id", F.lit(3)) == b), table, b
+            )
+            ru.fold()
+        norm = lambda df: df.select(  # noqa: E731
+            F.col("partition_date").cast("string").alias("partition_date"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("sum_value").cast("decimal(28,10)").alias("sum_value"),
+        )
+        inc, full = norm(ru.read()), norm(ru.recompute())
+        diff = inc.exceptAll(full).withColumn(
+            "side", F.lit("rollup_only")
+        ).unionByName(
+            full.exceptAll(inc).withColumn("side", F.lit("recompute_only"))
+        )
+        guard = (
+            inc.agg(F.count("*").alias("n"))
+            .where(F.col("n") == 0)
+            .select(
+                F.lit("-").alias("partition_date"),
+                F.lit("-").alias("event_type"),
+                F.lit("guard").alias("side"),
+                F.lit(-1).cast("bigint").alias("n_events"),
+                F.lit(-1.0).cast("decimal(28,10)").alias("sum_value"),
+            )
+        )
+        rows = (
+            diff.unionByName(guard)
+            .select(
+                "partition_date", "event_type", "side", "n_events",
+                F.col("sum_value").cast("double").alias("sum_value"),
+            )
+            .limit(100)
+            .collect()
+        )
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
+
+
 _EMPTY_INC_NEAR_DUP_ORACLE = """
     SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS kind,
            CAST(NULL AS DOUBLE) AS max_exact_jaccard

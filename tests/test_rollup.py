@@ -1,0 +1,151 @@
+"""IncrementalRollup: change-feed-maintained aggregates must equal the
+full recompute exactly — across multiple folds, crash replays,
+compaction of the base table, and post-compaction ingest."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.rollup import (
+    IncrementalRollup,
+)
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sink import (
+    write_partitioned_batch,
+)
+
+SCHEMA = "event_id long, partition_date string, event_type string, value double"
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rollup(spark, tmp_path):
+    return IncrementalRollup(
+        spark,
+        str(tmp_path / "t"),
+        str(tmp_path / "r"),
+        keys=["partition_date", "event_type"],
+        aggs={
+            "n": ("count",),
+            "sv": ("sum", F.col("value").cast("decimal(28,10)")),
+            "mx": ("max", "value"),
+        },
+    )
+
+
+def _assert_equal(ru):
+    got = {tuple(r) for r in ru.read().collect()}
+    want = {tuple(r) for r in ru.recompute().collect()}
+    assert got == want and got
+
+
+def test_rollup_folds_equal_recompute(spark, tmp_path):
+    t = str(tmp_path / "t")
+    b0 = _batch(spark, [(1, "2024-03-01", "a", 1.5), (2, "2024-03-01", "b", 2.0)])
+    b1 = _batch(spark, [(3, "2024-03-01", "a", 0.25), (4, "2024-03-02", "a", 4.0)])
+    b2 = _batch(spark, [(5, "2024-03-02", "a", 8.0)])
+    ru = _rollup(spark, tmp_path)
+
+    write_partitioned_batch(b0, t, 0)
+    st = ru.fold()
+    assert (st["version"], st["last_batch"], st["folded_batches"]) == (1, 0, 1)
+    _assert_equal(ru)
+
+    write_partitioned_batch(b1, t, 1)
+    write_partitioned_batch(b2, t, 2)
+    st = ru.fold()
+    assert (st["version"], st["last_batch"]) == (2, 2)
+    _assert_equal(ru)
+    # caught up: fold is a no-op, no new version
+    assert ru.fold()["folded_batches"] == 0
+    assert ru.state()["version"] == 2
+    # spot-check one merged cell: 2024-03-01/a = rows 1 and 3
+    # partition-dir type inference reads the day key back as DATE
+    row = {
+        (str(r.partition_date), r.event_type): r
+        for r in ru.read().collect()
+    }[("2024-03-01", "a")]
+    assert row.n == 2 and float(row.sv) == 1.75 and row.mx == 1.5
+
+
+def test_rollup_crash_replay_converges(spark, tmp_path, monkeypatch):
+    """State write is the commit point: a crash AFTER the new version's
+    parquet lands but BEFORE the state write replays the same increment
+    against the still-current version — same rollup, no double-fold."""
+    t = str(tmp_path / "t")
+    write_partitioned_batch(
+        _batch(spark, [(1, "2024-03-01", "a", 1.0)]), t, 0
+    )
+    ru = _rollup(spark, tmp_path)
+    ru.fold()
+    write_partitioned_batch(
+        _batch(spark, [(2, "2024-03-01", "a", 2.0)]), t, 1
+    )
+    real_write = ru.fs.write_text_atomic
+
+    def dying(path, text):
+        if path.endswith("_rollup_state.json"):
+            raise RuntimeError("crash before state commit")
+        real_write(path, text)
+
+    monkeypatch.setattr(ru.fs, "write_text_atomic", dying)
+    with pytest.raises(RuntimeError, match="crash"):
+        ru.fold()
+    monkeypatch.undo()
+    # v2 parquet exists, but the rollup still reads v1 (torn-free)
+    assert ru.state()["version"] == 1
+    st = ru.fold()  # replay: overwrites v2, then commits the state
+    assert (st["version"], st["last_batch"]) == (2, 1)
+    _assert_equal(ru)
+
+
+def test_rollup_survives_compaction_and_fails_fast_when_behind(
+    spark, tmp_path
+):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.compact import (
+        compact_table,
+    )
+
+    t = str(tmp_path / "t")
+    for b in range(3):
+        write_partitioned_batch(
+            _batch(spark, [(b, "2024-03-01", "a", float(b))]), t, b
+        )
+    # exactly-once tables carry a ledger; compaction records its marker there
+    (tmp_path / "t" / "_ledger.json").write_text(json.dumps([0, 1, 2]))
+    ru = _rollup(spark, tmp_path)
+    ru.fold()
+    _assert_equal(ru)
+
+    compact_table(spark, t)
+    # caught-up rollup: compaction re-delivers nothing, equality holds
+    assert ru.fold()["folded_batches"] == 0
+    _assert_equal(ru)
+
+    # post-compaction ingest keeps folding incrementally
+    write_partitioned_batch(
+        _batch(spark, [(9, "2024-03-02", "b", 9.0)]), t, 3
+    )
+    ru.fold()
+    _assert_equal(ru)
+
+    # a rollup that fell BEHIND the compaction marker fails loudly
+    # instead of silently missing collapsed increments
+    lagging = IncrementalRollup(
+        spark, t, str(tmp_path / "r2"),
+        keys=["partition_date"], aggs={"n": ("count",)},
+    )
+    with pytest.raises(ValueError, match="compaction"):
+        lagging.fold()
+
+
+def test_rollup_rejects_non_decomposable_aggs(spark, tmp_path):
+    with pytest.raises(ValueError, match="not decomposable"):
+        IncrementalRollup(
+            spark, str(tmp_path / "t"), str(tmp_path / "r"),
+            keys=["k"], aggs={"p": ("percentile", "v")},
+        )
