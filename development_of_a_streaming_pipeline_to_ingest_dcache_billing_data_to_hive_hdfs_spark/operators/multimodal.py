@@ -61,18 +61,24 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Payload → FEATURE_DIM feature vector. PNG payloads get a REAL
-    decode (png.py: stdlib zlib + spec unfiltering) and pixel-statistic
-    features; other formats need codecs absent from this container."""
+    decode (png.py: stdlib zlib + spec unfiltering), GIF payloads a REAL
+    LZW decode (gif.py: spec code stream, palettes, interlace,
+    transparency), both through the same pixel-statistic features; other
+    formats need codecs absent from this container."""
     if fake:
         return _fake_decode(payload)
     from .png import decode_png, image_features, is_png
 
     if is_png(payload):
         return image_features(decode_png(payload))
+    from .gif import decode_gif, is_gif
+
+    if is_gif(payload):
+        return image_features(decode_gif(payload))
     raise NotImplementedError(
-        "non-PNG image decode requires Pillow/opencv, not available in "
-        "this environment; PNG decodes for real — pass fake=True for the "
-        "deterministic stub on other formats"
+        "non-PNG/GIF image decode requires Pillow/opencv, not available "
+        "in this environment; PNG and GIF decode for real — pass "
+        "fake=True for the deterministic stub on other formats"
     )
 
 
@@ -94,8 +100,8 @@ def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
 
 
 def _decode_any(payload: bytes, kind: str, fake: bool) -> np.ndarray:
-    """Per-row codec dispatch: image → decode_image (PNG real), audio →
-    decode_audio (WAV real), video → honest gate (pyav absent)."""
+    """Per-row codec dispatch: image → decode_image (PNG + GIF real),
+    audio → decode_audio (WAV real), video → honest gate (pyav absent)."""
     if fake:
         return _fake_decode(payload)
     if kind == "audio":

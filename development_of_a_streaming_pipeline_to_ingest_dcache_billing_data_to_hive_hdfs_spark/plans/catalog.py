@@ -2540,7 +2540,11 @@ def q_llm_multimodal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       invariance, the decoded luma-mean feature must equal the
       CLOSED-FORM mean ((media_id%200 + 24.5)/255 — row r of image v is
       the constant v+7r) the JVM computes independently — a genuine
-      pixel-correctness check on the codec, not just plumbing.
+      pixel-correctness check on the codec, not just plumbing;
+    - *real GIF decode*: the same closed-form construction through the
+      LZW codec (gif.py) — deterministic 8×8 palette GIFs written
+      in-executor, decoded with ``fake=False``, luma mean checked
+      against 16·(media_id%8 + 3.5)/255.
     """
     from ..operators.multimodal import FEATURE_DIM
 
@@ -2657,8 +2661,123 @@ def q_llm_multimodal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("degenerate_no_png_media").alias("reason"),
         )
     )
+
+    # Real GIF leg: same closed-form idea through the OTHER real image
+    # codec (gif.py LZW). Row r of image v is the constant palette
+    # index v+r over a 16-gray staircase palette (index i → i*16), so
+    # the decoded luma mean is 16·(v+3.5)/255 with v = media_id % 8 —
+    # ground truth the JVM computes without decoding. The in-query
+    # writer emits the spec's no-compression construction (literal root
+    # codes, CLEAR before the decoder's table would width-bump), which
+    # exercises the decoder's CLEAR handling on every payload; the
+    # compressed/KwKwK/interlace paths are covered by the independent
+    # encoder in tests/test_gif_codec.py.
+    def _gen_gif(batches):
+        import struct as _st
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _tiny_gif(indices: _np.ndarray) -> bytes:
+            fh, fw = indices.shape
+            out = bytearray(b"GIF89a")
+            out += _st.pack("<HHBBB", fw, fh, 0x80 | 3, 0, 0)  # 16-color global
+            pal = _np.repeat(
+                (_np.arange(16, dtype=_np.uint8) * 16)[:, None], 3, axis=1
+            )
+            out += pal.tobytes()
+            out += b"\x2c" + _st.pack("<HHHHB", 0, 0, fw, fh, 0)
+            clear, eoi, width = 16, 17, 5
+            codes, budget = [clear], (1 << width) - 1 - eoi
+            for px in indices.ravel():
+                if budget == 0:
+                    codes.append(clear)
+                    budget = (1 << width) - 1 - eoi
+                codes.append(int(px))
+                budget -= 1
+            codes.append(eoi)
+            acc = nb = 0
+            data = bytearray()
+            for c in codes:
+                acc |= c << nb
+                nb += width
+                while nb >= 8:
+                    data.append(acc & 0xFF)
+                    acc >>= 8
+                    nb -= 8
+            if nb:
+                data.append(acc & 0xFF)
+            out.append(4)  # LZW min code size
+            for i in range(0, len(data), 255):
+                chunk = data[i : i + 255]
+                out.append(len(chunk))
+                out += chunk
+            out += b"\x00\x3b"
+            return bytes(out)
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                v = int(mid) % 8
+                idx = _np.repeat(v + _np.arange(8, dtype=_np.uint8), 8).reshape(8, 8)
+                payloads.append(_tiny_gif(idx))
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "mime": "image/gif",
+                    "payload": payloads,
+                    "width": 8,
+                    "height": 8,
+                    "duration_ms": _np.zeros(len(pdf), dtype=_np.int64),
+                }
+            )
+
+    gif_media = (
+        media.select("media_id")
+        .where(F.col("media_id") < 48)
+        .mapInPandas(_gen_gif, MEDIA_SCHEMA)
+        .localCheckpoint()
+    )
+    gif_real = extract_features(gif_media, fake=False)
+    gif_pairwise = (
+        gif_media.select("media_id")
+        .join(
+            gif_real.select("media_id", F.col("features").alias("feat_g")),
+            "media_id",
+            "full",
+        )
+        .withColumn(
+            "exp_luma",
+            (F.lit(16.0) * ((F.col("media_id") % 8) + F.lit(3.5))) / F.lit(255.0),
+        )
+        .select(
+            "media_id",
+            F.when(F.col("feat_g").isNull(), "gif_missing_row")
+            .when(F.size("feat_g") != FEATURE_DIM, "gif_bad_feature_dim")
+            .when(
+                F.abs(F.element_at("feat_g", 1) - F.col("exp_luma")) > 2e-3,
+                "gif_luma_mismatch",
+            )
+            .alias("reason"),
+        )
+        .where(F.col("reason").isNotNull())
+    )
+    gif_guard = (
+        gif_media.agg(F.count("*").alias("n"))
+        .where(F.col("n") == 0)
+        .select(
+            F.lit(-3).cast("long").alias("media_id"),
+            F.lit("degenerate_no_gif_media").alias("reason"),
+        )
+    )
     return (
-        pairwise.union(dupes).union(guard).union(real_pairwise).union(real_guard)
+        pairwise.union(dupes)
+        .union(guard)
+        .union(real_pairwise)
+        .union(real_guard)
+        .union(gif_pairwise)
+        .union(gif_guard)
     )
 
 

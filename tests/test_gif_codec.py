@@ -1,0 +1,310 @@
+"""Spec evidence for the pure-stdlib GIF decoder (operators/gif.py).
+
+The LZW decoder is tested against an INDEPENDENT test-side encoder
+written here directly from the GIF89a specification — it builds its own
+string table with a dict (a completely different data structure from
+the decoder's prefix-chain arrays) and emits the variable-width
+little-endian code stream byte by byte. A round-trip through a decoder
+twin would only prove self-consistency; encode→decode across two
+independent implementations of the spec proves both.
+
+Two encoder modes give two kinds of evidence:
+- ``compress=True``: real LZW with dictionary growth and width bumps,
+  exercising the decoder's KwKwK case and code-width transitions;
+- ``compress=False``: the classic no-compression construction (literal
+  root codes with periodic CLEARs), exercising CLEAR-code resets.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.gif import (
+    decode_gif,
+    gif_info,
+    is_gif,
+)
+
+# ---------------------------------------------------------------------
+# independent test-side encoder (GIF89a spec appendix F), dict-based LZW
+# ---------------------------------------------------------------------
+
+
+class _BitWriter:
+    """LSB-first bit packer (GIF code streams are little-endian)."""
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def write(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = self.nbits = 0
+        return bytes(self.out)
+
+
+def _lzw_encode_ref(indices: np.ndarray, min_code_size: int, compress: bool) -> bytes:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    w = _BitWriter()
+    width = min_code_size + 1
+    if not compress:
+        # literal roots with a CLEAR every m codes, m chosen so the
+        # decoder's dictionary (which grows one slot per code after the
+        # first) never reaches 2^width — i.e. it never width-bumps while
+        # we keep writing at the base width
+        w.write(clear, width)
+        budget = (1 << width) - 1 - eoi
+        assert budget > 0
+        for px in np.ravel(indices):
+            if budget == 0:
+                w.write(clear, width)
+                budget = (1 << width) - 1 - eoi
+            w.write(int(px), width)
+            budget -= 1
+        w.write(eoi, width)
+        return w.flush()
+
+    table: dict[bytes, int] = {bytes([c]): c for c in range(clear)}
+    next_code = eoi + 1
+    w.write(clear, width)
+    run = b""
+    for px in np.ravel(indices):
+        candidate = run + bytes([int(px)])
+        if candidate in table:
+            run = candidate
+            continue
+        w.write(table[run], width)
+        if next_code < 4096:
+            table[candidate] = next_code
+            next_code += 1
+            # width bumps between the emission whose add reaches
+            # 2^width and the next one (the decoder mirrors this off
+            # its own next-slot counter)
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            w.write(clear, width)
+            width = min_code_size + 1
+            table = {bytes([c]): c for c in range(clear)}
+            next_code = eoi + 1
+        run = bytes([int(px)])
+    if run:
+        w.write(table[run], width)
+    w.write(eoi, width)
+    return w.flush()
+
+
+def _subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif_ref(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    *,
+    compress: bool = True,
+    interlace: bool = False,
+    transparent_index: int = -1,
+    background_index: int = 0,
+    frame_offset: tuple[int, int] = (0, 0),
+    screen: tuple[int, int] | None = None,
+    local_palette: bool = False,
+) -> bytes:
+    """Test-side GIF89a writer: logical screen + (optionally offset /
+    interlaced / locally-paletted / transparent) single frame."""
+    fh, fw = indices.shape
+    left, top = frame_offset
+    sw, sh = screen if screen else (fw + left, fh + top)
+    n_colors = len(palette)
+    assert n_colors in (2, 4, 8, 16, 32, 64, 128, 256)
+    depth = n_colors.bit_length() - 1
+    out = bytearray(b"GIF89a")
+    gpacked = (0x80 | (depth - 1)) if not local_palette else 0x00
+    out += struct.pack("<HHBBB", sw, sh, gpacked, background_index, 0)
+    if not local_palette:
+        out += palette.astype(np.uint8).tobytes()
+    if transparent_index >= 0:
+        out += b"\x21\xf9" + _subblocks(struct.pack("<BHB", 0x01, 0, transparent_index))
+    ipacked = (0x40 if interlace else 0) | ((0x80 | (depth - 1)) if local_palette else 0)
+    out += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, ipacked)
+    if local_palette:
+        out += palette.astype(np.uint8).tobytes()
+    if interlace:
+        rows = np.concatenate(
+            [indices[s::p] for s, p in ((0, 8), (4, 8), (2, 4), (1, 2))]
+        )
+    else:
+        rows = indices
+    min_code_size = max(2, depth)
+    out.append(min_code_size)
+    out += _subblocks(_lzw_encode_ref(rows, min_code_size, compress))
+    out.append(0x3B)
+    return bytes(out)
+
+
+def _rand_image(rng, h, w, n_colors):
+    indices = rng.integers(0, n_colors, size=(h, w), dtype=np.uint8)
+    palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    return indices, palette
+
+
+# ---------------------------------------------------------------------
+# decoder vs independent encoder
+# ---------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n_colors", [2, 4, 16, 256])
+@pytest.mark.parametrize("compress", [True, False])
+def test_decode_matches_reference_encoder(n_colors, compress):
+    rng = np.random.default_rng(7 * n_colors + compress)
+    indices, palette = _rand_image(rng, 23, 17, n_colors)
+    payload = encode_gif_ref(indices, palette, compress=compress)
+    decoded = decode_gif(payload)
+    assert decoded.shape == (23, 17, 3)
+    np.testing.assert_array_equal(decoded, palette[indices])
+
+
+def test_decode_repetitive_image_exercises_kwkwk():
+    """Long single-color runs drive the encoder into back-to-back
+    dictionary self-references — the decoder's KwKwK branch."""
+    indices = np.zeros((64, 64), dtype=np.uint8)
+    indices[::7] = 1  # occasional breaks so the dict keeps growing
+    palette = np.array([[250, 0, 0], [0, 250, 0], [9, 9, 9], [1, 2, 3]], dtype=np.uint8)
+    payload = encode_gif_ref(indices, palette, compress=True)
+    np.testing.assert_array_equal(decode_gif(payload), palette[indices])
+
+
+def test_decode_interlaced():
+    rng = np.random.default_rng(11)
+    indices, palette = _rand_image(rng, 19, 8, 16)  # height hits all 4 passes
+    payload = encode_gif_ref(indices, palette, interlace=True)
+    np.testing.assert_array_equal(decode_gif(payload), palette[indices])
+
+
+def test_decode_local_palette():
+    rng = np.random.default_rng(13)
+    indices, palette = _rand_image(rng, 9, 9, 8)
+    payload = encode_gif_ref(indices, palette, local_palette=True)
+    np.testing.assert_array_equal(decode_gif(payload), palette[indices])
+
+
+def test_transparency_composites_over_background():
+    palette = np.array(
+        [[10, 20, 30], [200, 100, 50], [0, 0, 0], [255, 255, 255]], dtype=np.uint8
+    )
+    indices = np.array([[1, 2], [2, 1]], dtype=np.uint8)
+    payload = encode_gif_ref(
+        indices, palette, transparent_index=2, background_index=3
+    )
+    decoded = decode_gif(payload)
+    expect = palette[indices].copy()
+    expect[0, 1] = expect[1, 0] = palette[3]  # transparent → background
+    np.testing.assert_array_equal(decoded, expect)
+
+
+def test_frame_offset_composites_on_screen_canvas():
+    palette = np.array([[5, 5, 5], [250, 250, 250]], dtype=np.uint8)
+    indices = np.ones((2, 3), dtype=np.uint8)
+    payload = encode_gif_ref(
+        indices, palette, frame_offset=(4, 1), screen=(10, 6), background_index=0
+    )
+    decoded = decode_gif(payload)
+    assert decoded.shape == (6, 10, 3)
+    np.testing.assert_array_equal(decoded[1:3, 4:7], palette[indices])
+    assert (decoded[0] == palette[0]).all()  # untouched canvas = background
+    assert (decoded[:, :4] == palette[0]).all()
+
+
+def test_gif_info_header_probe():
+    rng = np.random.default_rng(3)
+    indices, palette = _rand_image(rng, 5, 12, 16)
+    info = gif_info(encode_gif_ref(indices, palette))
+    assert info == {
+        "version": "89a",
+        "width": 12,
+        "height": 5,
+        "global_palette": True,
+        "palette_size": 16,
+        "background_index": 0,
+    }
+
+
+def test_is_gif_and_rejections():
+    assert not is_gif(None)
+    assert not is_gif(b"PNG\r\n")
+    assert is_gif(b"GIF87a" + b"\x00" * 7)
+    with pytest.raises(ValueError):
+        decode_gif(b"not a gif at all")
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a\x02\x00")  # truncated screen descriptor
+    rng = np.random.default_rng(5)
+    indices, palette = _rand_image(rng, 6, 6, 4)
+    good = encode_gif_ref(indices, palette)
+    with pytest.raises(ValueError):
+        decode_gif(good[:20])  # truncated mid-stream
+    with pytest.raises(ValueError):
+        decode_gif(good[:-10] + b"\x3b")  # LZW stream cut short
+    # ValueError (not struct.error or IndexError) is the whole contract:
+    # ANY truncation point must surface as the typed rejects-table error
+    for cut in range(1, len(good)):
+        try:
+            decode_gif(good[:cut])
+        except ValueError:
+            pass
+
+
+def test_decode_image_dispatches_gif():
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_image,
+    )
+
+    rng = np.random.default_rng(17)
+    indices, palette = _rand_image(rng, 16, 16, 16)
+    feats = decode_image(encode_gif_ref(indices, palette))
+    assert feats.shape == (FEATURE_DIM,)
+    assert np.isfinite(feats).all()
+    # features are the same pixel-statistic family PNG uses: luma mean
+    # of the decoded array must match a hand computation
+    arr = palette[indices].astype(np.float32) / 255.0
+    luma = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+    assert feats[0] == pytest.approx(float(luma.mean()), abs=1e-6)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    depth=st.sampled_from([1, 2, 4, 8]),
+    compress=st.booleans(),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_property_reference_encode_decode_identity(h, w, depth, compress, interlace, seed):
+    rng = np.random.default_rng(seed)
+    indices, palette = _rand_image(rng, h, w, 1 << depth)
+    payload = encode_gif_ref(
+        indices, palette, compress=compress, interlace=interlace
+    )
+    np.testing.assert_array_equal(decode_gif(payload), palette[indices])
