@@ -5706,6 +5706,117 @@ def q_billing_incremental_rollup_check(spark: SparkSession, sf_dir: str) -> Data
     return spark.createDataFrame(rows, out_schema)
 
 
+_EMPTY_CHANGE_FEED_ORACLE = """
+    SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
+    WHERE FALSE
+"""
+
+
+@register("q_billing_change_feed_check", _EMPTY_CHANGE_FEED_ORACLE)
+def q_billing_change_feed_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-format-trio gate (expected EMPTY): one scratch route table,
+    three exactly-once batches, and every contract of the change-feed /
+    time-travel / compaction-marker surface audited end to end:
+
+    - ``bad_batch_id_b``: an increment ``(b-1, b]`` row whose derived
+      ``_batch_id`` isn't ``b`` (scan-stage regexp off input_file_name);
+    - ``increments_ne_table``: the three increments, unioned, differ
+      from the full table read — including the ``since_batch=-1``
+      sentinel increment that must deliver batch 0 (the round-5
+      advisory's unreachable-first-batch bug, kept fixed);
+    - ``asof_ne_prefix``: ``read_table_as_of(1)`` differs from batches
+      0-1 (metadata-only snapshot off the batch-named layout);
+    - ``asof_pre_marker_not_refused`` / ``changes_pre_marker_not_refused``:
+      after ``compact_table`` (which records ``_compacted_as_of``), a
+      snapshot or increment below the marker must FAIL LOUD — the
+      silent-wrong-data path the round-5 advisory flagged; a read that
+      succeeds is the violation;
+    - ``asof_at_marker_ne_table``: the at-marker snapshot after
+      compaction must still equal the full table (compaction rewrites
+      layout, never content);
+    - ``guard``: the events table is never empty, so an empty scratch
+      table means the fixture broke — fail, don't vacuously pass.
+
+    Scratch state lives in a tmp dir and is deleted before returning;
+    the result frame is a local re-materialization."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..compact import compact_table
+    from ..sink import BatchLedger, write_partitioned_batch
+    from ..sources.tables import read_table_as_of, read_table_changes
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("partition_date"),
+        "event_type",
+        "value",
+    )
+    tmp = _tempfile.mkdtemp(prefix="change_feed_check_")
+    viol: list[tuple[str, int]] = []
+    try:
+        table = f"{tmp}/events_route"
+        # the production shape: files promote, THEN the ledger commits —
+        # the ledger is what lets compaction pin its _compacted_as_of
+        # marker to the max committed batch
+        ledger = BatchLedger(f"{table}/_ledger.json")
+        for b in range(3):
+            write_partitioned_batch(
+                events.where(F.pmod("event_id", F.lit(3)) == b), table, b
+            )
+            ledger.commit(b)
+        ids = lambda df: df.select(  # noqa: E731
+            F.col("event_id").cast("bigint").alias("event_id")
+        )
+        full = ids(spark.read.parquet(table))
+        n_full = full.count()
+        if n_full == 0:
+            viol.append(("guard", -1))
+        incs = [read_table_changes(spark, table, b - 1, b) for b in range(3)]
+        for b, inc in enumerate(incs):
+            n_bad = inc.where(
+                F.col("_batch_id").isNull() | (F.col("_batch_id") != b)
+            ).count()
+            if n_bad:
+                viol.append((f"bad_batch_id_{b}", n_bad))
+        union_incs = ids(incs[0])
+        for inc in incs[1:]:
+            union_incs = union_incs.unionByName(ids(inc))
+        d = union_incs.exceptAll(full).count() + full.exceptAll(union_incs).count()
+        if d:
+            viol.append(("increments_ne_table", d))
+        asof1 = ids(read_table_as_of(spark, table, 1))
+        prefix = ids(events.where(F.pmod("event_id", F.lit(3)) < 2))
+        d = asof1.exceptAll(prefix).count() + prefix.exceptAll(asof1).count()
+        if d:
+            viol.append(("asof_ne_prefix", d))
+        compact_table(spark, table)
+        try:
+            read_table_as_of(spark, table, 0).count()
+            viol.append(("asof_pre_marker_not_refused", 1))
+        except ValueError:
+            pass
+        try:
+            read_table_changes(spark, table, -1).count()
+            viol.append(("changes_pre_marker_not_refused", 1))
+        except ValueError:
+            pass
+        # compare against the SOURCE expectation, not the pre-compaction
+        # DataFrame: its file index snapshot predates the rewrite and
+        # would chase deleted batch files
+        expect_full = ids(events)
+        asof2 = ids(read_table_as_of(spark, table, 2))
+        d = (
+            asof2.exceptAll(expect_full).count()
+            + expect_full.exceptAll(asof2).count()
+        )
+        if d:
+            viol.append(("asof_at_marker_ne_table", d))
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(viol, "kind string, n bigint")
+
+
 _EMPTY_INC_NEAR_DUP_ORACLE = """
     SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS kind,
            CAST(NULL AS DOUBLE) AS max_exact_jaccard
