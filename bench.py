@@ -217,6 +217,140 @@ def bench_ingest(spark, n_records: int = 50_000) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+SCALE_PROBE_OPS = {
+    # op -> table it scans (the one the probe replicates)
+    "q_llm_span_dedup": "documents",
+    "q_llm_minhash_pairs": "documents",
+    "q_llm_kmeans": "embeddings",
+    "q_llm_pq_topk": "embeddings",
+    "q_rel_table_profile": "lineitem",
+    "q_rel_table_profile_approx": "lineitem",
+}
+
+
+def bench_scale_probe(spark, sf_dir: str, factor: int = 10) -> dict:
+    """Shuffle-GROWTH probe: run the heaviest operators at 1× and
+    ``factor``× the corpus and record wall-time AND shuffled-byte
+    ratios — the measured curve behind every "scales to 100 TB" claim
+    (a plan that looks right can still grow super-linearly; this is
+    the artifact that shows whether it does).
+
+    Replication is id-offset + CONTENT-PERTURBED so the blow-up the
+    probe measures is data growth, not artificial duplication:
+
+    - documents: replica k's text goes through a BIJECTIVE character
+      substitution (Caesar rotation by k over a-z/A-Z). A bijection on
+      characters maps each doc's shingle/token-window set bijectively,
+      so every replica preserves the corpus' internal similarity
+      structure EXACTLY (per-replica LSH pairs = the 1x count — an
+      additive-token perturbation was measured inflating char-trigram
+      Jaccard ~19x by flooding docs with the shared suffix trigrams),
+      while any letter-bearing shingle differs across replicas, keeping
+      copies near-dup-disjoint (10 identical copies would put every doc
+      in a 10-member bucket and measure the k² pair explosion, not
+      scaling). Digit-only windows survive rotation unchanged —
+      negligible at shingle_n=3 / n=8 windows;
+    - embeddings: deterministic per-replica jitter keeps the geometry
+      from collapsing onto coincident points;
+    - lineitem: key-offset copies (value distributions preserved).
+
+    Both scales are written fresh to a temp dir (same file layout, so
+    1× isn't advantaged by the original's packing), timed min-of-2
+    after a warm-up, shuffle bytes from the executed plan's SQLMetrics.
+    """
+    import shutil
+    import tempfile
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.metrics import (
+        collect_plan_metrics,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sources.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="bench_scale_")
+    out: dict[str, dict] = {}
+    try:
+        dirs = {1: os.path.join(tmp, "x1"), factor: os.path.join(tmp, "x10")}
+        for d in dirs.values():
+            os.makedirs(d)
+        for table in sorted(set(SCALE_PROBE_OPS.values())):
+            base = load_table(spark, sf_dir, table)
+            id_col = {"documents": "doc_id", "embeddings": "vec_id",
+                      "lineitem": "l_orderkey"}[table]
+            offset = 100_000_000
+            for mult, d in dirs.items():
+                reps = []
+                for k in range(mult):
+                    r = base.withColumn(
+                        id_col, F.col(id_col) + F.lit(k * offset)
+                    )
+                    if k and table == "documents":
+                        lower = "abcdefghijklmnopqrstuvwxyz"
+                        rot = lower[k:] + lower[:k]
+                        r = r.withColumn(
+                            "text",
+                            F.translate(
+                                "text",
+                                lower + lower.upper(),
+                                rot + rot.upper(),
+                            ),
+                        )
+                    if k and table == "embeddings":
+                        r = r.withColumn(
+                            "embedding",
+                            F.expr(
+                                f"transform(embedding, (x, i) -> x + "
+                                f"{k} * 0.003 * (pmod(hash(vec_id, i), 11) - 5))"
+                            ),
+                        )
+                    reps.append(r)
+                frame = reps[0]
+                for r in reps[1:]:
+                    frame = frame.unionByName(r)
+                frame.write.mode("overwrite").parquet(
+                    os.path.join(d, f"{table}.parquet")
+                )
+        for op in SCALE_PROBE_OPS:
+            if op not in ALL_QUERIES:
+                continue
+            row: dict[str, float] = {}
+            try:
+                for mult, d in dirs.items():
+                    best, metrics = float("inf"), {}
+                    for _rep in range(2):
+                        df = ALL_QUERIES[op](spark, d)
+                        t0 = time.perf_counter()
+                        # drive THIS frame's execution so its SQLMetrics
+                        # are the ones read (a noop write compiles a
+                        # separate QueryExecution)
+                        df._jdf.queryExecution().toRdd().count()
+                        dt = time.perf_counter() - t0
+                        if dt < best:
+                            best = dt
+                            metrics = collect_plan_metrics(df)
+                    tag = "1" if mult == 1 else str(mult)
+                    row[f"t{tag}"] = round(best, 3)
+                    row[f"shuffle{tag}"] = metrics.get(
+                        "shuffle_bytes_written", 0
+                    )
+                f = str(factor)
+                if row.get("t1"):
+                    row["t_ratio"] = round(row[f"t{f}"] / row["t1"], 2)
+                if row.get("shuffle1"):
+                    row["shuffle_ratio"] = round(
+                        row[f"shuffle{f}"] / row["shuffle1"], 2
+                    )
+                out[op] = row
+            except Exception as exc:  # noqa: BLE001 — isolate per op
+                out[op] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+        out["_factor"] = factor
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def calibrate(spark) -> float:
     """Host-speed probe: a fixed pure-CPU codegen pipeline (no I/O, no
     shuffle read) timed min-of-3. Round-over-round query timings are
@@ -350,6 +484,24 @@ def main() -> None:
         payload["ingest"] = bench_ingest(spark)
     except Exception as exc:  # noqa: BLE001 — the probe must not DNF the bench
         errors["_ingest_bench"] = _err_head(exc)
+    try:
+        payload["scale_probe"] = bench_scale_probe(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — the probe must not DNF the bench
+        errors["_scale_probe"] = _err_head(exc)
+    # standing sf0.1 full-parity sweep: scripts/run_sf01_parity.py writes
+    # the artifact each round (idle box — running 129 oracle comparisons
+    # inside the bench would double its wall time and contend with the
+    # timed passes); the bench line carries the verdict + artifact path
+    try:
+        par = json.loads((Path(__file__).resolve().parent / "PARITY_SF01.json").read_text())
+        payload["sf01_parity"] = {
+            "n": par.get("n"), "fail": par.get("fail"),
+            "git": par.get("git_head"), "artifact": "PARITY_SF01.json",
+        }
+    except OSError:
+        pass
+    except Exception as exc:  # noqa: BLE001
+        errors["_sf01_parity"] = _err_head(exc)
     if errors:
         payload["errors"] = errors
     if count_errors:
@@ -391,9 +543,28 @@ def main() -> None:
     }
     if "host_calibration_sec" in payload:
         summary["host_calibration_sec"] = payload["host_calibration_sec"]
+    if "sf01_parity" in payload:
+        summary["sf01_parity"] = {
+            "n": payload["sf01_parity"].get("n"),
+            "fail": payload["sf01_parity"].get("fail"),
+        }
+    if "scale_probe" in payload:
+        # ratios only (full per-op times/bytes live in the local payload)
+        sp = payload["scale_probe"]
+        summary["scale_probe"] = {
+            "factor": sp.get("_factor"),
+            **{
+                op: {"t": r.get("t_ratio"), "sh": r.get("shuffle_ratio")}
+                for op, r in sp.items()
+                if isinstance(r, dict) and "error" not in r
+            },
+        }
     line = json.dumps(summary)
     if len(line) > 1500:  # hard driver-capture budget: shed detail, keep totals
         summary.pop("queries", None)
+        line = json.dumps(summary)
+    if len(line) > 1500:
+        summary.pop("scale_probe", None)
         line = json.dumps(summary)
     print(line)
     spark.stop()

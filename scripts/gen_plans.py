@@ -89,5 +89,106 @@ for name, note in NOTES.items():
     # keep the operator tree, drop the verbose per-operator detail section
     tree = plan.split("\n\n")[0]
     out.append(f"## {name}\n\n{note}\n\n`{measured}`\n\n```\n{tree}\n```\n")
+
+# ---- shuffle-growth section: how the heavy ops GROW, measured ----------
+# Numbers come from the latest BENCH_LOCAL_r*.json scale_probe (bench.py
+# bench_scale_probe: content-perturbed 10x corpus replication, min-of-2
+# wall time, shuffle bytes from the executed plan's SQLMetrics). The
+# commentary states the expected asymptote and whether the measured
+# ratio is acceptable — the artifact behind every "scales 100x" claim.
+GROWTH_NOTES = {
+    "q_llm_span_dedup": (
+        "expected ~linear: the counting exchange carries one (fp, doc_id)"
+        " long pair per token window, so shuffle tracks corpus tokens."
+        " Super-linearity here would mean span text leaked back into the"
+        " exchange."
+    ),
+    "q_llm_minhash_pairs": (
+        "expected ~linear in shuffle (8 banded rows per doc into the"
+        " bucket groupBy, then one row per candidate pair through the"
+        " distinct): the probe's per-replica character rotation"
+        " preserves each replica's true Jaccard structure bijectively"
+        " while keeping replicas near-dup-disjoint, so pair output"
+        " tracks data size up to LSH collision variance (rotating the"
+        " alphabet redraws which near-threshold CLUSTERS collide in a"
+        " band, and a k-member cluster moves k^2/2 pairs at once — the"
+        " ratio can sit visibly off the factor in either direction"
+        " without being super-linear growth); in-bucket O(k^2) stays"
+        " bounded by max_bucket_size regardless."
+    ),
+    "q_llm_kmeans": (
+        "expected flat shuffle (ZERO exchanges — partials aggregate"
+        " inside the Arrow op, k rows per task reach the driver) and"
+        " linear time: pure multi-scan Lloyd's. The probe's time ratio"
+        " is the whole story; any shuffle growth at all is a regression."
+    ),
+    "q_llm_pq_topk": (
+        "expected sub-linear shuffle: ADC scores stream map-side against"
+        " broadcast LUTs; only the fixed-size per-query shortlist"
+        " (60 rows/query) plus codebook training sample shuffle, so"
+        " growth comes from the shortlist's TakeOrdered partials, not"
+        " the corpus."
+    ),
+    "q_rel_table_profile": (
+        "expected ~linear with a constant factor of the Expand"
+        " replication (input duplicated once per profiled column before"
+        " the partial aggregate) — the measured reason profile_numeric"
+        " defaults to approx at scale."
+    ),
+    "q_rel_table_profile_approx": (
+        "expected ~flat: the shuffle carries one partial HLL sketch row"
+        " per task regardless of input rows — the 100 TB twin; its ratio"
+        " should stay near the task-count ratio, not the data ratio."
+    ),
+}
+
+def _latest_scale_probe():
+    import json as _json
+    root = __import__("pathlib").Path(__file__).resolve().parents[1]
+    for p in sorted(root.glob("BENCH_LOCAL_r*.json"), reverse=True):
+        try:
+            sp = _json.loads(p.read_text()).get("scale_probe")
+        except Exception:
+            continue
+        if sp:
+            return p.name, sp
+    return None, None
+
+src, sp = _latest_scale_probe()
+if sp:
+    factor = sp.get("_factor", "?")
+    rows = [
+        "## Shuffle growth at corpus scale (measured)",
+        "",
+        f"From `{src}` `scale_probe`: each op runs at 1x and {factor}x a"
+        " content-perturbed replication of its input table (bench.py"
+        " `bench_scale_probe` — replicas are near-dup-disjoint and"
+        " geometry-jittered so the probe measures data GROWTH, not"
+        " artificial duplication), min-of-2 wall time, shuffle bytes from"
+        " the executed plan's SQLMetrics. A time/shuffle ratio near"
+        f" {factor} is linear scaling; well below is fixed-cost-dominated"
+        " or sub-linear by design; well above is super-linear and needs a"
+        " stated reason.",
+        "",
+        f"| op | t 1x (s) | t {factor}x (s) | t ratio | shuffle 1x | "
+        f"shuffle {factor}x | shuffle ratio |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for op, r in sp.items():
+        if not isinstance(r, dict) or "error" in r:
+            continue
+        fk = str(factor)
+        rows.append(
+            f"| {op} | {r.get('t1', '—')} | {r.get('t' + fk, '—')} | "
+            f"{r.get('t_ratio', '—')} | {fmt_bytes(r.get('shuffle1', 0))} | "
+            f"{fmt_bytes(r.get('shuffle' + fk, 0))} | "
+            f"{r.get('shuffle_ratio', '—')} |"
+        )
+    rows.append("")
+    for op, note in GROWTH_NOTES.items():
+        if op in sp and isinstance(sp[op], dict) and "error" not in sp[op]:
+            rows.append(f"- **{op}** — {note}")
+    out.append("\n".join(rows) + "\n")
+
 open(str(__import__("pathlib").Path(__file__).resolve().parents[1] / "PLANS.md"), "w").write("\n".join(out))
 print("written", sum(len(o) for o in out), "chars")

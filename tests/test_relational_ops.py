@@ -314,15 +314,27 @@ def test_forward_fill_single_exchange_in_plan(spark):
 
 
 def test_span_dedup_plan_shape(spark):
-    """Span dedup: one corpus explode, the count_distinct two-phase
-    aggregate's two exchanges, and nothing cartesian."""
+    """Span dedup (fingerprint + probe-doc recovery architecture): the
+    corpus-sized counting job is materialized separately (it shuffles
+    8-byte fingerprints, not span text — asserted by the bench's
+    shuffle-bytes row); the RECOVERY plan inspected here must touch the
+    corpus only through a broadcast semi-join on probe doc_ids, with
+    exactly one explode (re-tokenizing the probe docs), survivors
+    joined by broadcast, and no corpus-sized shuffle anywhere."""
     from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
         q_llm_span_dedup,
     )
 
     plan = _executed_plan(q_llm_span_dedup(spark, "/root/testdata/sf0.001"))
-    assert plan.count("Generate") == 1, plan      # exactly one explode
-    assert plan.count("Exchange") <= 2, plan
+    assert plan.count("Generate") == 1, plan      # probe re-tokenize only
+    # survivors arrive via the materialized counting job, not a rescan
+    assert "ExistingRDD" in plan, plan
+    # both joins broadcast: probe-doc semi-join + survivor equi-join
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    # the only shuffles are survivor-sized: probe-doc distinct + the
+    # final per-fingerprint aggregate (corpus rows never repartition)
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles <= 2, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
 
 
