@@ -35,6 +35,27 @@ def get_spark_session(
     per shuffle partition at 100 TB, i.e. O(100k) partitions + AQE
     coalescing, not this local default).
     """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        # Embedded call — a CLI entry point (run_export/run_compact/…)
+        # invoked inside a host application or test session. getOrCreate
+        # would silently RE-APPLY this factory's defaults onto the live
+        # session (runtime confs like spark.sql.shuffle.partitions are
+        # settable post-creation), mutating a session this call did not
+        # create: measured, a CLI invoked inside a 4-partition session
+        # flipped shuffle partitions to 32, after which the planner
+        # stopped using 4-bucket bucketed scans (bucket count ≪ expected
+        # parallelism) and the dedup stores' exchange-free screen plans
+        # regressed. Only EXPLICIT overrides touch the host session.
+        if shuffle_partitions is not None:
+            active.conf.set(
+                "spark.sql.shuffle.partitions", str(shuffle_partitions)
+            )
+        for k, v in (extra_conf or {}).items():
+            active.conf.set(k, v)
+        active.sparkContext.setLogLevel(loglevel)
+        return active
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"

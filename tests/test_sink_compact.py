@@ -498,3 +498,25 @@ def test_export_cli_detects_maintenance_race(spark, tmp_path):
         "--lock-path", str(tmp_path / "wh.lock"),
     ])
     assert spark.read.json(out2).count() == 10
+
+
+def test_cli_session_factory_does_not_clobber_host_session(spark):
+    """Regression: a CLI entry point invoked inside a host session
+    (tests, notebooks, an orchestrator embedding run_export) must not
+    re-apply the factory's DEFAULTS onto it — getOrCreate silently sets
+    runtime confs, and flipping spark.sql.shuffle.partitions 4→32 here
+    made the planner stop using the dedup stores' 4-bucket bucketed
+    scans (their exchange-free screen plans regressed suite-order-
+    dependently). Explicit overrides still apply."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark import (
+        get_spark_session,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    embedded = get_spark_session(app_name="embedded_cli_call")
+    assert embedded is spark
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    explicit = get_spark_session(shuffle_partitions=int(before))
+    assert explicit is spark
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
