@@ -425,9 +425,20 @@ def rewrite_bucketed_table(spark: SparkSession, table: str, df: DataFrame) -> No
 def heal_bucketed_rewrite(spark: SparkSession, table: str) -> bool:
     """Finish a ``rewrite_bucketed_table`` a previous process crashed in
     the middle of. Returns True if a promotion happened. Safe to call
-    on every store open: two catalog existence checks."""
+    on every store open: two catalog existence checks (plus, when a
+    table is absent from the catalog, an orphan-location sweep — a
+    killed session can leave the managed DIRECTORY behind while the
+    in-memory catalog forgets the table, after which every re-create
+    fails LOCATION_ALREADY_EXISTS; see
+    ``sink.clear_orphan_table_location``)."""
+    from ..sink import clear_orphan_table_location
+
     scratch = f"{table}__compacting"
     if not spark.catalog.tableExists(scratch):
+        # no crashed rewrite to finish — but clear create-time residue
+        # so the NEXT create of either name cannot hit a dead location
+        clear_orphan_table_location(spark, scratch)
+        clear_orphan_table_location(spark, table)
         return False
     if spark.catalog.tableExists(table):
         # crash BEFORE the drop: the original is intact and authoritative;
@@ -689,6 +700,7 @@ class BandBucketStore:
         self.n_buckets = n_buckets
         heal_bucketed_rewrite(spark, table)  # finish a crashed compact()
         heal_bucketed_rewrite(spark, self._sigs_table())
+        heal_bucketed_rewrite(spark, self._params_table())  # orphan sweep
         if self.exists():
             self._validate_params()
 
@@ -893,6 +905,9 @@ class BandBucketStore:
                 sig_rows, self._sigs_table(), [id_col],
                 n_buckets=self.n_buckets, sort_cols=[id_col],
             )
+            from ..sink import clear_orphan_table_location
+
+            clear_orphan_table_location(self.spark, self._params_table())
             self.spark.createDataFrame(
                 [tuple(self._params().values())],
                 " ".join(f"{k} int," for k in self._params()).rstrip(","),

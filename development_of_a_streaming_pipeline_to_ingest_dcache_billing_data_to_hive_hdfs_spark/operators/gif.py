@@ -82,16 +82,28 @@ def _lzw_decode(compressed: bytes, min_code_size: int, n_pixels: int) -> np.ndar
     out = np.empty(n_pixels, dtype=np.uint8)
     n_out = 0
 
-    bitpos = 0
-    total_bits = len(compressed) * 8
-    buf = int.from_bytes(compressed, "little") if compressed else 0
+    # Incremental LSB-first bit reader: bytes are folded into a small
+    # accumulator as needed, so each code extraction is O(1). (A single
+    # big int over the whole stream makes every `buf >> bitpos` copy
+    # O(stream) — O(n²) total, minutes-to-hours on a real-world GIF's
+    # 1e5-1e6 codes.) acc never exceeds 19 bits: nbits < width ≤ 12
+    # before the refill loop, and each refill adds 8.
+    acc = 0
+    nbits = 0
+    bytepos = 0
+    n_bytes = len(compressed)
 
     def next_code(width: int) -> int:
-        nonlocal bitpos
-        if bitpos + width > total_bits:
-            raise ValueError("malformed GIF: LZW stream ran out of bits")
-        code = (buf >> bitpos) & ((1 << width) - 1)
-        bitpos += width
+        nonlocal acc, nbits, bytepos
+        while nbits < width:
+            if bytepos >= n_bytes:
+                raise ValueError("malformed GIF: LZW stream ran out of bits")
+            acc |= compressed[bytepos] << nbits
+            bytepos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
         return code
 
     prefix = np.zeros(4096, dtype=np.int32)

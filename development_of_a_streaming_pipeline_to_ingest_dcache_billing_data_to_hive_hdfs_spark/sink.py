@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -152,9 +154,66 @@ def write_partitioned_table(df: DataFrame, table: str, mode: str = "append") -> 
     """Same, against a catalog table (Hive deployment path)."""
     writer = df.write.mode(mode)
     if not df.sparkSession.catalog.tableExists(table):
+        clear_orphan_table_location(df.sparkSession, table)
         writer.partitionBy(PARTITION_FIELD).saveAsTable(table)
     else:
         writer.insertInto(table)
+
+
+def managed_table_location(spark, table: str) -> str | None:
+    """Resolve where the catalog places (or would place) a MANAGED
+    table: ``<database location>/<table name, lowercased>``. Returns a
+    local filesystem path, or None when the database location is on a
+    remote scheme (hdfs/s3) — those deployments pair with a persistent
+    metastore, where the orphan-location failure mode below cannot
+    arise (the catalog never forgets a created table).
+    """
+    parts = table.split(".")
+    db = parts[-2] if len(parts) > 1 else spark.catalog.currentDatabase()
+    loc = next(
+        (
+            r.info_value
+            for r in spark.sql(f"DESCRIBE DATABASE `{db}`").collect()
+            if r.info_name == "Location"
+        ),
+        None,
+    )
+    if loc is None:
+        return None
+    # Hadoop renders local URIs as file:/path (one slash) or file:///path
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*):(.*)$", loc)
+    if m:
+        if m.group(1) != "file":
+            return None  # remote warehouse → persistent metastore territory
+        loc = re.sub(r"^//(?=/)", "", m.group(2)) or m.group(2)
+        if loc.startswith("//"):  # file://host/path — not a local path
+            return None
+    return os.path.join(loc, parts[-1].lower())
+
+
+def clear_orphan_table_location(spark, table: str) -> bool:
+    """Heal create-time crash residue: a managed-table DIRECTORY with no
+    catalog entry behind it.
+
+    With the in-memory catalog, a process killed after ``saveAsTable``
+    created the warehouse directory (but before the data outlived the
+    session) leaves ``spark-warehouse/<table>/`` on disk while the next
+    session's catalog has never heard of the table — and every later
+    create then fails ``LOCATION_ALREADY_EXISTS``, permanently. The
+    catalog is the source of truth for store existence (``exists()`` on
+    the dedup stores checks it, nothing else), so a location without a
+    catalog entry is by definition garbage: remove it. Returns True if
+    residue was cleared. No-op (False) when the table exists in the
+    catalog, the location is absent, or the warehouse is remote (see
+    ``managed_table_location``).
+    """
+    if spark.catalog.tableExists(table):
+        return False
+    loc = managed_table_location(spark, table)
+    if loc is None or not os.path.isdir(loc):
+        return False
+    shutil.rmtree(loc, ignore_errors=True)
+    return not os.path.isdir(loc)
 
 
 def write_bucketed_table(
@@ -179,6 +238,7 @@ def write_bucketed_table(
     ``n_buckets``; size it so one bucket of the larger table fits a task
     (~128-512 MB) at the target scale.
     """
+    clear_orphan_table_location(df.sparkSession, table)
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -308,3 +308,22 @@ def test_property_reference_encode_decode_identity(h, w, depth, compress, interl
         indices, palette, compress=compress, interlace=interlace
     )
     np.testing.assert_array_equal(decode_gif(payload), palette[indices])
+
+
+def test_decode_large_payload_is_linear_time():
+    """Regression for the O(n²) big-int bit reader: a 512×512 random
+    image (~1e5-1e6 LZW codes, the real-world size class) must decode
+    in seconds, not minutes. Correctness is asserted against the
+    independent encoder as everywhere else; the time bound is generous
+    enough to never flake on a loaded box while still catching a
+    quadratic decoder (which took minutes on this input)."""
+    import time
+
+    rng = np.random.default_rng(99)
+    indices, palette = _rand_image(rng, 512, 512, 256)
+    payload = encode_gif_ref(indices, palette, compress=True)
+    t0 = time.monotonic()
+    decoded = decode_gif(payload)
+    elapsed = time.monotonic() - t0
+    np.testing.assert_array_equal(decoded, palette[indices])
+    assert elapsed < 30, f"LZW decode took {elapsed:.1f}s — quadratic again?"

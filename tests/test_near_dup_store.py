@@ -33,8 +33,17 @@ OTHER = (
 
 
 def _drop(spark, table):
+    # location-aware: also sweeps orphaned warehouse directories a
+    # previously-killed process left behind with no catalog entry,
+    # so the suite self-heals from any starting disk state
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sink import (
+        clear_orphan_table_location,
+    )
+
     for t in (table, f"{table}_sigs", f"{table}_params"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        for suffix in ("", "__compacting"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+            clear_orphan_table_location(spark, f"{t}{suffix}")
 
 
 def test_band_store_incremental_near_dedup(spark):

@@ -15,10 +15,15 @@ from test_near_dup_store import BASE, NEAR, OTHER, _store_side_chain
 
 
 def _drop(spark, *tables):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sink import (
+        clear_orphan_table_location,
+    )
+
     for t in tables:
         for suffix in ("", "_sigs", "_params", "__compacting",
-                       "_sigs__compacting"):
+                       "_sigs__compacting", "_params__compacting"):
             spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+            clear_orphan_table_location(spark, f"{t}{suffix}")
 
 
 SCHEMA = "doc_id long, text string"
@@ -182,3 +187,47 @@ def test_compact_partition_refuses_bucketed_files(spark, tmp_path):
     (t / "part-00000-abc_00003.c000.snappy.parquet").write_bytes(b"")
     with pytest.raises(ValueError, match="BUCKETED"):
         compact_partition(spark, str(tmp_path / "tbl"), "2024-03-01")
+
+
+def test_store_create_heals_orphaned_warehouse_location(spark):
+    """A killed session can leave spark-warehouse/<table>/ on disk with
+    NO catalog entry (the in-memory catalog forgets); every later create
+    then failed LOCATION_ALREADY_EXISTS forever. Pre-seed exactly that
+    residue for every table a BandBucketStore creates and assert the
+    store still comes up — create-time healing, the round-7 fix."""
+    import os
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sink import (
+        clear_orphan_table_location,
+        managed_table_location,
+    )
+
+    _drop(spark, "orphan_band", "orphan_fp")
+    try:
+        for t in ("orphan_band", "orphan_band_sigs", "orphan_band_params",
+                  "orphan_band__compacting", "orphan_fp"):
+            loc = managed_table_location(spark, t)
+            assert loc is not None
+            os.makedirs(os.path.join(loc, "stale"), exist_ok=True)
+            with open(os.path.join(loc, "stale", "residue.parquet"), "wb") as f:
+                f.write(b"\x00garbage")
+            assert not spark.catalog.tableExists(t)
+
+        band = BandBucketStore(spark, "orphan_band", n_buckets=4)
+        b1 = spark.createDataFrame([(1, BASE), (2, OTHER)], SCHEMA)
+        band.commit(band.screen(b1), batch_tag="r#0")
+        assert spark.catalog.tableExists("orphan_band")
+        assert {r.doc_id for r in band.screen(
+            spark.createDataFrame([(3, NEAR)], SCHEMA)).collect()} == set()
+
+        fp = FingerprintStore(spark, "orphan_fp", n_buckets=4)
+        fresh = fp.screen(b1)
+        fp.commit(fresh, batch_tag="r#0")
+        assert spark.table("orphan_fp").count() == 2
+
+        # healing must NOT touch a live table's location: re-create with
+        # the catalog entry present is a no-op clear + normal overwrite
+        assert clear_orphan_table_location(spark, "orphan_fp") is False
+        assert spark.table("orphan_fp").count() == 2
+    finally:
+        _drop(spark, "orphan_band", "orphan_fp")
