@@ -486,10 +486,23 @@ def _record_compacted_as_of(path: str, fs) -> int | None:
 
     Monotonic max, written atomically, pure metadata. Tables without a
     ledger (not an exactly-once warehouse) record nothing — their files
-    never carried batch names to begin with."""
+    never carried batch names to begin with.
+
+    SCOPING: the marker describes ONE table's files. A table-local
+    ledger gets a table-local marker (flat ``compacted_as_of`` value).
+    Route tables share the warehouse-level ledger one dir up — there
+    the warehouse-level marker file records a PER-TABLE entry under
+    ``tables[<table dir name>]``, because compacting one route table
+    must not make ``compacted_as_of()`` refuse snapshot/change-feed
+    reads on a NEVER-compacted sibling whose batch-named files are
+    fully intact and perfectly reconstructible. (A flat warehouse-scope
+    value — the pre-round-7 format — did exactly that.)"""
     import json as _json
 
-    for base in (path.rstrip("/"), os.path.dirname(path.rstrip("/"))):
+    table = os.path.basename(path.rstrip("/"))
+    for level, base in enumerate(
+        (path.rstrip("/"), os.path.dirname(path.rstrip("/")))
+    ):
         ledger = os.path.join(base, "_ledger.json")
         try:
             committed = _json.loads(fs.read_text(ledger))
@@ -498,24 +511,36 @@ def _record_compacted_as_of(path: str, fs) -> int | None:
         if not committed:
             return None
         marker = os.path.join(base, COMPACTED_AS_OF_FILE)
-        prev = -1
         try:
-            prev = int(_json.loads(fs.read_text(marker))["compacted_as_of"])
+            doc = _json.loads(fs.read_text(marker))
         except Exception:  # noqa: BLE001 — first compaction
-            pass
+            doc = {}
+        if level == 0:
+            prev = int(doc.get("compacted_as_of", -1))
+        else:
+            prev = max(
+                int(
+                    doc.get("tables", {})
+                    .get(table, {})
+                    .get("compacted_as_of", -1)
+                ),
+                # legacy flat warehouse-scope value: fold it into this
+                # table's entry (it was recorded by compacting SOME
+                # table here, monotonicity must survive the migration)
+                int(doc.get("compacted_as_of", -1)),
+            )
         val = max(prev, max(int(b) for b in committed))
-        fs.write_text_atomic(
-            marker,
-            _json.dumps(
-                {
-                    "compacted_as_of": val,
-                    "recorded_at": dt.datetime.now(
-                        dt.timezone.utc
-                    ).isoformat(),
-                },
-                sort_keys=True,
-            ),
-        )
+        stamp = {
+            "compacted_as_of": val,
+            "recorded_at": dt.datetime.now(dt.timezone.utc).isoformat(),
+        }
+        if level == 0:
+            doc = stamp
+        else:
+            doc.pop("compacted_as_of", None)
+            doc.pop("recorded_at", None)
+            doc.setdefault("tables", {})[table] = stamp
+        fs.write_text_atomic(marker, _json.dumps(doc, sort_keys=True))
         return val
     return None
 

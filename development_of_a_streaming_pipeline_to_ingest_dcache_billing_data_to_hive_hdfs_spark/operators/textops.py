@@ -9,6 +9,8 @@ has a DuckDB oracle twin in the catalog.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -369,6 +371,20 @@ def bpe_pair_counts(
     )
 
 
+def _broadcast_threshold_bytes(spark) -> int:
+    """The session's ``spark.sql.autoBroadcastJoinThreshold`` as bytes
+    (0 when broadcasting is disabled, i.e. the value is ≤ 0). Accepts
+    the bare-int and size-suffixed (``10MB``) spellings Spark does."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    m = re.match(r"^(-?\d+)\s*([kmgt]?)b?$", raw)
+    if not m:
+        return 10 * 1024 * 1024
+    val = int(m.group(1)) * 1024 ** {"": 0, "k": 1, "m": 2, "g": 3, "t": 4}[m.group(2)]
+    return max(val, 0)
+
+
 def duplicated_spans(
     docs: DataFrame,
     n: int = 8,
@@ -408,7 +424,22 @@ def duplicated_spans(
     negligible, beyond it pass a larger ``n`` corpus through
     shard-level runs or widen to two seeds — the 16-byte variant
     measured only ~1.3× shuffle reduction because the extra
-    incompressible hash column gave back most of the win.
+    incompressible hash column gave back most of the win. Note the
+    second-order effect: a collision merging two spans' counts can also
+    PROMOTE two individually sub-``min_docs`` spans past the threshold
+    (a false survivor), not just inflate a real survivor's counts —
+    the same ~2³² bound governs both.
+
+    The survivor set is usually tiny next to the corpus, but "spans
+    recurring in ≥ min_docs docs" is corpus-dependent: web-scale
+    boilerplate/license blocks can push it past Spark's 8 GB broadcast
+    hard limit, where a forced ``F.broadcast`` hint OOMs instead of
+    degrading. Survivors are already materialized (localCheckpoint), so
+    a count is cheap; the two recovery joins are hinted broadcast only
+    while the estimated size fits the session's
+    ``autoBroadcastJoinThreshold`` and otherwise fall back to the
+    planner's shuffle join (plan-asserted both ways in
+    tests/test_textops.py).
     """
     toks = docs.select(
         F.col(doc_id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
@@ -432,9 +463,17 @@ def duplicated_spans(
         # cheap and both broadcasts reuse it
         .localCheckpoint()
     )
+    # ~64 bytes/row is deliberately conservative (4 longs + row overhead
+    # + hashed-relation inflation); survivors.count() reads the already-
+    # materialized checkpoint, no recompute
+    hint = (
+        F.broadcast
+        if survivors.count() * 64 <= _broadcast_threshold_bytes(docs.sparkSession)
+        else (lambda df: df)
+    )
     probe_spans = (
         docs.join(
-            F.broadcast(survivors.select(F.col("_probe_doc").alias(doc_id_col)).distinct()),
+            hint(survivors.select(F.col("_probe_doc").alias(doc_id_col)).distinct()),
             doc_id_col,
             "left_semi",
         )
@@ -443,7 +482,7 @@ def duplicated_spans(
         .select("span", F.xxhash64("span").alias("_fp"))
     )
     return (
-        probe_spans.join(F.broadcast(survivors), "_fp")
+        probe_spans.join(hint(survivors), "_fp")
         .groupBy("_fp")
         .agg(
             F.min("span").alias("span"),

@@ -19,16 +19,23 @@ Exactly-once without a log: the rollup state is VERSIONED. Each fold
 writes a complete new rollup under ``v{n+1}/`` and only then atomically
 points ``_rollup_state.json`` (version, last_batch) at it; a crash
 anywhere replays the same increment against the still-current ``v{n}``
-and overwrites ``v{n+1}`` — never a double-fold, never a torn read.
-Superseded versions are swept opportunistically on the next fold.
+and overwrites ``v{n+1}`` — never a double-fold, never a torn read for
+the WRITER. Concurrent readers get one fold's grace: the sweep keeps
+``v{n}`` when installing ``v{n+1}`` (deleting only ``v{n-1}`` and
+older), so a reader that resolved ``state()`` just before a fold can
+still finish scanning the version it resolved — it would take two full
+folds inside one reader's scan to pull files out from under it.
 
 At 100 TB: each refresh scans exactly the increment's files (a
 metadata-cheap name-filtered list), shuffles only (keys × increment)
 partial rows, and rewrites a rollup whose size is bounded by the key
 cardinality, not the fact table. Compaction of the base table is safe:
 ``read_table_changes`` fails fast (never silently empty) if the rollup
-fell behind the compaction marker, and a caught-up rollup is untouched
-because compacted files are never re-delivered.
+fell behind the compaction marker, and ``rebaseline()`` is the recovery
+operator — it re-anchors at the marker via a snapshot read + full
+aggregate, after which folds resume incrementally. A caught-up rollup
+is untouched by compaction because compacted files are never
+re-delivered.
 """
 
 from __future__ import annotations
@@ -106,11 +113,26 @@ class IncrementalRollup:
     def _version_dir(self, version: int) -> str:
         return os.path.join(self.rollup_dir, f"v{version}")
 
+    def _require_table(self) -> None:
+        """Fail with a targeted message when the base table path does
+        not exist yet — otherwise the schema probe surfaces a
+        path-not-found from deep inside the change-feed reader."""
+        table_fs = get_filesystem(self.table_path, self.spark)
+        if not table_fs.exists(self.table_path):
+            raise FileNotFoundError(
+                f"IncrementalRollup: base table {self.table_path!r} does "
+                "not exist (no batch has been ingested yet) — the rollup "
+                "is empty and has no schema to report; fold() after the "
+                "first ingest"
+            )
+
     def read(self) -> DataFrame:
         """The current rollup (empty frame with the right schema before
-        the first fold)."""
+        the first fold; a targeted error before the base table's first
+        batch exists — there is no schema to derive yet)."""
         st = self.state()
         if st["version"] == 0:
+            self._require_table()
             inc = self._increment_agg(
                 read_table_changes(
                     self.spark, self.table_path, since_batch=10**15
@@ -149,11 +171,31 @@ class IncrementalRollup:
             .agg(*exprs)
         )
 
+    def _install(self, merged: DataFrame, new_state: dict) -> None:
+        """Write a complete new version, commit the state pointer, then
+        sweep — keeping ONE superseded version (the reader's grace, see
+        module docstring) plus any crash residue beyond it."""
+        new_version = new_state["version"]
+        merged.write.mode("overwrite").parquet(self._version_dir(new_version))
+        self.fs.write_text_atomic(
+            os.path.join(self.rollup_dir, STATE_FILE),
+            json.dumps(new_state, sort_keys=True),
+        )
+        keep = {f"v{new_version}", f"v{new_version - 1}"}
+        for d, is_dir in self.fs.list_entries(self.rollup_dir):
+            if is_dir and d.startswith("v") and d not in keep:
+                self.fs.delete(os.path.join(self.rollup_dir, d), recursive=True)
+
     def fold(self, until_batch: int | None = None) -> dict:
         """Fold the next increment ``(last_batch, until_batch]`` into the
         rollup. Returns the new state plus how many batches were folded.
-        No committed increment → no new version (state untouched)."""
+        No committed increment (including a base table that does not
+        exist yet) → no new version (state untouched)."""
         st = self.state()
+        if not get_filesystem(self.table_path, self.spark).exists(
+            self.table_path
+        ):
+            return {**st, "folded_batches": 0}
         changes = read_table_changes(
             self.spark,
             self.table_path,
@@ -170,21 +212,38 @@ class IncrementalRollup:
         merged = (
             self._merge(self.read(), inc) if st["version"] > 0 else inc
         )
-        new_version = st["version"] + 1
-        merged.write.mode("overwrite").parquet(self._version_dir(new_version))
-        new_state = {"version": new_version, "last_batch": int(hi)}
-        self.fs.write_text_atomic(
-            os.path.join(self.rollup_dir, STATE_FILE),
-            json.dumps(new_state, sort_keys=True),
-        )
-        # opportunistic sweep of superseded versions (crash residue too)
-        for d, is_dir in self.fs.list_entries(self.rollup_dir):
-            if is_dir and d.startswith("v") and d != f"v{new_version}":
-                self.fs.delete(os.path.join(self.rollup_dir, d), recursive=True)
+        new_state = {"version": st["version"] + 1, "last_batch": int(hi)}
+        self._install(merged, new_state)
         return {**new_state, "folded_batches": int(hi) - st["last_batch"]}
+
+    def rebaseline(self) -> dict:
+        """Re-anchor a rollup that FELL BEHIND the base table's
+        compaction marker — the recovery operator for the loud failure
+        ``fold()`` raises when ``read_table_changes`` refuses an
+        increment whose history compaction collapsed.
+
+        The marker M (``sources.tables.compacted_as_of``) is the
+        earliest faithful snapshot point, so the re-anchor is: snapshot
+        read at M (compacted files + batch-named files ≤ M — pure
+        metadata), full aggregate, install as the next version with
+        ``last_batch = M``. Subsequent folds resume incrementally from
+        there. One full scan of the CURRENT table state — the same cost
+        the initial fold paid — not a replay of collapsed history,
+        which no longer exists. No-op when the rollup is not actually
+        behind the marker (returns the state unchanged)."""
+        from .sources.tables import compacted_as_of, read_table_as_of
+
+        st = self.state()
+        cao = compacted_as_of(self.table_path)
+        if cao <= st["last_batch"]:
+            return {**st, "folded_batches": 0}
+        snap = read_table_as_of(self.spark, self.table_path, cao)
+        new_state = {"version": st["version"] + 1, "last_batch": int(cao)}
+        self._install(self._increment_agg(snap), new_state)
+        return {**new_state, "folded_batches": 0}
 
     def recompute(self) -> DataFrame:
         """The full-scan answer the rollup must equal — the verification
-        twin (and the re-baseline path after falling behind a
-        compaction horizon)."""
+        twin. (For recovery after falling behind a compaction horizon,
+        use ``rebaseline()``, which re-anchors the PERSISTED state.)"""
         return self._increment_agg(self.spark.read.parquet(self.table_path))

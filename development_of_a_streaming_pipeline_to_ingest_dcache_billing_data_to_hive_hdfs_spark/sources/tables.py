@@ -71,23 +71,43 @@ def compacted_as_of(path: str, fs=None) -> int:
     to this batch, so snapshots strictly below it are unreconstructible
     even when the snapshot horizon lags behind (a re-compaction without
     ``expire_snapshots`` advances this marker but not the horizon).
-    Same two-level resolution as ``snapshot_horizon``."""
+    Two-level resolution like ``snapshot_horizon``, but the
+    warehouse-level marker is PER-TABLE (``tables[<dir name>]``):
+    compaction of one route table is not evidence about a sibling's
+    files, so a sibling without an entry keeps its full
+    reconstructible history (−1). A legacy flat warehouse-scope value
+    (pre-round-7 format) is honored for every table — the conservative
+    direction (refuses some reconstructible reads, never serves a
+    wrong one) until the next compaction migrates the file."""
     import json
 
     from ..compact import COMPACTED_AS_OF_FILE
     from ..fs import get_filesystem
 
     fs = fs or get_filesystem(path)
-    candidates = [
-        os.path.join(path, COMPACTED_AS_OF_FILE),
-        os.path.join(os.path.dirname(path.rstrip("/")), COMPACTED_AS_OF_FILE),
-    ]
-    for mp in candidates:
-        try:
-            return int(json.loads(fs.read_text(mp))["compacted_as_of"])
-        except Exception:
-            continue
-    return -1
+    table = os.path.basename(path.rstrip("/"))
+    try:
+        doc = json.loads(
+            fs.read_text(os.path.join(path, COMPACTED_AS_OF_FILE))
+        )
+        return int(doc["compacted_as_of"])
+    except Exception:
+        pass
+    try:
+        doc = json.loads(
+            fs.read_text(
+                os.path.join(
+                    os.path.dirname(path.rstrip("/")), COMPACTED_AS_OF_FILE
+                )
+            )
+        )
+        if "tables" in doc:
+            return int(
+                doc["tables"].get(table, {}).get("compacted_as_of", -1)
+            )
+        return int(doc["compacted_as_of"])  # legacy flat format
+    except Exception:
+        return -1
 
 
 def table_snapshots(path: str, fs=None) -> list[int]:

@@ -1851,3 +1851,37 @@ def test_pq_index_append_incremental_growth(spark, tmp_path):
     bad = newbies.select(F.col("vec_id").cast("int").alias("vec_id"), "embedding")
     with _pytest.raises(ValueError, match="id-space mismatch"):
         pq_index_append(bad, idx)
+
+
+def test_duplicated_spans_broadcast_gate(spark):
+    """The survivor-recovery joins broadcast only while the survivor set
+    fits the session's autoBroadcastJoinThreshold; an over-threshold set
+    must fall back to a shuffle join instead of a forced broadcast that
+    would OOM at web scale. Output is identical either way."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        duplicated_spans,
+    )
+
+    boiler = "this license text is repeated verbatim everywhere"
+    docs = spark.createDataFrame(
+        [(0, f"{boiler} unique tail zero"), (1, f"one {boiler} more")],
+        "doc_id long, text string",
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    small = duplicated_spans(docs, n=7)
+    assert "BroadcastHashJoin" in plan(small)
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        large = duplicated_spans(docs, n=7)  # any survivor set > threshold 0
+        p = plan(large)
+        assert "BroadcastHashJoin" not in p, p
+        assert {(r.span, r.n_docs, r.n_occ) for r in large.collect()} == {
+            (r.span, r.n_docs, r.n_occ) for r in small.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)

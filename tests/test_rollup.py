@@ -142,6 +142,67 @@ def test_rollup_survives_compaction_and_fails_fast_when_behind(
     with pytest.raises(ValueError, match="compaction"):
         lagging.fold()
 
+    # rebaseline() is the recovery operator the loud failure points at:
+    # re-anchor at the marker via a snapshot read + full aggregate …
+    st = lagging.rebaseline()
+    assert st["last_batch"] == 2  # the compaction marker
+    got = {tuple(r) for r in lagging.read().collect()}
+    want = {
+        tuple(r)
+        for r in lagging.recompute()
+        .collect()
+    }
+    # marker = 2, batch 3 arrived after: rebaseline holds state ≤ marker
+    assert {str(r[0]) for r in got} == {"2024-03-01"}
+    # … and folds resume incrementally from there
+    lagging.fold()
+    got = {tuple(r) for r in lagging.read().collect()}
+    assert got == want and got
+    # a second rebaseline with nothing to recover is a no-op
+    st2 = lagging.rebaseline()
+    assert st2["version"] == lagging.state()["version"]
+
+
+def test_rollup_sweep_keeps_one_superseded_version(spark, tmp_path):
+    """A reader that resolved state() just before a fold must still be
+    able to scan the version it resolved: installing v{n+1} keeps v{n}
+    and deletes only v{n-1} and older."""
+    t = str(tmp_path / "t")
+    ru = _rollup(spark, tmp_path)
+    for b in range(3):
+        write_partitioned_batch(
+            _batch(spark, [(b, "2024-03-01", "a", float(b))]), t, b
+        )
+        ru.fold(until_batch=b)
+
+    def versions():
+        return sorted(
+            d for d, is_dir in ru.fs.list_entries(str(tmp_path / "r"))
+            if is_dir and d.startswith("v")
+        )
+
+    assert ru.state()["version"] == 3
+    assert versions() == ["v2", "v3"]  # one superseded kept, v1 swept
+    # the kept superseded version is still a readable complete rollup
+    assert spark.read.parquet(str(tmp_path / "r" / "v2")).count() > 0
+
+
+def test_rollup_before_first_ingest_is_guarded(spark, tmp_path):
+    """Before the base table's first batch exists, fold() is a no-op
+    and read() raises a targeted error instead of a path-not-found from
+    deep inside the change-feed reader."""
+    ru = _rollup(spark, tmp_path)  # tmp_path/"t" never written
+    st = ru.fold()
+    assert (st["version"], st["folded_batches"]) == (0, 0)
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        ru.read()
+    # first ingest unblocks both
+    write_partitioned_batch(
+        _batch(spark, [(1, "2024-03-01", "a", 1.0)]), str(tmp_path / "t"), 0
+    )
+    assert ru.fold()["version"] == 1
+    assert ru.read().count() == 1
+
 
 def test_rollup_rejects_non_decomposable_aggs(spark, tmp_path):
     with pytest.raises(ValueError, match="not decomposable"):

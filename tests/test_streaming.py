@@ -814,6 +814,50 @@ def test_recompaction_without_expiry_cannot_silently_lie(spark, tmp_path):
     assert read_table_as_of(spark, t, 2, allow_compacted=True).count() == 4
 
 
+def test_compacted_as_of_is_scoped_per_table(spark, tmp_path):
+    """Compacting ONE route table must not make snapshot/change-feed
+    reads refuse a NEVER-compacted sibling: the sibling's batch-named
+    files are fully intact, so its history is perfectly
+    reconstructible. The shared warehouse-level marker records
+    per-table entries, not one warehouse-global refusal boundary."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.compact import (
+        compact_table,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sources.tables import (
+        compacted_as_of,
+        read_table_as_of,
+        read_table_changes,
+    )
+
+    warehouse = str(tmp_path / "wh")
+    pipe = BillingPipeline(source=None, warehouse_dir=warehouse)
+    for b in range(2):
+        batch = spark.createDataFrame(
+            [
+                (billing_record(
+                    "transfer", date=f"2024-03-0{b + 1}T10:00:00.000+0000"),),
+                (billing_record(
+                    "request", date=f"2024-03-0{b + 1}T11:00:00.000+0000"),),
+            ],
+            ["value"],
+        )
+        pipe.process_batch(batch, b)
+    transfers = pipe.table_path("transfers")
+    requests = pipe.table_path("requests")
+
+    compact_table(spark, transfers)
+    assert compacted_as_of(transfers) == 1
+    # the sibling keeps its full reconstructible history
+    assert compacted_as_of(requests) == -1
+    assert read_table_as_of(spark, requests, 0).count() == 1
+    assert read_table_changes(spark, requests, since_batch=-1).count() == 2
+    # and the compacted table itself still refuses below its marker
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="batch 1 was committed"):
+        read_table_as_of(spark, transfers, 0)
+
+
 def test_stream_table_changes_subscribes_and_survives_compaction(spark, tmp_path):
     """A downstream pipeline subscribes to a route table as a stream:
     checkpointed availableNow drains deliver each ingested batch exactly
