@@ -5915,6 +5915,244 @@ def q_llm_incremental_near_dup_check(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.createDataFrame(rows, out_schema)
 
 
+_EMPTY_STORE_LIFECYCLE_ORACLE = """
+    SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS doc_id
+    WHERE FALSE
+"""
+
+
+def _store_plan_chain(plan: str, table: str) -> list[str]:
+    """Parent chain from a store table's scan up to its join — the
+    plan-walk the no-Exchange assertions below run over (mirrors the
+    pytest helper in tests/test_near_dup_store.py)."""
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        body = line.lstrip(" :+-")
+        return (len(line) - len(body)) // 3
+
+    scan_i = next(
+        (i for i, l in enumerate(lines) if table in l and "Scan" in l), None
+    )
+    if scan_i is None:
+        return ["NO-SCAN-FOUND"]
+    d = depth(lines[scan_i])
+    chain = []
+    for i in range(scan_i - 1, -1, -1):
+        if depth(lines[i]) < d:
+            chain.append(lines[i])
+            d = depth(lines[i])
+            if "Join" in lines[i]:
+                break
+    return chain
+
+
+@register("q_llm_dedup_store_lifecycle_check", _EMPTY_STORE_LIFECYCLE_ORACLE)
+def q_llm_dedup_store_lifecycle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-store LIFECYCLE gate (expected EMPTY) — promotes the
+    compaction/retention contract of BOTH persistent stores
+    (operators.dedup.FingerprintStore.compact / BandBucketStore.compact)
+    from pytest-only evidence to a per-round driver verdict, the same
+    promotion the change-feed surface got with
+    q_billing_change_feed_check. Audited invariants:
+
+    - ``*_screen_changed_after_reclaim``: a probe's screening decision
+      differs before vs after ``compact()`` — reclaiming crash-replay
+      duplicate rows must be invisible to every screen;
+    - ``fp_reclaim_count``: after reclaim the fp table still holds
+      more rows than distinct fingerprints (duplicates survived);
+    - ``*_expired_not_readmissible``: content expired under the batch
+      horizon (``expire_run_tag``/``expire_below_batch``) still screens
+      out — an expired corpus partition must become re-admissible;
+    - ``fp_retained_lost``: content committed ABOVE the horizon was
+      dropped by the expiry (screens as fresh when it must not);
+    - ``*_exchange_in_store_plan``: after the rewrite, the store-side
+      scan→join chain re-acquired an Exchange — ``compact`` must
+      preserve the bucketed layout and with it the no-shuffle screen;
+    - ``guard``: a degenerate run (an empty batch half or a probe with
+      nothing novel) that would make the above checks vacuous.
+
+    Bounded to doc_id < 600 (fp) / < 400 (band) so every collect is a
+    few hundred rows; store state is uuid-named and dropped before
+    returning. Non-SQL state machinery, so the oracle is the
+    expected-empty contract (like the other two ``_check`` gates)."""
+    import uuid as _uuid
+
+    from ..operators.dedup import (
+        BandBucketStore,
+        FingerprintStore,
+        fingerprint,
+    )
+
+    out_schema = "kind string, doc_id bigint"
+    violations: list[tuple[str, int]] = []
+
+    def chain_has_exchange(df, table) -> bool:
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        return any("Exchange" in l for l in _store_plan_chain(plan, table))
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 600)
+        .select("doc_id", "text")
+    )
+    batch_a = docs.where(F.col("doc_id") % 2 == 0)
+    batch_b = docs.where(F.col("doc_id") % 2 == 1)
+    # probe: every 3rd doc gets an id-salted novel tail → its decision
+    # must be "fresh"; the rest must screen out (their text is in-store)
+    probe = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat("text", F.lit(" novel-tail-"), F.col("doc_id").cast("string")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+
+    # bucket count is a layout contract sized to the session's
+    # parallelism: a bucket count far below spark.sql.shuffle.partitions
+    # makes the planner discard the bucketed scan as not beneficial
+    # (bucket count ≪ expected parallelism) and the no-Exchange
+    # assertion below would flag the PLANNER's choice, not a broken
+    # compact() — real deployments size n_buckets to the cluster too
+    n_buckets = max(8, int(spark.conf.get("spark.sql.shuffle.partitions", "8")))
+
+    fp_table = f"fp_lifecycle_{_uuid.uuid4().hex[:12]}"
+    fp_store = FingerprintStore(spark, fp_table, n_buckets=n_buckets)
+    try:
+        if batch_a.limit(1).count() == 0 or batch_b.limit(1).count() == 0:
+            violations.append(("guard", -1))
+        fp_store.commit(batch_a, batch_tag="run#0")
+        fp_store.commit(batch_a, batch_tag="run#0")  # crash-replay residue
+        fresh_b = fp_store.screen(batch_b)
+        fresh_b_ids = sorted(r.doc_id for r in fresh_b.collect())
+        fp_store.commit(
+            batch_b.join(
+                spark.createDataFrame(
+                    [(i,) for i in fresh_b_ids], "doc_id bigint"
+                ),
+                "doc_id",
+                "left_semi",
+            ),
+            batch_tag="run#1",
+        )
+
+        before = {r.doc_id for r in fp_store.screen(probe).collect()}
+        if not before:
+            violations.append(("guard", -2))  # probe has nothing novel
+        info = fp_store.compact()
+        n_distinct = (
+            spark.table(fp_table).select("fp").distinct().count()
+        )
+        if info["rows_after"] != n_distinct:
+            violations.append(("fp_reclaim_count", info["rows_after"]))
+        after = {r.doc_id for r in fp_store.screen(probe).collect()}
+        violations += [
+            ("fp_screen_changed_after_reclaim", i)
+            for i in sorted(before.symmetric_difference(after))
+        ]
+
+        # batch-horizon retention: run#0 (batch A) expires, run#1 stays
+        fp_store.compact(expire_run_tag="run", expire_below_batch=1)
+        readmitted = {
+            r.doc_id for r in fp_store.screen(batch_a).collect()
+        }
+        # expected readmits = batch A's within-batch representatives
+        expected = {
+            r.doc_id
+            for r in batch_a.select(
+                "doc_id", fingerprint("text").alias("fp")
+            )
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .collect()
+        }
+        violations += [
+            ("fp_expired_not_readmissible", i)
+            for i in sorted(expected - readmitted)
+        ]
+        retained_probe = batch_b.join(
+            spark.createDataFrame(
+                [(i,) for i in fresh_b_ids], "doc_id bigint"
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        violations += [
+            ("fp_retained_lost", r.doc_id)
+            for r in fp_store.screen(retained_probe).collect()
+        ]
+        if chain_has_exchange(fp_store.screen(probe), fp_table):
+            violations.append(("fp_exchange_in_store_plan", -1))
+    finally:
+        for t in (fp_table, f"{fp_table}__compacting"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    band_docs = docs.where(F.col("doc_id") < 400)
+    band_a = band_docs.where(F.col("doc_id") % 2 == 0)
+    band_probe = band_docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat("text", F.lit(" novel-tail-"), F.col("doc_id").cast("string")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    band_table = f"band_lifecycle_{_uuid.uuid4().hex[:12]}"
+    band = BandBucketStore(spark, band_table, n_buckets=n_buckets)
+    try:
+        band.commit(band_a, batch_tag="run#0")
+        band.commit(band_a, batch_tag="run#0")  # crash-replay residue
+        b_before = {
+            r.doc_id
+            for r in band.screen(band_probe, within_batch=False).collect()
+        }
+        band.compact()
+        b_after = {
+            r.doc_id
+            for r in band.screen(band_probe, within_batch=False).collect()
+        }
+        violations += [
+            ("band_screen_changed_after_reclaim", i)
+            for i in sorted(b_before.symmetric_difference(b_after))
+        ]
+        # expire everything below the horizon → the whole corpus is
+        # re-admissible (every posting and signature was run#0)
+        band.compact(expire_run_tag="run", expire_below_batch=1)
+        b_readmit = {
+            r.doc_id
+            for r in band.screen(band_a, within_batch=False).collect()
+        }
+        expected_band = {r.doc_id for r in band_a.collect()}
+        violations += [
+            ("band_expired_not_readmissible", i)
+            for i in sorted(expected_band - b_readmit)
+        ]
+        # re-commit, then assert the post-compact bucketed layout kept
+        # both store-side joins exchange-free
+        band.commit(band_a, batch_tag="run#2")
+        screened = band.screen(band_probe, within_batch=False)
+        for t in (band_table, f"{band_table}_sigs"):
+            if chain_has_exchange(screened, t):
+                violations.append(("band_exchange_in_store_plan", -1))
+    finally:
+        for t in (
+            band_table,
+            f"{band_table}_sigs",
+            f"{band_table}_params",
+            f"{band_table}__compacting",
+            f"{band_table}_sigs__compacting",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    return spark.createDataFrame(
+        [(k, int(i)) for k, i in violations], out_schema
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: billing-core semantics in one plan."""
     return q_billing_flagship_daily(spark, sf_dir)
