@@ -210,3 +210,51 @@ def test_rollup_rejects_non_decomposable_aggs(spark, tmp_path):
             spark, str(tmp_path / "t"), str(tmp_path / "r"),
             keys=["k"], aggs={"p": ("percentile", "v")},
         )
+
+
+def test_run_rollup_cli_fold_and_rebaseline(spark, tmp_path, capsys):
+    """The maintenance CLI covers the rollup like run_compact covers
+    compaction: fold increments, point at the rebaseline recovery when
+    behind the marker, and refresh after rebaselining."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.cli import (
+        run_rollup,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.compact import (
+        compact_table,
+    )
+
+    wh = tmp_path / "wh"
+    t = str(wh / "transfers")
+    for b in range(2):
+        write_partitioned_batch(
+            _batch(spark, [(b, "2024-03-01", "a", float(b))]), t, b
+        )
+    (wh / "transfers" / "_ledger.json").write_text(json.dumps([0, 1]))
+    base = [
+        "--warehouse", str(wh), "--table", "transfers",
+        "--rollup-dir", str(tmp_path / "r"),
+        "--keys", "partition_date",
+        "--agg", "n=count", "--agg", "sv=sum:value",
+        "--decimal-sums",
+        "--lock-path", str(tmp_path / "lock"),
+    ]
+    run_rollup.main(base)
+    assert "folded" in capsys.readouterr().out
+
+    # fall behind: new ingest + compaction while the rollup sleeps,
+    # then the fold fails with the rebaseline hint
+    lagging = base[:5] + [str(tmp_path / "r2")] + base[6:]
+    write_partitioned_batch(
+        _batch(spark, [(9, "2024-03-02", "b", 9.0)]), t, 2
+    )
+    (wh / "transfers" / "_ledger.json").write_text(json.dumps([0, 1, 2]))
+    compact_table(spark, t)
+    with pytest.raises(SystemExit, match="rebaseline"):
+        run_rollup.main(lagging)
+    run_rollup.main(lagging + ["--rebaseline", "--show", "5"])
+    out = capsys.readouterr().out
+    assert "rebaselined" in out and "2024-03-02" in out
+
+    # malformed agg specs die in argparse, not deep in Spark
+    with pytest.raises(SystemExit):
+        run_rollup.main(base[:-4] + ["--agg", "n=wat"])
