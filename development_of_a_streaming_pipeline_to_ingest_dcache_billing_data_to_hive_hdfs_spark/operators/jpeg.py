@@ -1,0 +1,406 @@
+"""Pure-stdlib baseline JPEG decoder (SOF0/SOF1): marker walk,
+DQT/DHT/SOS parsing, the Huffman-coded entropy stream (byte
+stuffing, restart markers), dequantize + dezigzag, matrix IDCT,
+sampling-factor chroma upsampling, and the JFIF YCbCr→RGB transform.
+
+This completes the per-kind codec dispatch (multimodal.py) the same
+way png.py and gif.py did: the container verifiably has no image
+library, yet the dominant photographic format should decode for REAL
+instead of through the deterministic fake. Everything here is
+``struct`` + numpy over the ITU-T T.81 spec; the Huffman decode is the
+canonical mincode/maxcode/valptr walk of §F.2.2.3, and the bit reader
+is incremental (O(1) per code — the gif.py round-6 lesson: a
+whole-stream big int turns real-world payloads into hours).
+
+Honestly gated: progressive (SOF2), arithmetic coding (SOF9+), 12-bit
+precision and hierarchical modes raise — they are different entropy
+machines, not parameter tweaks. Baseline sequential covers the
+overwhelming share of web/corpus JPEGs.
+
+Validated in tests/test_jpeg_codec.py against an INDEPENDENT test-side
+encoder (forward DCT + Annex K quantization/Huffman tables, 4:4:4 and
+4:2:0, restart intervals) — same methodology as the PNG and GIF
+codecs: the test side implements the FORWARD direction from the spec,
+so a shared misreading cannot cancel out.
+
+Scale note: like the other codecs this is the per-row step inside
+Arrow-batched ``mapInPandas`` (embarrassingly parallel, no shuffle); a
+production deployment swaps in libjpeg-turbo behind the same
+signature without touching the Spark plumbing.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["is_jpeg", "decode_jpeg", "jpeg_info"]
+
+# spec Figure A.6 zig-zag index order: zigzag position -> raster index
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# 8-point DCT-II basis: B[u, x] = c(u)/2 * cos((2x+1)uπ/16);
+# IDCT of an 8×8 coefficient block S is Bᵀ·S·B
+_B = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1 / np.sqrt(2)) if _u == 0 else 1.0
+    for _x in range(8):
+        _B[_u, _x] = _c / 2 * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def is_jpeg(payload: bytes | None) -> bool:
+    return payload is not None and bytes(payload[:3]) == b"\xff\xd8\xff"
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment (already
+    unstuffed). Incremental accumulator — O(1) per read."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, nbits: int) -> int:
+        while self.n < nbits:
+            if self.pos >= len(self.data):
+                # spec allows the final byte's padding bits to be read
+                # as 1s (F.2.2.5 expects all-1 padding)
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+                self.pos += 1
+                if self.pos > len(self.data) + 8:
+                    raise ValueError("malformed JPEG: entropy stream truncated")
+                continue
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= nbits
+        v = (self.acc >> self.n) & ((1 << nbits) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+
+class _Huffman:
+    """Canonical JPEG Huffman table (§C.2 construction, §F.2.2.3
+    decode): 16 length counts + symbol list from a DHT segment."""
+
+    __slots__ = ("mincode", "maxcode", "valptr", "symbols")
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.symbols = symbols
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            n = counts[length - 1]
+            self.valptr[length] = k
+            self.mincode[length] = code
+            self.maxcode[length] = code + n - 1 if n else -1
+            code = (code + n) << 1
+            k += n
+
+    def decode(self, r: _BitReader) -> int:
+        code = r.read(1)
+        length = 1
+        while code > self.maxcode[length]:
+            length += 1
+            if length > 16:
+                raise ValueError("malformed JPEG: invalid Huffman code")
+            code = (code << 1) | r.read(1)
+        return self.symbols[self.valptr[length] + code - self.mincode[length]]
+
+
+def _extend(v: int, s: int) -> int:
+    """§F.2.2.1 EXTEND: s-bit magnitude v → signed coefficient."""
+    return v - ((1 << s) - 1) if v < (1 << (s - 1)) else v
+
+
+def _decode_block(
+    r: _BitReader, dc: _Huffman, ac: _Huffman, pred: int, quant: np.ndarray
+) -> tuple[np.ndarray, int]:
+    """One 8×8 block: Huffman-decode, dequantize, dezigzag, IDCT.
+    Returns (spatial block float64, new DC predictor)."""
+    zz = np.zeros(64, dtype=np.int32)
+    s = dc.decode(r)
+    diff = _extend(r.read(s), s) if s else 0
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = ac.decode(r)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("malformed JPEG: AC run past block end")
+        zz[k] = _extend(r.read(size), size)
+        k += 1
+    coeffs = np.zeros(64, dtype=np.float64)
+    coeffs[ZIGZAG] = zz * quant
+    block = _B.T @ coeffs.reshape(8, 8) @ _B
+    return block, pred
+
+
+def jpeg_info(payload: bytes) -> dict:
+    """Header probe without entropy decode: dimensions, component
+    count, sampling factors, progressive flag."""
+    info = _parse(bytes(payload), header_only=True)
+    return {
+        "width": info["width"],
+        "height": info["height"],
+        "n_components": len(info["components"]),
+        "sampling": [(c["h"], c["v"]) for c in info["components"]],
+        "progressive": info["progressive"],
+    }
+
+
+def _parse(data: bytes, header_only: bool = False) -> dict:
+    """Walk the marker stream up to (and including) SOS."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG: bad signature")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _Huffman] = {}
+    huff_ac: dict[int, _Huffman] = {}
+    frame: dict | None = None
+    progressive = False
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("malformed JPEG: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD8:  # stray SOI
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("malformed JPEG: EOI before scan")
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("malformed JPEG: truncated segment")
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if prec:
+                    q = np.frombuffer(
+                        seg[i : i + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    i += 128
+                else:
+                    q = np.frombuffer(
+                        seg[i : i + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    i += 64
+                if len(q) != 64:
+                    raise ValueError("malformed JPEG: short DQT")
+                quant[tid] = q
+        elif marker == 0xC4:  # DHT — possibly several tables per segment
+            i = 0
+            while i < len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 0x0F
+                counts = list(seg[i + 1 : i + 17])
+                n = sum(counts)
+                symbols = seg[i + 17 : i + 17 + n]
+                if len(symbols) != n:
+                    raise ValueError("malformed JPEG: short DHT")
+                (huff_ac if cls else huff_dc)[tid] = _Huffman(counts, symbols)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            precision = seg[0]
+            if precision != 8:
+                raise NotImplementedError(
+                    f"JPEG precision {precision} not supported (baseline is 8-bit)"
+                )
+            height, width = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = {"width": width, "height": height, "components": comps}
+        elif marker == 0xC2:
+            progressive = True
+            if not header_only:
+                raise NotImplementedError(
+                    "progressive JPEG (SOF2) not supported — a different "
+                    "entropy machine (spectral selection + successive "
+                    "approximation), honestly gated like the other "
+                    "absent codecs"
+                )
+            height, width = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = {"width": width, "height": height, "components": comps}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{marker:02x} (non-baseline coding) not supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("malformed JPEG: SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tables = seg[1 + 2 * c : 3 + 2 * c]
+                scan.append(
+                    {"id": cid, "td": tables >> 4, "ta": tables & 0x0F}
+                )
+            return {
+                **frame,
+                "progressive": progressive,
+                "quant": quant,
+                "huff_dc": huff_dc,
+                "huff_ac": huff_ac,
+                "scan": scan,
+                "restart_interval": restart_interval,
+                "entropy_start": pos + seglen,
+            }
+        # APPn / COM / anything else: skip
+        pos += seglen
+    if header_only and frame is not None:
+        return {**frame, "progressive": progressive}
+    raise ValueError("malformed JPEG: no scan found")
+
+
+def _entropy_segments(data: bytes, start: int) -> list[bytes]:
+    """Split the entropy-coded data at restart markers, unstuffing
+    FF00 → FF. Ends at any non-RST marker (normally EOI)."""
+    segments: list[bytearray] = [bytearray()]
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            segments[-1].append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = data[i + 1]
+        if m == 0x00:  # stuffed FF
+            segments[-1].append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segments.append(bytearray())
+            i += 2
+        else:  # EOI or next marker: scan over
+            break
+    return [bytes(s) for s in segments]
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → uint8 array of shape (height, width, 1)
+    for grayscale or (height, width, 3) RGB.
+
+    Raises ValueError on malformed bytes and NotImplementedError on
+    the honestly-gated variants (progressive/arithmetic/12-bit)."""
+    data = bytes(payload)
+    info = _parse(data)
+    width, height = info["width"], info["height"]
+    comps = info["components"]
+    if width == 0 or height == 0:
+        raise ValueError("malformed JPEG: zero dimension")
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(
+            f"{len(comps)}-component JPEG (CMYK/unknown) not supported"
+        )
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or any(
+        c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]
+        for c in comps
+    ):
+        raise ValueError("malformed JPEG: bad sampling factors")
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    scan_by_id = {s["id"]: s for s in info["scan"]}
+
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        )
+
+    segments = _entropy_segments(data, info["entropy_start"])
+    ri = info["restart_interval"]
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    preds = [0] * len(comps)
+    for mcu in range(mcus_x * mcus_y):
+        if ri and mcu and mcu % ri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("malformed JPEG: missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, c in enumerate(comps):
+            try:
+                sel = scan_by_id[c["id"]]
+            except KeyError:
+                raise ValueError(
+                    "malformed JPEG: scan does not cover every frame "
+                    "component (non-interleaved multi-scan baseline "
+                    "is not supported)"
+                ) from None
+            dc = info["huff_dc"].get(sel["td"])
+            ac = info["huff_ac"].get(sel["ta"])
+            q = info["quant"].get(c["tq"])
+            if dc is None or ac is None or q is None:
+                raise ValueError("malformed JPEG: missing Huffman/quant table")
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    block, preds[ci] = _decode_block(
+                        reader, dc, ac, preds[ci], q
+                    )
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+
+    out_planes = []
+    for ci, c in enumerate(comps):
+        p = planes[ci] + 128.0
+        p = np.repeat(
+            np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        out_planes.append(p[:height, :width])
+    if len(comps) == 1:
+        gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None]
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)

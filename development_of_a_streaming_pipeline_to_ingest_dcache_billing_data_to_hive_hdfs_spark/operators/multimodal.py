@@ -63,8 +63,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Payload → FEATURE_DIM feature vector. PNG payloads get a REAL
     decode (png.py: stdlib zlib + spec unfiltering), GIF payloads a REAL
     LZW decode (gif.py: spec code stream, palettes, interlace,
-    transparency), both through the same pixel-statistic features; other
-    formats need codecs absent from this container."""
+    transparency), baseline JPEG payloads a REAL entropy decode
+    (jpeg.py: Huffman + dequantize + IDCT + YCbCr), all through the
+    same pixel-statistic features; remaining formats need codecs
+    absent from this container."""
     if fake:
         return _fake_decode(payload)
     from .png import decode_png, image_features, is_png
@@ -75,10 +77,15 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 
     if is_gif(payload):
         return image_features(decode_gif(payload))
+    from .jpeg import decode_jpeg, is_jpeg
+
+    if is_jpeg(payload):
+        return image_features(decode_jpeg(payload))
     raise NotImplementedError(
-        "non-PNG/GIF image decode requires Pillow/opencv, not available "
-        "in this environment; PNG and GIF decode for real — pass "
-        "fake=True for the deterministic stub on other formats"
+        "non-PNG/GIF/JPEG image decode requires Pillow/opencv, not "
+        "available in this environment; PNG, GIF and baseline JPEG "
+        "decode for real — pass fake=True for the deterministic stub "
+        "on other formats"
     )
 
 
@@ -100,8 +107,9 @@ def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
 
 
 def _decode_any(payload: bytes, kind: str, fake: bool) -> np.ndarray:
-    """Per-row codec dispatch: image → decode_image (PNG + GIF real),
-    audio → decode_audio (WAV real), video → honest gate (pyav absent)."""
+    """Per-row codec dispatch: image → decode_image (PNG + GIF +
+    baseline JPEG real), audio → decode_audio (WAV real), video →
+    honest gate (pyav absent)."""
     if fake:
         return _fake_decode(payload)
     if kind == "audio":
