@@ -2544,7 +2544,11 @@ def q_llm_multimodal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     - *real GIF decode*: the same closed-form construction through the
       LZW codec (gif.py) — deterministic 8×8 palette GIFs written
       in-executor, decoded with ``fake=False``, luma mean checked
-      against 16·(media_id%8 + 3.5)/255.
+      against 16·(media_id%8 + 3.5)/255;
+    - *real JPEG decode*: the third real codec (jpeg.py) — 16×16 gray
+      baseline JPEGs of four flat 8×8 blocks (exact at unit quant
+      tables; stepped block values walk the DC-prediction chain), luma
+      mean checked against (media_id%200 + 24)/255.
     """
     from ..operators.multimodal import FEATURE_DIM
 
@@ -2771,6 +2775,125 @@ def q_llm_multimodal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("degenerate_no_gif_media").alias("reason"),
         )
     )
+    # Real JPEG leg: the THIRD real image codec (jpeg.py). 16×16 gray,
+    # four flat 8×8 blocks at v, v+16, v+32, v+48 (v = media_id % 200)
+    # — flat blocks quantize EXACTLY at unit tables (DC = 8·(val−128),
+    # an integer; no AC terms), and stepping values across blocks
+    # exercises the decoder's DC-prediction chain, not just one block.
+    # The luma mean depends only on the DC terms, so the closed form
+    # (v + 24)/255 is exact. The entropy/huffman/subsampling/restart
+    # breadth is covered by the independent encoder in
+    # tests/test_jpeg_codec.py; this leg proves the in-executor wiring
+    # decodes real pixels.
+    def _gen_jpeg(batches):
+        import struct as _st
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _write_bits(data: bytearray, acc_n, value, nbits):
+            acc, n = acc_n
+            acc = (acc << nbits) | (value & ((1 << nbits) - 1))
+            n += nbits
+            while n >= 8:
+                n -= 8
+                b = (acc >> n) & 0xFF
+                data.append(b)
+                if b == 0xFF:
+                    data.append(0x00)
+            return acc & ((1 << n) - 1), n
+
+        def _seg(marker, payload):
+            return bytes([0xFF, marker]) + _st.pack(">H", len(payload) + 2) + payload
+
+        def _tiny_jpeg(v: int) -> bytes:
+            out = bytearray(b"\xff\xd8")
+            out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+            out += _seg(0xC0, _st.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]))
+            # DC: symbols 0..11 all at 5 bits; AC: only EOB, 2 bits
+            dc_counts = [0] * 16
+            dc_counts[4] = 12
+            ac_counts = [0] * 16
+            ac_counts[1] = 1
+            out += _seg(
+                0xC4,
+                bytes([0x00]) + bytes(dc_counts) + bytes(range(12))
+                + bytes([0x10]) + bytes(ac_counts) + bytes([0x00]),
+            )
+            out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            data = bytearray()
+            acc_n = (0, 0)
+            pred = 0
+            for blk in range(4):
+                dc = 8 * (v + 16 * blk - 128)
+                diff = dc - pred
+                pred = dc
+                mag = diff if diff >= 0 else -diff
+                s = mag.bit_length()
+                raw = diff if diff >= 0 else diff + (1 << s) - 1
+                acc_n = _write_bits(data, acc_n, s, 5)  # DC size symbol
+                if s:
+                    acc_n = _write_bits(data, acc_n, raw, s)
+                acc_n = _write_bits(data, acc_n, 0, 2)  # EOB
+            if acc_n[1]:
+                acc_n = _write_bits(
+                    data, acc_n, (1 << (8 - acc_n[1])) - 1, 8 - acc_n[1]
+                )
+            out += bytes(data)
+            out += b"\xff\xd9"
+            return bytes(out)
+
+        for pdf in batches:
+            payloads = [_tiny_jpeg(int(mid) % 200) for mid in pdf["media_id"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "mime": "image/jpeg",
+                    "payload": payloads,
+                    "width": 16,
+                    "height": 16,
+                    "duration_ms": _np.zeros(len(pdf), dtype=_np.int64),
+                }
+            )
+
+    jpeg_media = (
+        media.select("media_id")
+        .where(F.col("media_id") < 48)
+        .mapInPandas(_gen_jpeg, MEDIA_SCHEMA)
+        .localCheckpoint()
+    )
+    jpeg_real = extract_features(jpeg_media, fake=False)
+    jpeg_pairwise = (
+        jpeg_media.select("media_id")
+        .join(
+            jpeg_real.select("media_id", F.col("features").alias("feat_j")),
+            "media_id",
+            "full",
+        )
+        .withColumn(
+            "exp_luma", ((F.col("media_id") % 200) + F.lit(24.0)) / F.lit(255.0)
+        )
+        .select(
+            "media_id",
+            F.when(F.col("feat_j").isNull(), "jpeg_missing_row")
+            .when(F.size("feat_j") != FEATURE_DIM, "jpeg_bad_feature_dim")
+            .when(
+                F.abs(F.element_at("feat_j", 1) - F.col("exp_luma")) > 2e-3,
+                "jpeg_luma_mismatch",
+            )
+            .alias("reason"),
+        )
+        .where(F.col("reason").isNotNull())
+    )
+    jpeg_guard = (
+        jpeg_media.agg(F.count("*").alias("n"))
+        .where(F.col("n") == 0)
+        .select(
+            F.lit(-4).cast("long").alias("media_id"),
+            F.lit("degenerate_no_jpeg_media").alias("reason"),
+        )
+    )
     return (
         pairwise.union(dupes)
         .union(guard)
@@ -2778,6 +2901,8 @@ def q_llm_multimodal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(real_guard)
         .union(gif_pairwise)
         .union(gif_guard)
+        .union(jpeg_pairwise)
+        .union(jpeg_guard)
     )
 
 
