@@ -106,18 +106,36 @@ def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
     )
 
 
+def decode_video(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Payload → FEATURE_DIM feature vector. MJPEG-in-AVI gets a REAL
+    decode (avi.py RIFF walk → jpeg.py frames): features of the FIRST
+    frame — the keyframe statistic downstream curation keys on (a
+    temporal summary would change FEATURE_DIM; sample_frames is the
+    per-frame surface). Other containers/codecs need ffmpeg/pyav."""
+    if fake:
+        return _fake_decode(payload)
+    from .avi import decode_avi, is_avi
+    from .png import image_features
+
+    if is_avi(payload):
+        return image_features(decode_avi(payload, frame_index=0))
+    raise NotImplementedError(
+        "non-MJPEG-AVI video decode requires pyav/ffmpeg, not available "
+        "in this environment; MJPEG-in-AVI decodes for real — pass "
+        "fake=True for the deterministic stub on other formats"
+    )
+
+
 def _decode_any(payload: bytes, kind: str, fake: bool) -> np.ndarray:
     """Per-row codec dispatch: image → decode_image (PNG + GIF +
     baseline JPEG real), audio → decode_audio (WAV real), video →
-    honest gate (pyav absent)."""
+    decode_video (MJPEG-in-AVI real)."""
     if fake:
         return _fake_decode(payload)
     if kind == "audio":
         return decode_audio(payload)
     if kind == "video":
-        raise NotImplementedError(
-            "video decode requires pyav/ffmpeg; pass fake=True for the stub"
-        )
+        return decode_video(payload)
     return decode_image(payload)
 
 
@@ -215,12 +233,56 @@ def sample_frames(
 ) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled frame
     (media_id, frame_idx, ts_ms, payload). Row expansion happens inside
-    mapInPandas — no shuffle, output size = duration/every_ms per video;
-    the frame decode is the stubbed codec step (real impl: pyav)."""
+    mapInPandas — no shuffle, output size = duration/every_ms per video.
+
+    ``fake=False`` extracts REAL frames from MJPEG-in-AVI payloads: the
+    RIFF walk (avi.py) yields the container's JPEG frame chunks, one
+    sampled every ``every_ms`` of stream time (frame period from the
+    avih header), each output payload a standalone decodable JPEG.
+    Other containers/codecs raise the honest ffmpeg/pyav gate. The
+    default fake path keeps the plumbing-only shape (sha-derived
+    payload stubs, duration-driven counts)."""
     if not fake:
-        raise NotImplementedError(
-            "video frame extraction requires pyav/ffmpeg; pass fake=True for the stub"
-        )
+
+        def real_op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from .avi import avi_info, is_avi, iter_video_frames
+
+            for pdf in batches:
+                ids, idxs, tss, payloads = [], [], [], []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    if payload is None:
+                        continue
+                    payload = bytes(payload)
+                    if not is_avi(payload):
+                        raise NotImplementedError(
+                            "real frame extraction supports MJPEG-in-AVI "
+                            "only; other containers need pyav/ffmpeg"
+                        )
+                    frames = iter_video_frames(payload)
+                    if not frames:
+                        continue
+                    us = avi_info(payload)["us_per_frame"] or 1
+                    frame_ms = max(us / 1000.0, 1e-9)
+                    k = 0
+                    while True:
+                        fi = int(round(k * every_ms / frame_ms))
+                        if fi >= len(frames):
+                            break
+                        ids.append(mid)
+                        idxs.append(fi)
+                        tss.append(k * every_ms)
+                        payloads.append(frames[fi])
+                        k += 1
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.Series(ids, dtype="int64"),
+                        "frame_idx": pd.Series(idxs, dtype="int32"),
+                        "ts_ms": pd.Series(tss, dtype="int64"),
+                        "payload": pd.Series(payloads, dtype="object"),
+                    }
+                )
+
+        return media.mapInPandas(real_op, FRAMES_SCHEMA)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

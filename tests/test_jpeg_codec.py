@@ -108,6 +108,79 @@ _DC_COUNTS, _DC_VALS, _DC_CODES = _flat_huffman(_DC_SYMS, 5)
 _AC_COUNTS, _AC_VALS, _AC_CODES = _flat_huffman(_AC_SYMS, 9)
 
 
+def _canonical_codes(counts, vals):
+    """Spec §C.2 canonical code assignment (the encoder-side twin of
+    the decoder's mincode/maxcode walk)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+# Independent test-side copies of the ITU-T T.81 Annex K.3 typical
+# tables (the decoder ships its own; transcription drift between the
+# two copies breaks the DHT-less round-trip below, and the famous code
+# words are pinned by test_annex_k_codes_are_the_published_ones).
+K3_DC_LUMA_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+K3_DC_LUMA_VALS = list(range(12))
+K3_AC_LUMA_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+K3_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+K3_DC_CHROMA_COUNTS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+K3_DC_CHROMA_VALS = list(range(12))
+K3_AC_CHROMA_COUNTS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+K3_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
 def _magnitude(v: int) -> tuple[int, int]:
     """signed value → (size, raw bits) per spec F.1.2.1.1/F.1.4.1."""
     s = int(v).bit_length() if v > 0 else int(-v).bit_length()
@@ -115,12 +188,21 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, raw
 
 
-def _encode_block(w: _BitWriter, block: np.ndarray, quant: np.ndarray, pred: int) -> int:
+def _encode_block(
+    w: _BitWriter,
+    block: np.ndarray,
+    quant: np.ndarray,
+    pred: int,
+    dc_codes=None,
+    ac_codes=None,
+) -> int:
+    dc_codes = dc_codes if dc_codes is not None else _DC_CODES
+    ac_codes = ac_codes if ac_codes is not None else _AC_CODES
     coeffs = _fdct_ref(block.astype(np.float64) - 128.0)
     zz = np.rint(coeffs.reshape(64)[ZIGZAG] / quant).astype(np.int64)
     diff = int(zz[0]) - pred
     s, raw = _magnitude(diff)
-    code, ln = _DC_CODES[s]
+    code, ln = dc_codes[s]
     w.write(code, ln)
     if s:
         w.write(raw, s)
@@ -131,16 +213,16 @@ def _encode_block(w: _BitWriter, block: np.ndarray, quant: np.ndarray, pred: int
             run += 1
             continue
         while run >= 16:
-            code, ln = _AC_CODES[0xF0]
+            code, ln = ac_codes[0xF0]
             w.write(code, ln)
             run -= 16
         s, raw = _magnitude(int(zz[k]))
-        code, ln = _AC_CODES[(run << 4) | s]
+        code, ln = ac_codes[(run << 4) | s]
         w.write(code, ln)
         w.write(raw, s)
         run = 0
     if last_nz < 63:
-        code, ln = _AC_CODES[0x00]
+        code, ln = ac_codes[0x00]
         w.write(code, ln)
     return int(zz[0])
 
