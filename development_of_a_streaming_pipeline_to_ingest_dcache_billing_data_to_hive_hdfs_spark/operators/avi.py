@@ -118,12 +118,20 @@ def iter_video_frames(payload: bytes) -> list[bytes]:
         raise ValueError("AVI has no video stream")
     prefix = b"%02d" % vid_stream
     frames = []
-    in_movi = False
+    # Track the byte extents of movi LISTs (there can be several in
+    # OpenDML files) and only take frame chunks that fall INSIDE one —
+    # '##dc'-shaped chunks appearing after a movi list (e.g. in indx /
+    # OpenDML extension lists) must not be misread as frames.
+    movi_extents: list[tuple[int, int]] = []
     for fourcc, ltype, s, e in _walk(data, 12, len(data)):
         if fourcc == b"LIST" and ltype == b"movi":
-            in_movi = True
+            movi_extents.append((s, e))
             continue
-        if in_movi and fourcc[:2] == prefix and fourcc[2:4] in (b"dc", b"db"):
+        if (
+            fourcc[:2] == prefix
+            and fourcc[2:4] in (b"dc", b"db")
+            and any(ms <= s and e <= me for ms, me in movi_extents)
+        ):
             frames.append(data[s:e])
     return frames
 

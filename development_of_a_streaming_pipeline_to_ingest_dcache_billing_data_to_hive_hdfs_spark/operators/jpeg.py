@@ -254,12 +254,21 @@ def _parse(data: bytes, header_only: bool = False) -> dict:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("malformed JPEG: expected marker")
-        marker = data[pos + 1]
-        pos += 2
+        pos += 1
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before
+        # the marker code — skip them, the marker is the first non-FF.
+        while pos < len(data) and data[pos] == 0xFF:
+            pos += 1
+        if pos >= len(data):
+            raise ValueError("malformed JPEG: truncated at fill bytes")
+        marker = data[pos]
+        pos += 1
         if marker == 0xD8:  # stray SOI
             continue
         if marker == 0xD9:  # EOI before SOS
             raise ValueError("malformed JPEG: EOI before scan")
+        if pos + 2 > len(data):
+            raise ValueError("malformed JPEG: truncated segment")
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         seg = data[pos + 2 : pos + seglen]
         if len(seg) != seglen - 2:

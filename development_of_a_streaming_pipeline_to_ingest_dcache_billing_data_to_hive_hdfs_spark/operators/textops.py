@@ -439,7 +439,7 @@ def duplicated_spans(
     while the estimated size fits the session's
     ``autoBroadcastJoinThreshold`` and otherwise fall back to the
     planner's shuffle join (plan-asserted both ways in
-    tests/test_textops.py).
+    tests/test_llm_ops.py::test_duplicated_spans_broadcast_gate).
     """
     toks = docs.select(
         F.col(doc_id_col).alias("doc_id"), tokens_col(text_col).alias("toks")

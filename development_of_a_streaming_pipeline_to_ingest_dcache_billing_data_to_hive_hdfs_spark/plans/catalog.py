@@ -2548,7 +2548,12 @@ def q_llm_multimodal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     - *real JPEG decode*: the third real codec (jpeg.py) — 16×16 gray
       baseline JPEGs of four flat 8×8 blocks (exact at unit quant
       tables; stepped block values walk the DC-prediction chain), luma
-      mean checked against (media_id%200 + 24)/255.
+      mean checked against (media_id%200 + 24)/255;
+    - *real MJPEG-in-AVI decode*: the VIDEO modality (avi.py RIFF walk
+      → jpeg.py frames) — two-frame AVIs whose frames reuse the JPEG
+      leg's flat-block construction with DISTINCT means (frame 0:
+      v+24, frame 1: v+84), so a broken container walk or decode_video
+      picking the wrong frame both trip the same closed-form check.
     """
     from ..operators.multimodal import FEATURE_DIM
 
@@ -2894,6 +2899,148 @@ def q_llm_multimodal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("degenerate_no_jpeg_media").alias("reason"),
         )
     )
+
+    # Real MJPEG-in-AVI leg: the VIDEO modality (avi.py RIFF walk →
+    # jpeg.py frames). Each payload is a two-frame AVI whose frames
+    # reuse the exact flat-block construction above: frame 0's luma
+    # mean is (v + 24), frame 1's is (v + 84) — distinct by design, so
+    # this gate catches both a broken container walk AND decode_video
+    # picking any frame other than the documented keyframe (frame 0).
+    # Container-walk breadth (rec-interleave, audio-first streams,
+    # word alignment, DHT-less frames, post-movi decoys) is covered by
+    # the independent RIFF writer in tests/test_avi_codec.py; this leg
+    # proves the in-executor wiring decodes real video frames.
+    def _gen_avi(batches):
+        import struct as _st
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _write_bits(data: bytearray, acc_n, value, nbits):
+            acc, n = acc_n
+            acc = (acc << nbits) | (value & ((1 << nbits) - 1))
+            n += nbits
+            while n >= 8:
+                n -= 8
+                b = (acc >> n) & 0xFF
+                data.append(b)
+                if b == 0xFF:
+                    data.append(0x00)
+            return acc & ((1 << n) - 1), n
+
+        def _seg(marker, payload):
+            return bytes([0xFF, marker]) + _st.pack(">H", len(payload) + 2) + payload
+
+        def _tiny_jpeg(v: int) -> bytes:
+            # identical construction to the JPEG leg: 16×16 gray, four
+            # flat 8×8 blocks v, v+16, v+32, v+48 — exact at unit quant
+            out = bytearray(b"\xff\xd8")
+            out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+            out += _seg(0xC0, _st.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]))
+            dc_counts = [0] * 16
+            dc_counts[4] = 12
+            ac_counts = [0] * 16
+            ac_counts[1] = 1
+            out += _seg(
+                0xC4,
+                bytes([0x00]) + bytes(dc_counts) + bytes(range(12))
+                + bytes([0x10]) + bytes(ac_counts) + bytes([0x00]),
+            )
+            out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            data = bytearray()
+            acc_n = (0, 0)
+            pred = 0
+            for blk in range(4):
+                dc = 8 * (v + 16 * blk - 128)
+                diff = dc - pred
+                pred = dc
+                mag = diff if diff >= 0 else -diff
+                s = mag.bit_length()
+                raw = diff if diff >= 0 else diff + (1 << s) - 1
+                acc_n = _write_bits(data, acc_n, s, 5)
+                if s:
+                    acc_n = _write_bits(data, acc_n, raw, s)
+                acc_n = _write_bits(data, acc_n, 0, 2)
+            if acc_n[1]:
+                acc_n = _write_bits(
+                    data, acc_n, (1 << (8 - acc_n[1])) - 1, 8 - acc_n[1]
+                )
+            out += bytes(data)
+            out += b"\xff\xd9"
+            return bytes(out)
+
+        def _tiny_avi(frames: list) -> bytes:
+            def _ck(fcc, p):
+                b = fcc + _st.pack("<I", len(p)) + p
+                return b + (b"\x00" if len(p) & 1 else b"")
+
+            def _ls(t, p):
+                return _ck(b"LIST", t + p)
+
+            avih = _st.pack(
+                "<14I", 40000, 0, 0, 0, len(frames), 0, 1, 0, 16, 16, 0, 0, 0, 0
+            )
+            strh = b"vids" + b"MJPG" + bytes(48)
+            strl = _ls(b"strl", _ck(b"strh", strh) + _ck(b"strf", bytes(40)))
+            hdrl = _ls(b"hdrl", _ck(b"avih", avih) + strl)
+            movi = _ls(b"movi", b"".join(_ck(b"00dc", f) for f in frames))
+            body = b"AVI " + hdrl + movi
+            return b"RIFF" + _st.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            payloads = [
+                _tiny_avi([_tiny_jpeg(int(mid) % 200), _tiny_jpeg(int(mid) % 200 + 60)])
+                for mid in pdf["media_id"]
+            ]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "video",
+                    "mime": "video/x-msvideo",
+                    "payload": payloads,
+                    "width": 16,
+                    "height": 16,
+                    "duration_ms": _np.full(len(pdf), 80, dtype=_np.int64),
+                }
+            )
+
+    avi_media = (
+        media.select("media_id")
+        .where(F.col("media_id") < 32)
+        .mapInPandas(_gen_avi, MEDIA_SCHEMA)
+        .localCheckpoint()
+    )
+    avi_real = extract_features(avi_media, fake=False)
+    avi_pairwise = (
+        avi_media.select("media_id")
+        .join(
+            avi_real.select("media_id", F.col("features").alias("feat_v")),
+            "media_id",
+            "full",
+        )
+        .withColumn(
+            "exp_luma", ((F.col("media_id") % 200) + F.lit(24.0)) / F.lit(255.0)
+        )
+        .select(
+            "media_id",
+            F.when(F.col("feat_v").isNull(), "avi_missing_row")
+            .when(F.size("feat_v") != FEATURE_DIM, "avi_bad_feature_dim")
+            .when(
+                F.abs(F.element_at("feat_v", 1) - F.col("exp_luma")) > 2e-3,
+                "avi_luma_mismatch",
+            )
+            .alias("reason"),
+        )
+        .where(F.col("reason").isNotNull())
+    )
+    avi_guard = (
+        avi_media.agg(F.count("*").alias("n"))
+        .where(F.col("n") == 0)
+        .select(
+            F.lit(-5).cast("long").alias("media_id"),
+            F.lit("degenerate_no_avi_media").alias("reason"),
+        )
+    )
     return (
         pairwise.union(dupes)
         .union(guard)
@@ -2903,6 +3050,8 @@ def q_llm_multimodal_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(gif_guard)
         .union(jpeg_pairwise)
         .union(jpeg_guard)
+        .union(avi_pairwise)
+        .union(avi_guard)
     )
 
 

@@ -1,0 +1,368 @@
+"""MJPEG-in-AVI walker/decoder vs an INDEPENDENT test-side container
+writer.
+
+The writer below builds the RIFF tree straight from the AVI 1.0 spec
+(RIFF 'AVI ' → LIST hdrl [avih + one LIST strl per stream with
+spec-shaped AVISTREAMHEADER/BITMAPINFOHEADER] → LIST movi with '##dc'
+frame chunks, word-aligned, optionally 'rec '-interleaved), and the
+frame payloads come from the independent baseline JPEG encoder in
+test_jpeg_codec.py — so the container walker and the frame codec are
+both checked against forward-direction implementations that share no
+code with avi.py / jpeg.py (same methodology as the PNG/GIF/JPEG/WAV
+codec tests).
+
+Frame-content assertions use distinct closed-form luma per frame
+(frame k is flat gray 40+20k), so picking the wrong frame — or
+counting a decoy chunk outside the movi list — fails loudly.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.avi import (
+    avi_info,
+    decode_avi,
+    decode_avi_frame,
+    is_avi,
+    iter_video_frames,
+)
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.jpeg import (
+    decode_jpeg,
+)
+from test_jpeg_codec import (
+    K3_AC_LUMA_COUNTS,
+    K3_AC_LUMA_VALS,
+    K3_DC_LUMA_COUNTS,
+    K3_DC_LUMA_VALS,
+    _BitWriter,
+    _canonical_codes,
+    _encode_block,
+    _gradient,
+    _seg,
+    encode_jpeg_ref,
+)
+
+# ---------------------------------------------------------------------
+# independent container writer (AVI 1.0 spec structures)
+# ---------------------------------------------------------------------
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    out = fourcc + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        out += b"\x00"  # RIFF chunks are word-aligned
+    return out
+
+
+def _riff_list(ltype: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", ltype + payload)
+
+
+def _strh(fcc_type: bytes, handler: bytes, scale: int, rate: int, length: int,
+          width: int, height: int) -> bytes:
+    """AVISTREAMHEADER (56 bytes): fccType, fccHandler, dwFlags,
+    wPriority, wLanguage, dwInitialFrames, dwScale, dwRate, dwStart,
+    dwLength, dwSuggestedBufferSize, dwQuality, dwSampleSize, rcFrame."""
+    return (
+        fcc_type
+        + handler
+        + struct.pack("<IHH", 0, 0, 0)
+        + struct.pack("<8I", 0, scale, rate, 0, length, 0, 0xFFFF, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+
+
+def write_avi_ref(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    us_per_frame: int = 40000,
+    audio_first: bool = False,
+    rec_interleave: bool = False,
+    handler: bytes = b"MJPG",
+    after_movi: bytes = b"",
+) -> bytes:
+    """Spec-shaped AVI: main header, per-stream headers (optionally an
+    audio stream BEFORE the video stream, so the video frame chunks are
+    '01dc' not '00dc'), movi frame chunks (optionally wrapped in the
+    interleaved 'rec ' sub-lists), optional trailing chunks after movi."""
+    n = len(frames)
+    avih = struct.pack(
+        "<14I",
+        us_per_frame, 0, 0, 0x10, n, 0,
+        2 if audio_first else 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strf_video = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )  # BITMAPINFOHEADER
+    strl_video = _riff_list(
+        b"strl",
+        _chunk(b"strh", _strh(b"vids", handler, 1, 25, n, width, height))
+        + _chunk(b"strf", strf_video),
+    )
+    strls = []
+    if audio_first:
+        strf_audio = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        strls.append(
+            _riff_list(
+                b"strl",
+                _chunk(b"strh", _strh(b"auds", b"\x00\x00\x00\x00", 1, 8000,
+                                      8000, 0, 0))
+                + _chunk(b"strf", strf_audio),
+            )
+        )
+    strls.append(strl_video)
+    hdrl = _riff_list(b"hdrl", _chunk(b"avih", avih) + b"".join(strls))
+    fcc = b"%02ddc" % (1 if audio_first else 0)
+    if rec_interleave:
+        movi_payload = b"".join(
+            _riff_list(b"rec ", _chunk(fcc, f)) for f in frames
+        )
+    else:
+        movi_payload = b"".join(_chunk(fcc, f) for f in frames)
+    movi = _riff_list(b"movi", movi_payload)
+    body = b"AVI " + hdrl + movi + after_movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _flat_frames(values: list[int], size: int = 16) -> list[bytes]:
+    """One flat-gray JPEG per value — frame k's decoded luma mean IS
+    value[k] (±1 DCT rounding), a distinct closed form per frame."""
+    return [
+        encode_jpeg_ref(np.full((size, size, 1), v, dtype=np.uint8))
+        for v in values
+    ]
+
+
+FRAME_VALUES = [40, 60, 80]
+
+
+def _mjpeg_frame_dhtless(img: np.ndarray) -> bytes:
+    """Gray baseline frame with NO DHT segment, entropy-coded with the
+    test-side transcription of the T.81 Annex K.3 luma tables — the
+    OpenDML MJPEG convention (decoders must supply K.3 themselves)."""
+    h, w, _ = img.shape
+    assert h % 8 == 0 and w % 8 == 0
+    dc_codes = _canonical_codes(K3_DC_LUMA_COUNTS, K3_DC_LUMA_VALS)
+    ac_codes = _canonical_codes(K3_AC_LUMA_COUNTS, K3_AC_LUMA_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    wtr = _BitWriter()
+    pred = 0
+    quant = np.ones(64, np.int64)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            pred = _encode_block(
+                wtr,
+                img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8, 0],
+                quant,
+                pred,
+                dc_codes=dc_codes,
+                ac_codes=ac_codes,
+            )
+    wtr.align()
+    out += bytes(wtr.bytes)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------
+# walker + decoder vs the independent writer
+# ---------------------------------------------------------------------
+
+
+def test_round_trip_frame_content_and_info():
+    frames = _flat_frames(FRAME_VALUES)
+    payload = write_avi_ref(frames, 16, 16, us_per_frame=40000)
+    assert is_avi(payload)
+    info = avi_info(payload)
+    assert info["width"] == 16 and info["height"] == 16
+    assert info["n_frames"] == 3 and info["us_per_frame"] == 40000
+    assert info["streams"] == [{"type": "vids", "handler": "MJPG"}]
+    assert iter_video_frames(payload) == frames
+    for k, v in enumerate(FRAME_VALUES):
+        px = decode_avi(payload, frame_index=k)
+        assert px.shape == (16, 16, 1)
+        assert abs(float(px.mean()) - v) <= 1.0
+
+
+def test_audio_stream_before_video_shifts_chunk_ids():
+    frames = _flat_frames(FRAME_VALUES)
+    payload = write_avi_ref(frames, 16, 16, audio_first=True)
+    assert b"01dc" in payload and b"00dc" not in payload
+    info = avi_info(payload)
+    assert [s["type"] for s in info["streams"]] == ["auds", "vids"]
+    assert iter_video_frames(payload) == frames
+    assert abs(float(decode_avi(payload, 1).mean()) - FRAME_VALUES[1]) <= 1.0
+
+
+def test_rec_interleaved_movi():
+    frames = _flat_frames(FRAME_VALUES)
+    payload = write_avi_ref(frames, 16, 16, rec_interleave=True)
+    assert iter_video_frames(payload) == frames
+    assert abs(float(decode_avi(payload, 2).mean()) - FRAME_VALUES[2]) <= 1.0
+
+
+def test_odd_sized_frames_respect_word_alignment():
+    # find flat values whose JPEG payloads are odd- and even-length, so
+    # the container must insert a pad byte between chunks either way
+    odd = next(
+        v for v in range(256)
+        if len(encode_jpeg_ref(np.full((16, 16, 1), v, np.uint8))) % 2 == 1
+    )
+    even = next(
+        v for v in range(256)
+        if len(encode_jpeg_ref(np.full((16, 16, 1), v, np.uint8))) % 2 == 0
+    )
+    frames = _flat_frames([odd, even, odd])
+    assert len(frames[0]) % 2 == 1 and len(frames[1]) % 2 == 0
+    payload = write_avi_ref(frames, 16, 16)
+    got = iter_video_frames(payload)
+    assert got == frames  # pad bytes never leak into frame slices
+    for k, v in zip(range(3), [odd, even, odd]):
+        assert abs(float(decode_avi(payload, k).mean()) - v) <= 1.0
+
+
+def test_dhtless_k3_frames_decode():
+    """OpenDML-convention MJPEG: frames omit DHT; jpeg.py must fall back
+    to its own Annex K.3 tables (transcribed independently test-side)."""
+    img = _gradient(16, 16, 1, seed=7)
+    frame = _mjpeg_frame_dhtless(img)
+    assert b"\xff\xc4" not in frame[:200]  # genuinely DHT-less header
+    payload = write_avi_ref([frame], 16, 16)
+    out = decode_avi(payload, 0)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 4 and err.mean() <= 1.0
+
+
+def test_chunks_after_movi_are_not_frames():
+    """'00dc'-shaped chunks OUTSIDE the movi list (OpenDML index /
+    extension lists) must not be misread as video frames."""
+    frames = _flat_frames(FRAME_VALUES)
+    decoy = _riff_list(b"odml", _chunk(b"00dc", b"\x00\x01 not a jpeg \x02"))
+    payload = write_avi_ref(frames, 16, 16, after_movi=decoy)
+    got = iter_video_frames(payload)
+    assert got == frames  # decoy excluded; count and content unchanged
+    assert abs(float(decode_avi(payload, 0).mean()) - FRAME_VALUES[0]) <= 1.0
+
+
+def test_non_mjpeg_stream_is_honestly_gated():
+    payload = write_avi_ref([b"\x00" * 32], 16, 16, handler=b"H264")
+    with pytest.raises(NotImplementedError, match="not MJPEG"):
+        decode_avi(payload, 0)
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_avi_frame(b"\x00" * 32)
+
+
+def test_malformed_and_edge_rejections():
+    assert not is_avi(None)
+    assert not is_avi(b"RIFFxxxxWAVE")  # RIFF but not AVI
+    with pytest.raises(ValueError, match="bad RIFF"):
+        avi_info(b"not a riff at all")
+    frames = _flat_frames([128])
+    good = write_avi_ref(frames, 16, 16)
+    # chunk size overrunning its parent
+    broken = bytearray(good)
+    i = broken.index(b"00dc")
+    broken[i + 4 : i + 8] = struct.pack("<I", 1 << 30)
+    with pytest.raises(ValueError, match="overruns"):
+        iter_video_frames(bytes(broken))
+    # no avih header
+    no_hdr = b"RIFF" + struct.pack("<I", 4) + b"AVI "
+    with pytest.raises(ValueError, match="no avih"):
+        avi_info(no_hdr)
+    # audio-only file: no video stream
+    audio_only = write_avi_ref([], 16, 16, audio_first=True)
+    audio_only = audio_only.replace(b"vids", b"auds")
+    with pytest.raises(ValueError, match="no video stream"):
+        iter_video_frames(audio_only)
+    # empty movi
+    with pytest.raises(ValueError, match="no video frames"):
+        decode_avi(write_avi_ref([], 16, 16), 0)
+    # frame index out of range
+    with pytest.raises(ValueError, match="out of range"):
+        decode_avi(good, 5)
+
+
+# ---------------------------------------------------------------------
+# multimodal wiring: decode_video / extract_features / sample_frames
+# ---------------------------------------------------------------------
+
+
+def test_decode_video_takes_the_first_frame():
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_video,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.png import (
+        image_features,
+    )
+
+    payload = write_avi_ref(_flat_frames(FRAME_VALUES), 16, 16)
+    feats = decode_video(payload)
+    assert feats.shape == (FEATURE_DIM,)
+    # identical to the per-frame codec on frame 0 — the keyframe
+    # statistic, NOT any later frame (their means differ by design)
+    expected = image_features(decode_jpeg(iter_video_frames(payload)[0]))
+    np.testing.assert_allclose(feats, expected, rtol=1e-12)
+    assert abs(feats[0] - FRAME_VALUES[0] / 255.0) < 2e-2
+    with pytest.raises(NotImplementedError, match="pyav|ffmpeg"):
+        decode_video(b"\x00\x01\x02\x03 not an avi")
+
+
+def test_extract_features_video_kind_real(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.multimodal import (
+        decode_video,
+        extract_features,
+    )
+
+    payloads = {
+        i: write_avi_ref(_flat_frames([30 + 25 * i, 200]), 16, 16)
+        for i in range(4)
+    }
+    media = spark.createDataFrame(
+        [(i, "video", "video/x-msvideo", p, 16, 16, 80) for i, p in payloads.items()],
+        "media_id long, kind string, mime string, payload binary, "
+        "width int, height int, duration_ms long",
+    )
+    rows = extract_features(media, fake=False).collect()
+    assert len(rows) == 4
+    for r in rows:
+        np.testing.assert_allclose(
+            r.features, decode_video(payloads[r.media_id]), rtol=1e-6
+        )
+        assert abs(r.features[0] - (30 + 25 * r.media_id) / 255.0) < 2e-2
+
+
+def test_sample_frames_real_mjpeg(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    # 10 frames at 25 fps (40 ms/frame); sampling every 120 ms hits
+    # frame indices 0, 3, 6, 9 at ts 0/120/240/360
+    values = [20 * k for k in range(10)]
+    payload = write_avi_ref(_flat_frames(values), 16, 16, us_per_frame=40000)
+    media = spark.createDataFrame(
+        [(7, "video", "video/x-msvideo", payload, 16, 16, 400)],
+        "media_id long, kind string, mime string, payload binary, "
+        "width int, height int, duration_ms long",
+    )
+    rows = sorted(
+        sample_frames(media, every_ms=120, fake=False).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in rows] == [0, 3, 6, 9]
+    assert [r.ts_ms for r in rows] == [0, 120, 240, 360]
+    for r in rows:
+        # each sampled payload is a standalone decodable JPEG carrying
+        # the right frame's closed-form luma
+        px = decode_jpeg(bytes(r.payload))
+        assert abs(float(px.mean()) - values[r.frame_idx]) <= 1.0

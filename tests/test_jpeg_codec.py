@@ -437,6 +437,23 @@ def test_jpeg_info_probe():
     }
 
 
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+    marker code — spec-valid JPEGs emitted with padding must decode."""
+    img = _gradient(16, 16, 1, seed=29)
+    payload = bytearray(encode_jpeg_ref(img))
+    i = payload.index(b"\xff\xdb")  # pad before DQT
+    payload[i:i] = b"\xff\xff\xff"
+    j = payload.index(b"\xff\xc0")  # and before SOF0
+    payload[j:j] = b"\xff"
+    out = decode_jpeg(bytes(payload))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+    # truncation INSIDE a fill-byte run still fails loudly
+    k = payload.index(b"\xff\xc4")
+    with pytest.raises(ValueError, match="malformed JPEG"):
+        decode_jpeg(bytes(payload[:k]) + b"\xff\xff")
+
+
 def test_is_jpeg_and_rejections():
     assert not is_jpeg(None)
     assert not is_jpeg(b"\x89PNG")

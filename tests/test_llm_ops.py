@@ -184,7 +184,12 @@ def test_real_decode_png_and_non_png_gate():
         encode_png,
     )
 
+    # A signature no stdlib codec owns (BMP) hits the honest gate ...
     with pytest.raises(NotImplementedError, match="non-PNG"):
+        decode_image(b"BM bmp-ish bytes that no codec claims")
+    # ... while a JPEG signature enters decode_jpeg for real and dies on
+    # the malformed payload with the codec's own contract (jpeg.py).
+    with pytest.raises(ValueError, match="malformed JPEG"):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish bytes")
 
     rng = np.random.default_rng(3)
