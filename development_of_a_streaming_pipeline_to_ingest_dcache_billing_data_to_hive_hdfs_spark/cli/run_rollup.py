@@ -36,7 +36,12 @@ _KINDS = ("count", "sum", "min", "max")
 
 
 def parse_agg(spec: str, decimal_sums: bool) -> tuple[str, tuple]:
-    """``NAME=count`` or ``NAME=sum|min|max:COLUMN`` → (name, agg spec).
+    """``NAME=count`` or ``NAME=sum|min|max:COLUMN`` → (name, SYMBOLIC
+    agg spec). Decimal sums stay symbolic — ``('sum', col, 'decimal')``
+    — because ``F.col(...).cast(...)`` needs an active SparkContext,
+    and argument parsing runs in a cold CLI process long before
+    ``get_spark_session``; ``_resolve_aggs`` builds the Column inside
+    the session block.
 
     With ``decimal_sums``, sum inputs fold as decimal(28,10) — float
     addition is not associative, so bit-exact equality with a full
@@ -51,8 +56,19 @@ def parse_agg(spec: str, decimal_sums: bool) -> tuple[str, tuple]:
     if kind == "count":
         return name, ("count",)
     if kind == "sum" and decimal_sums:
-        return name, ("sum", F.col(col).cast("decimal(28,10)"))
+        return name, ("sum", col, "decimal")
     return name, (kind, col)
+
+
+def _resolve_aggs(aggs: dict[str, tuple]) -> dict[str, tuple]:
+    """Symbolic CLI specs → rollup specs. Must run AFTER the Spark
+    session exists (Column construction asserts an active context)."""
+    return {
+        name: ("sum", F.col(spec[1]).cast("decimal(28,10)"))
+        if len(spec) == 3 and spec[2] == "decimal"
+        else spec
+        for name, spec in aggs.items()
+    }
 
 
 def def_arguments() -> argparse.ArgumentParser:
@@ -110,7 +126,7 @@ def main(argv: list[str] | None = None) -> None:
             os.path.join(args.warehouse, args.table),
             args.rollup_dir,
             keys=keys,
-            aggs=aggs,
+            aggs=_resolve_aggs(aggs),
         )
         if args.rebaseline:
             st = ru.rebaseline()

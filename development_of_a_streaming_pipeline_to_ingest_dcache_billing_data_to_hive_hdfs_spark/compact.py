@@ -537,8 +537,13 @@ def _record_compacted_as_of(path: str, fs) -> int | None:
         if level == 0:
             doc = stamp
         else:
-            doc.pop("compacted_as_of", None)
-            doc.pop("recorded_at", None)
+            # Keep any legacy flat warehouse-scope value IN PLACE: it
+            # was recorded by compacting SOME table here, so a sibling
+            # table compacted under the old format still needs it as
+            # its floor (the reader takes max(tables[t], flat)).
+            # Popping it would silently reset such siblings to -1 and
+            # let read_table_as_of serve rows from below their real
+            # compaction point.
             doc.setdefault("tables", {})[table] = stamp
         fs.write_text_atomic(marker, _json.dumps(doc, sort_keys=True))
         return val

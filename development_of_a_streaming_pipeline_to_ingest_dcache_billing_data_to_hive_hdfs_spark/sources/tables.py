@@ -102,8 +102,13 @@ def compacted_as_of(path: str, fs=None) -> int:
             )
         )
         if "tables" in doc:
-            return int(
-                doc["tables"].get(table, {}).get("compacted_as_of", -1)
+            # A legacy flat warehouse-scope value may coexist with the
+            # per-table map (mixed-era warehouse: some tables compacted
+            # pre-migration). The flat value is the floor for EVERY
+            # table — conservative for never-since-compacted siblings.
+            return max(
+                int(doc["tables"].get(table, {}).get("compacted_as_of", -1)),
+                int(doc.get("compacted_as_of", -1)),
             )
         return int(doc["compacted_as_of"])  # legacy flat format
     except Exception:

@@ -258,3 +258,49 @@ def test_run_rollup_cli_fold_and_rebaseline(spark, tmp_path, capsys):
     # malformed agg specs die in argparse, not deep in Spark
     with pytest.raises(SystemExit):
         run_rollup.main(base[:-4] + ["--agg", "n=wat"])
+
+
+def test_parse_agg_is_cold_process_safe():
+    """--decimal-sums must be usable from a COLD CLI process: argument
+    parsing happens before get_spark_session, and building a Column
+    there raises a bare AssertionError with no active SparkContext.
+    parse_agg therefore stays symbolic; _resolve_aggs materializes the
+    decimal cast only inside the session block."""
+    import subprocess
+    import sys
+
+    code = (
+        "from development_of_a_streaming_pipeline_to_ingest_dcache_billing"
+        "_data_to_hive_hdfs_spark.cli.run_rollup import parse_agg\n"
+        "name, spec = parse_agg('sv=sum:value', True)\n"
+        "assert name == 'sv' and spec == ('sum', 'value', 'decimal'), spec\n"
+        "assert parse_agg('n=count', True) == ('n', ('count',))\n"
+        "print('COLD-PARSE-OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "COLD-PARSE-OK" in out.stdout
+
+
+def test_resolve_aggs_builds_decimal_cast_with_session(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.cli.run_rollup import (
+        _resolve_aggs,
+        parse_agg,
+    )
+
+    aggs = dict(
+        parse_agg(s, True) for s in ("n=count", "sv=sum:value", "mx=max:value")
+    )
+    resolved = _resolve_aggs(aggs)
+    assert resolved["n"] == ("count",)
+    assert resolved["mx"] == ("max", "value")
+    kind, col = resolved["sv"]
+    assert kind == "sum"
+    df = spark.createDataFrame([(1.5,)], ["value"]).select(col.alias("c"))
+    assert df.schema["c"].dataType.simpleString() == "decimal(28,10)"

@@ -858,6 +858,63 @@ def test_compacted_as_of_is_scoped_per_table(spark, tmp_path):
         read_table_as_of(spark, transfers, 0)
 
 
+def test_legacy_flat_marker_survives_per_table_migration(spark, tmp_path):
+    """A pre-round-7 warehouse recorded ONE flat warehouse-scope
+    compacted_as_of covering every table compacted under that format.
+    The first post-upgrade compaction of any one table must NOT strip
+    that floor from its siblings: a sibling compacted under the old
+    format would otherwise resolve to -1 and read_table_as_of below
+    its real compaction point would silently serve wrong rows."""
+    import json
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.compact import (
+        COMPACTED_AS_OF_FILE,
+        compact_table,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sources.tables import (
+        compacted_as_of,
+        read_table_as_of,
+    )
+
+    warehouse = str(tmp_path / "wh")
+    pipe = BillingPipeline(source=None, warehouse_dir=warehouse)
+    for b in range(3):
+        batch = spark.createDataFrame(
+            [
+                (billing_record(
+                    "transfer", date=f"2024-03-0{b + 1}T10:00:00.000+0000"),),
+                (billing_record(
+                    "request", date=f"2024-03-0{b + 1}T11:00:00.000+0000"),),
+            ],
+            ["value"],
+        )
+        pipe.process_batch(batch, b)
+    transfers = pipe.table_path("transfers")
+    requests = pipe.table_path("requests")
+
+    # simulate the legacy era: both tables were compacted when the
+    # marker was one flat warehouse-scope value (as of batch 1)
+    with open(f"{warehouse}/{COMPACTED_AS_OF_FILE}", "w") as f:
+        json.dump({"compacted_as_of": 1, "recorded_at": "2026-01-01"}, f)
+    assert compacted_as_of(transfers) == 1
+    assert compacted_as_of(requests) == 1
+
+    # first post-upgrade compaction migrates to the per-table format...
+    compact_table(spark, transfers)
+    assert compacted_as_of(transfers) == 2
+    with open(f"{warehouse}/{COMPACTED_AS_OF_FILE}") as f:
+        doc = json.load(f)
+    assert "tables" in doc  # migrated
+    # ...but the sibling keeps the legacy floor, not -1
+    assert compacted_as_of(requests) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="batch 1 was committed"):
+        read_table_as_of(spark, requests, 0)
+    # at/above the floor the sibling still reads fine
+    assert read_table_as_of(spark, requests, 1).count() == 2
+
+
 def test_stream_table_changes_subscribes_and_survives_compaction(spark, tmp_path):
     """A downstream pipeline subscribes to a route table as a stream:
     checkpointed availableNow drains deliver each ingested batch exactly
