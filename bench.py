@@ -386,6 +386,48 @@ def consume_count(df) -> None:
     df.count()
 
 
+def _git_head() -> str | None:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=str(Path(__file__).resolve().parent),
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001 — no git in some driver sandboxes
+        return None
+
+
+def _plans_md_stale() -> str | None:
+    """Flag a PLANS.md older than the newest package commit — a stale
+    committed plan audit claims plan shapes the current code may not
+    produce. Standing round step: ``python scripts/gen_plans.py``."""
+    import subprocess
+
+    repo = Path(__file__).resolve().parent
+    pkg = "development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark"
+    try:
+        t_pkg = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", pkg],
+            capture_output=True, text=True, timeout=10, cwd=str(repo),
+        ).stdout.strip()
+        t_plans = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", "PLANS.md"],
+            capture_output=True, text=True, timeout=10, cwd=str(repo),
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001
+        return None
+    if not t_pkg or not t_plans:
+        return None
+    if int(t_plans) < int(t_pkg):
+        return (
+            "PLANS.md last committed before the newest package change — "
+            "regenerate with scripts/gen_plans.py"
+        )
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -498,10 +540,24 @@ def main() -> None:
             "n": par.get("n"), "fail": par.get("fail"),
             "git": par.get("git_head"), "artifact": "PARITY_SF01.json",
         }
+        head = _git_head()
+        if head and par.get("git_head") and head != par.get("git_head"):
+            # a sweep from another commit must never masquerade as
+            # current — surface it as a bench error, not a silent echo
+            errors["_sf01_parity_stale"] = (
+                f"PARITY_SF01.json is from {par.get('git_head')}, "
+                f"HEAD is {head} — re-run scripts/run_sf01_parity.py"
+            )
     except OSError:
         pass
     except Exception as exc:  # noqa: BLE001
         errors["_sf01_parity"] = _err_head(exc)
+    try:
+        stale = _plans_md_stale()
+        if stale:
+            errors["_plans_md_stale"] = stale
+    except Exception:  # noqa: BLE001 — advisory only
+        pass
     if errors:
         payload["errors"] = errors
     if count_errors:
@@ -547,6 +603,7 @@ def main() -> None:
         summary["sf01_parity"] = {
             "n": payload["sf01_parity"].get("n"),
             "fail": payload["sf01_parity"].get("fail"),
+            "git": payload["sf01_parity"].get("git"),
         }
     if "scale_probe" in payload:
         # ratios only (full per-op times/bytes live in the local payload)
