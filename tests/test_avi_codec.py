@@ -366,3 +366,48 @@ def test_sample_frames_real_mjpeg(spark):
         # the right frame's closed-form luma
         px = decode_jpeg(bytes(r.payload))
         assert abs(float(px.mean()) - values[r.frame_idx]) <= 1.0
+
+
+# ---------------------------------------------------------------------
+# fuzz: the walker must never hang, loop, or escape its error contract
+# ---------------------------------------------------------------------
+
+
+def test_fuzzed_payloads_fail_closed():
+    """Arbitrary bytes — including RIFF-signature-bearing garbage and
+    bit-flipped valid files — must produce ValueError /
+    NotImplementedError (the documented contract), never an IndexError,
+    struct.error, infinite loop, or silent wrong answer."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    good = write_avi_ref(_flat_frames([90, 150]), 16, 16)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=400))
+    def _garbage(data):
+        for payload in (data, b"RIFF" + data, b"RIFF\x20\x00\x00\x00AVI " + data):
+            try:
+                avi_info(payload)
+                iter_video_frames(payload)
+            except (ValueError, NotImplementedError):
+                pass
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(0, len(good) - 1),
+        st.integers(0, 255),
+    )
+    def _bitflip(pos, val):
+        mutated = bytearray(good)
+        mutated[pos] = val
+        payload = bytes(mutated)
+        try:
+            frames = iter_video_frames(payload)
+            for fr in frames:
+                decode_avi_frame(fr)
+        except (ValueError, NotImplementedError):
+            pass
+
+    _garbage()
+    _bitflip()
