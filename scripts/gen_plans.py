@@ -43,6 +43,9 @@ NOTES = {
  "q_rel_event_anomalies": "Z-score screen: group moments are a tiny two-phase aggregate BROADCAST back onto the events fact (the fact never shuffles — a window over event_type would shuffle 100% of rows on a low-cardinality key); the only exchange is the final per-type summary.",
  "q_rel_winsorized_value": "Winsorized means: exact per-group percentiles aggregate once, broadcast back, clip + mean fold into one two-phase aggregate.",
  "q_llm_unigram_nll": "Perplexity-proxy scoring: one explode, vocab-sized frequency groupBy, token-keyed probability join, per-doc aggregate — all two-phase with map-side partials; ln/div stay in codegen.",
+ "q_billing_incremental_rollup_check": "Rollup maintenance gate (expected empty): fold-vs-recompute equality over an ingest/fold/compact/rebaseline lifecycle. The lifecycle runs EAGERLY inside the check (each step is its own execution), so the audited plan here is only the driver-built verdict frame; the fold side's plan property — the increment scan is batch-glob pruned, never a full-table rescan — is pinned by tests/test_rollup.py.",
+ "q_llm_dedup_store_lifecycle_check": "Dedup-store lifecycle gate (expected empty): screening decisions before/after compact() reclaim, retention horizons, re-admission past the horizon. The lifecycle runs EAGERLY inside the check (store writes/rewrites are separate executions), so the audited plan here is only the driver-built verdict frame; the property that matters at scale — the BUCKETED store side of every screening join stays Exchange-free, including after the compact() rewrite-swap — is plan-walk-asserted INSIDE the gate itself (any Exchange on the store side emits a violation row) and in tests/test_near_dup_store.py.",
+ "q_llm_multimodal_check": "Multimodal gate (expected empty): five real-codec legs (PNG/GIF/JPEG/MJPEG-AVI + fake-codec plumbing) all run as Arrow mapInPandas over localCheckpointed media — the only Exchanges are the explicit partition-invariance repartitions and the full-outer comparison joins on media_id; decode work never shuffles.",
 }
 
 hdr = """# PLANS — physical-plan audit of headline queries (sf0.1, AQE final plans)
