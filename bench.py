@@ -399,6 +399,27 @@ def _git_head() -> str | None:
         return None
 
 
+def _code_changed_since(ref: str) -> bool:
+    """True when the PACKAGE or the entry/oracle surface changed between
+    ``ref`` and HEAD (uncommitted changes included). Unknown ref → True
+    (fail toward flagging)."""
+    import subprocess
+
+    repo = Path(__file__).resolve().parent
+    pkg = "development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark"
+    try:
+        out = subprocess.run(
+            ["git", "diff", "--name-only", ref, "--",
+             pkg, "__spark_entry__.py", "tests/oracle_harness.py"],
+            capture_output=True, text=True, timeout=10, cwd=str(repo),
+        )
+        if out.returncode != 0:
+            return True
+        return bool(out.stdout.strip())
+    except Exception:  # noqa: BLE001
+        return True
+
+
 def _plans_md_stale() -> str | None:
     """Flag a PLANS.md older than the newest package commit — a stale
     committed plan audit claims plan shapes the current code may not
@@ -541,12 +562,21 @@ def main() -> None:
             "git": par.get("git_head"), "artifact": "PARITY_SF01.json",
         }
         head = _git_head()
-        if head and par.get("git_head") and head != par.get("git_head"):
-            # a sweep from another commit must never masquerade as
-            # current — surface it as a bench error, not a silent echo
+        if (
+            head
+            and par.get("git_head")
+            and head != par.get("git_head")
+            and _code_changed_since(par["git_head"])
+        ):
+            # a sweep that predates CODE changes must never masquerade
+            # as current — surface it as a bench error, not a silent
+            # echo. (Artifact/doc-only commits after the sweep — e.g.
+            # committing PARITY_SF01.json itself moves HEAD — don't
+            # invalidate it.)
             errors["_sf01_parity_stale"] = (
                 f"PARITY_SF01.json is from {par.get('git_head')}, "
-                f"HEAD is {head} — re-run scripts/run_sf01_parity.py"
+                f"package code changed since — re-run "
+                f"scripts/run_sf01_parity.py"
             )
     except OSError:
         pass
