@@ -254,7 +254,14 @@ def compact_partition(
         else partition_bytes(path, partition, fs=fs)
     )
     n_files = max(1, math.ceil(size / target_bytes))
-    df = spark.read.parquet(pdir)
+    # mergeSchema: after additive schema evolution
+    # (warehouse.evolve_table_add_columns) a partition can mix pre- and
+    # post-evolution files; the default single-footer schema inference
+    # would adopt whichever file it samples — sampling an OLD file makes
+    # this rewrite silently DROP every evolved column's values. Footer
+    # merging reads only metadata (distributed, one footer per file) and
+    # the rewrite reads all those files anyway.
+    df = spark.read.option("mergeSchema", "true").parquet(pdir)
     if cluster_by and zorder_by:
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
     if zorder_by:

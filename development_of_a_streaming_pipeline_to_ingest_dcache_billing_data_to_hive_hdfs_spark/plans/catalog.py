@@ -6427,6 +6427,145 @@ def q_llm_dedup_store_lifecycle_check(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+_EMPTY_SCHEMA_EVOLUTION_ORACLE = """
+    SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
+    WHERE FALSE
+"""
+
+
+@register("q_billing_schema_evolution_check", _EMPTY_SCHEMA_EVOLUTION_ORACLE)
+def q_billing_schema_evolution_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema-evolution gate (expected EMPTY) — the catalog-DDL
+    sibling of q_billing_change_feed_check: one scratch catalog table,
+    ``warehouse.evolve_table_add_columns`` mid-stream, and every writer/
+    reader/maintenance contract of the evolved table audited end to end
+    (the reference freezes DDL at create time,
+    `Dcache_kafka_to_hive.py:161-262` — evolution is a pure extension).
+    Audited invariants:
+
+    - ``evolved_order``: ADD COLUMNS must append after the existing data
+      columns with the partition column still last in scan order;
+    - ``old_rows_not_null``: rows written BEFORE evolution must scan as
+      NULL in the new column (metadata-only evolution — no rewrite);
+    - ``new_rows_wrong``: rows written after evolution must carry their
+      values;
+    - ``aligned_fill_wrong``: a PRE-evolution writer frame (no new
+      column) must land through the aligned sink with a typed NULL —
+      positional insertInto would fail on arity;
+    - ``scramble_miswrite``: a frame with scrambled column order must
+      land by NAME (positional would cross-write type-compatible
+      columns silently);
+    - ``extra_col_not_refused``: a frame carrying a column the table
+      does not know must be refused loudly by default;
+    - ``post_compact_lost`` / ``post_compact_count``: compacting the
+      partition that MIXES pre- and post-evolution files must preserve
+      the evolved values — the single-footer schema-inference trap
+      compact_partition's mergeSchema read closes;
+    - ``guard``: the events subset is never empty — an empty scratch
+      table must fail, not vacuously pass.
+
+    Scratch state is a uuid-named EXTERNAL table over a tmp dir, dropped
+    and deleted before returning."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from ..compact import compact_table
+    from ..sink import write_partitioned_table
+    from ..warehouse import align_to_table, evolve_table_add_columns
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < 900)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd").alias("partition_date"),
+        )
+    )
+    tmp = _tempfile.mkdtemp(prefix="schema_evolution_check_")
+    table = f"evolve_check_{_uuid.uuid4().hex[:12]}"
+    loc = f"{tmp}/{table}"
+    viol: list[tuple[str, int]] = []
+    try:
+        spark.sql(
+            f"CREATE TABLE {table} (event_id BIGINT, event_type STRING, "
+            "value DOUBLE, partition_date STRING) USING PARQUET "
+            f"PARTITIONED BY (partition_date) LOCATION '{loc}'"
+        )
+        b = lambda k: events.where(F.pmod("event_id", F.lit(3)) == k)  # noqa: E731
+        if b(0).limit(1).count() == 0:
+            viol.append(("guard", -1))
+        write_partitioned_table(b(0), table)
+
+        schema = evolve_table_add_columns(
+            spark, table, [T.StructField("tier", T.StringType())]
+        )
+        if [f.name for f in schema.fields] != [
+            "event_id", "event_type", "value", "tier", "partition_date",
+        ]:
+            viol.append(("evolved_order", -1))
+
+        write_partitioned_table(b(1).withColumn("tier", F.lit("gold")), table)
+        # pre-evolution writer frame: no 'tier' → aligned NULL fill
+        write_partitioned_table(b(2), table)
+        # scrambled column order must resolve by name, not position
+        scrambled = b(0).withColumn("tier", F.lit("silver")).select(
+            "tier", "partition_date", "value", "event_type",
+            (F.col("event_id") + 900).alias("event_id"),
+        )
+        write_partitioned_table(scrambled, table)
+        try:
+            align_to_table(b(2).withColumn("rogue", F.lit(1)), table)
+            viol.append(("extra_col_not_refused", 1))
+        except ValueError:
+            pass
+
+        got = spark.table(table).select("event_id", "event_type", "tier")
+        checks = [
+            ("old_rows_not_null",
+             got.where((F.pmod("event_id", F.lit(3)) == 0)
+                       & (F.col("event_id") < 900)
+                       & F.col("tier").isNotNull())),
+            ("new_rows_wrong",
+             got.where((F.pmod("event_id", F.lit(3)) == 1)
+                       & ((F.col("tier") != "gold") | F.col("tier").isNull()))),
+            ("aligned_fill_wrong",
+             got.where((F.pmod("event_id", F.lit(3)) == 2)
+                       & F.col("tier").isNotNull())),
+            ("scramble_miswrite",
+             got.where(F.col("event_id") >= 900).join(
+                 events.select(
+                     (F.col("event_id") + 900).alias("event_id"),
+                     F.col("event_type").alias("src_type"),
+                 ),
+                 "event_id",
+             ).where((F.col("tier") != "silver")
+                     | (F.col("event_type") != F.col("src_type")))),
+        ]
+        for kind, df in checks:
+            n = df.count()
+            if n:
+                viol.append((kind, n))
+
+        n_gold = got.where(F.col("tier") == "gold").count()
+        n_total = spark.table(table).count()
+        compact_table(spark, loc)
+        spark.sql(f"REFRESH TABLE {table}")
+        after = spark.table(table)
+        if after.where(F.col("tier") == "gold").count() != n_gold:
+            viol.append(("post_compact_lost", n_gold))
+        if after.count() != n_total:
+            viol.append(("post_compact_count", n_total))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(viol, "kind string, n bigint")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: billing-core semantics in one plan."""
     return q_billing_flagship_daily(spark, sf_dir)

@@ -151,13 +151,22 @@ def write_partitioned_batch(
 
 
 def write_partitioned_table(df: DataFrame, table: str, mode: str = "append") -> None:
-    """Same, against a catalog table (Hive deployment path)."""
-    writer = df.write.mode(mode)
+    """Same, against a catalog table (Hive deployment path).
+
+    Inserts are aligned to the table's columns BY NAME first
+    (``warehouse.align_to_table``): ``insertInto`` is positional, so
+    without alignment a frame written by a pre-evolution writer fails on
+    arity after ``ALTER TABLE ADD COLUMNS`` — or, with type-compatible
+    column orders, silently writes values into the wrong columns.
+    Alignment is a pure projection (no shuffle); frames carrying columns
+    the table does not know still fail loudly (deployment-order bug)."""
     if not df.sparkSession.catalog.tableExists(table):
         clear_orphan_table_location(df.sparkSession, table)
-        writer.partitionBy(PARTITION_FIELD).saveAsTable(table)
+        df.write.mode(mode).partitionBy(PARTITION_FIELD).saveAsTable(table)
     else:
-        writer.insertInto(table)
+        from .warehouse import align_to_table
+
+        align_to_table(df, table).write.mode(mode).insertInto(table)
 
 
 def managed_table_location(spark, table: str) -> str | None:

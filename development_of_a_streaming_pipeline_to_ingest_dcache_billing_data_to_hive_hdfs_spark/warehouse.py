@@ -82,6 +82,99 @@ def create_all_route_tables(
         create_route_table(spark, route, table, loc)
 
 
+def evolve_table_add_columns(
+    spark: SparkSession, table: str, fields: list[T.StructField] | T.StructType
+) -> T.StructType:
+    """Additive schema evolution on a catalog Parquet table: ``ALTER
+    TABLE … ADD COLUMNS``. Returns the post-evolution schema.
+
+    The reference's DDL is frozen at create time
+    (`Dcache_kafka_to_hive.py:161-262`) — a new billing field means
+    hand-editing four DDL strings and re-creating tables. Here
+    evolution is a metadata-only catalog operation: NO data files are
+    rewritten (old Parquet footers simply lack the column and scan as
+    NULL — verified behavior, not convention), so it is O(1) regardless
+    of table size — the only schema-change shape that is viable at
+    100 TB.
+
+    Additive-only by design: drops/renames/retypes on Parquet would
+    orphan or reinterpret existing footer data; they belong to a full
+    rewrite (compact.py), not DDL. Guards: identifier validation, no
+    collision with existing columns (case-insensitive — Spark's
+    resolver is), never the partition column. New columns append after
+    the existing DATA columns; the partition column stays last in scan
+    order, so ``align_to_table`` (not positional ``insertInto``) is how
+    writers survive evolution — see ``sink.write_partitioned_table``.
+    """
+    if isinstance(fields, T.StructType):
+        fields = list(fields.fields)
+    if not fields:
+        raise ValueError("evolve_table_add_columns: no columns to add")
+    _check_ident(table.replace(".", "_"))
+    existing = {f.name.lower() for f in spark.table(table).schema.fields}
+    seen: set[str] = set()
+    for f in fields:
+        _check_ident(f.name)
+        low = f.name.lower()
+        if low == PARTITION_FIELD.lower():
+            raise ValueError(
+                f"cannot add the partition column {PARTITION_FIELD!r}"
+            )
+        if low in existing or low in seen:
+            raise ValueError(f"column already exists: {f.name!r}")
+        seen.add(low)
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in fields
+    )
+    spark.sql(f"ALTER TABLE {table} ADD COLUMNS ({ddl})")
+    return spark.table(table).schema
+
+
+def align_to_table(
+    df: DataFrame, table: str, on_extra: str = "error"
+) -> DataFrame:
+    """Project ``df`` into a catalog table's column ORDER by NAME,
+    filling columns the frame lacks with typed NULLs.
+
+    ``insertInto`` is positional: after ``evolve_table_add_columns`` a
+    pre-evolution writer fails on arity — or worse, two type-compatible
+    columns in a scrambled frame write into each other's slots with no
+    error at all. Name-based alignment makes writer frames immune to
+    both catalog evolution and frame column order. A pure projection:
+    codegen'd, zero shuffle, free at any scale.
+
+    ``on_extra``: ``"error"`` (default) rejects frame columns the table
+    doesn't have — an UNEVOLVED table receiving evolved frames is a
+    deployment-order bug that must be loud, not silently thinned;
+    ``"drop"`` opts into discarding them (canary writers emitting a
+    field the fleet hasn't migrated to yet).
+    """
+    if on_extra not in ("error", "drop"):
+        raise ValueError(f"on_extra must be 'error' or 'drop': {on_extra!r}")
+    schema = df.sparkSession.table(table).schema
+    by_lower = {c.lower(): c for c in df.columns}
+    if len(by_lower) != len(df.columns):
+        dupes = sorted(
+            {c.lower() for c in df.columns if sum(
+                1 for o in df.columns if o.lower() == c.lower()) > 1}
+        )
+        raise ValueError(f"frame has case-colliding columns: {dupes}")
+    table_lower = {f.name.lower() for f in schema.fields}
+    extras = [c for c in df.columns if c.lower() not in table_lower]
+    if extras and on_extra == "error":
+        raise ValueError(
+            f"frame has columns not in {table}: {extras} "
+            "(evolve the table first, or pass on_extra='drop')"
+        )
+    cols = [
+        F.col(by_lower[f.name.lower()]).alias(f.name)
+        if f.name.lower() in by_lower
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ]
+    return df.select(cols)
+
+
 def drop_tables(spark: SparkSession, tables: list[str]) -> None:
     """≙ delete_tables (:264-266)."""
     for t in tables:
