@@ -327,6 +327,99 @@ def token_budget_sample(
     return packed.where(F.col("pack_id") == 0).drop("pack_id")
 
 
+def hash_bucket_col(
+    key: Column, buckets: int = 10_000, salt: str = "mix-v1"
+) -> Column:
+    """Deterministic uniform bucket in [0, buckets) from md5 of the key —
+    the sampling primitive every mixing operator here shares. Hashing
+    (not ``rand()``) means assignment is reproducible across retries,
+    repartitioning, and engines (md5 is portable — the DuckDB oracle
+    reproduces it bit-for-bit), and salting gives independent draws for
+    independent sampling decisions. 8 hex digits = 32 uniform bits,
+    plenty for bucket counts up to ~10⁶. Pure scan-stage expression:
+    codegen'd, zero shuffle at any scale."""
+    if not 0 < buckets <= 1_000_000:
+        raise ValueError(f"buckets out of range: {buckets}")
+    h = F.md5(F.concat(key.cast("string"), F.lit("|" + salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    *,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    buckets: int = 10_000,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Rate-based stratified sampling: keep a deterministic
+    ``rates[stratum]`` fraction of each stratum (``default_rate`` for
+    strata not listed). The RATE-mixing primitive, complementing
+    ``token_budget_sample`` (budget in tokens): corpus mixtures are
+    usually specified as per-source rates first, then trimmed to a token
+    budget.
+
+    A row survives iff its hash bucket < rate·buckets, so (a) the
+    realized rate converges to the target per stratum, (b) reruns and
+    engine changes keep the SAME rows (content-addressed, like
+    ``holdout_split_col``), and (c) samples at different rates NEST:
+    the 10% sample is a subset of the 50% sample — rate sweeps reuse
+    work. Pure scan-stage filter over a broadcast-free literal map:
+    no shuffle, no join, prunes at the parquet scan when the stratum
+    column is a partition key."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate out of [0,1] for {s!r}: {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate out of [0,1]: {default_rate}")
+    rate = F.lit(default_rate)
+    if rates:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in rates.items() for x in kv]
+        )
+        rate = F.coalesce(mapping[F.col(stratum_col)], rate)
+    bucket = hash_bucket_col(F.col(key_col), buckets, salt)
+    # floor, not cast: double→integral CAST truncates in Spark but
+    # ROUNDS in DuckDB — floor agrees everywhere
+    return docs.where(bucket < F.floor(rate * buckets))
+
+
+def stratified_fixed_k(
+    docs: DataFrame,
+    k: int,
+    *,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix-v1",
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Fixed-size stratified sampling: exactly min(k, |stratum|) rows
+    per stratum, chosen by hash order — the cap-mixing primitive
+    (per-source quotas; the deterministic replacement for per-group
+    reservoir sampling). Hash-ordered ``row_number`` means the chosen
+    set is stable across reruns and engines, and GROWS CONSISTENTLY:
+    raising k to k+1 keeps the first k rows and adds one.
+
+    One shuffle on the stratum key (the top-k-per-group shape — no
+    global sort). Skew note: a hot stratum serializes into one task's
+    window; at 100 TB cap strata first (they are bounded by k anyway)
+    with a pre-filter like ``hash_bucket_col < p·buckets`` sized so
+    p·|stratum| ≫ k, then rank the survivors."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    order = hash_bucket_col(F.col(key_col), 1_000_000, salt)
+    w = Window.partitionBy(stratum_col).orderBy(
+        order.asc(), F.col(key_col).asc()
+    )
+    return docs.withColumn(rank_col, F.row_number().over(w)).where(
+        F.col(rank_col) <= k
+    )
+
+
 def bpe_pair_counts(
     docs: DataFrame,
     *,

@@ -56,6 +56,8 @@ from ..operators.textops import (
     quality_score_cols,
     raw_ngrams_col,
     stopword_lang_scores,
+    stratified_fixed_k,
+    stratified_sample,
     tfidf_top_terms,
     token_budget_sample,
     token_count_col,
@@ -4401,6 +4403,64 @@ def q_llm_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("tokens_kept"),
         )
     )
+
+
+@register(
+    "q_llm_stratified_sample",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|mix-v1'), 1, 8))::UBIGINT
+          % 10000
+          < CAST(floor(CASE source WHEN 'src0' THEN 1.0
+                                   WHEN 'src1' THEN 0.5
+                                   WHEN 'src2' THEN 0.25
+                                   ELSE 0.1 END * 10000) AS BIGINT)
+    """,
+)
+def q_llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based stratified sampling
+    (operators.textops.stratified_sample): keep a deterministic
+    per-source fraction (100%/50%/25%, 10% default) chosen by md5 hash
+    bucket — the RATE-mixing primitive (vs q_llm_mixture_budget's
+    token-budget mixing). Content-addressed like holdout_split_col, so
+    reruns, repartitions, and the DuckDB oracle all keep the SAME rows,
+    and lower-rate samples nest inside higher-rate ones. Pure scan-stage
+    filter: no shuffle, no join, literal rate map — free at 100 TB. The
+    oracle replays the identical hash, so this is MEMBERSHIP parity
+    (exact kept set), not just per-stratum counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_rate=0.1
+    ).select("doc_id", "source")
+
+
+@register(
+    "q_llm_stratified_fixed_k",
+    """
+    SELECT doc_id, source, rn FROM (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '|mix-v1'),
+                                        1, 8))::UBIGINT % 1000000,
+                        doc_id
+             ) AS INTEGER) AS rn
+      FROM documents)
+    WHERE rn <= 5
+    """,
+)
+def q_llm_stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size stratified sampling
+    (operators.textops.stratified_fixed_k): exactly min(5, |source|)
+    docs per source in hash order — per-source quotas, the deterministic
+    replacement for per-group reservoir sampling (growing k keeps the
+    previous picks). Top-k-per-group shape: ONE shuffle on the stratum
+    key, per-stratum window, no global sort; hot strata pre-filter with
+    hash_bucket_col before ranking at scale. Membership + rank parity
+    against the oracle's identical hash ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_fixed_k(docs, 5).select("doc_id", "source", "rn")
 
 
 @register(
