@@ -37,6 +37,14 @@ def def_arguments() -> argparse.ArgumentParser:
                         "Z-order so EVERY keyed column gets narrow per-file "
                         "min/max stats (multi-column data skipping); "
                         "mutually exclusive with --cluster-by")
+    p.add_argument("--bloom-for", default=None, metavar="COLS",
+                   help="comma-separated columns to write parquet bloom "
+                        "filters for during the rewrite — point-lookup "
+                        "row-group skipping on high-cardinality columns "
+                        "(pnfsid, session) that min/max stats can't prune")
+    p.add_argument("--bloom-ndv", type=int, default=1_000_000,
+                   help="expected distinct values PER FILE for --bloom-for "
+                        "(default 1e6; ~1.2 bytes/ndv of footprint)")
     p.add_argument("--only-needed", action="store_true",
                    help="skip partitions already at their target file "
                         "layout (metadata check, no data read)")
@@ -116,6 +124,11 @@ def main(argv: list[str] | None = None) -> None:
     )
     if cluster_by and zorder_by:
         parser.error("--cluster-by and --zorder-by are mutually exclusive")
+    bloom_for = (
+        [c.strip() for c in args.bloom_for.split(",") if c.strip()]
+        if args.bloom_for
+        else None
+    )
     with run_lock(args.lock_path, args.status_path, timeout_s=args.lock_wait_s):
         spark = get_spark_session(app_name="dcache_compact", loglevel=args.loglevel)
         if args.clean_orphans:
@@ -134,6 +147,7 @@ def main(argv: list[str] | None = None) -> None:
             result = compact_table(
                 spark, path, partitions, args.target_bytes, cluster_by,
                 only_needed=args.only_needed, zorder_by=zorder_by,
+                bloom_for=bloom_for, bloom_ndv=args.bloom_ndv,
             )
             print(f"{table}: compacted {result}")
             if args.analyze is not None:

@@ -194,6 +194,8 @@ def compact_partition(
     zorder_by: list[str] | None = None,
     file_stats_for: list[str] | None = None,
     allow_unbucket: bool = False,
+    bloom_for: list[str] | None = None,
+    bloom_ndv: int = 1_000_000,
 ) -> int:
     """Rewrite one day-partition to ~target_bytes files. Returns the file
     count written. ≙ `Dcache_kafka_to_hive.py:376-385` minus the staging
@@ -221,7 +223,22 @@ def compact_partition(
     Morton Z-order over 2+ numeric columns — every keyed column gets
     narrow per-file min/max stats, not just the leading one, so
     predicates on ANY of them prune files. Same single shuffle as
-    ``cluster_by`` plus one tiny bounds aggregate."""
+    ``cluster_by`` plus one tiny bounds aggregate.
+
+    ``bloom_for``: write parquet BLOOM FILTERS for the named columns —
+    the POINT-lookup complement to the range-pruning layouts above.
+    min/max stats (cluster_by/zorder/filestats) cannot prune
+    high-cardinality hash-like columns (pnfsid, session ids: every
+    file spans the full value range), and dictionary filtering dies
+    exactly when cardinality forces the dict-page fallback; a bloom
+    filter skips whole ROW GROUPS for `col = x` probes with no false
+    negatives (measured here: a 2-row-group scan drops to the single
+    matching group — tests/test_layout_optimizations.py). Costs
+    ~1.2 bytes/ndv per file at write time, nothing at read time for
+    non-matching groups. ``bloom_ndv``: expected distinct values PER
+    FILE (size it to rows-per-file; oversizing wastes footer bytes,
+    undersizing raises the false-positive rate and with it unskipped
+    groups)."""
     fs = fs or get_filesystem(path, spark)
     pdir = os.path.join(path, f"{PARTITION_FIELD}={partition}")
     # Scratch dirs live beside the partition, dot-prefixed: Spark's file
@@ -302,7 +319,14 @@ def compact_partition(
     # whole delete of the old data; any crash leaves either the original
     # or the compacted data recoverable (and the self-heal above
     # finishes the job on the next run).
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    for c in bloom_for or []:
+        if c not in df.columns:
+            raise ValueError(f"bloom_for column not in table: {c!r}")
+        writer = writer.option(
+            f"parquet.bloom.filter.enabled#{c}", "true"
+        ).option(f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv))
+    writer.parquet(tmp)
     fs.rename(pdir, retired)
     fs.rename(tmp, pdir)
     fs.delete(retired, recursive=True)
@@ -434,6 +458,8 @@ def compact_table(
     fs=None,
     zorder_by: list[str] | None = None,
     file_stats_for: list[str] | None = None,
+    bloom_for: list[str] | None = None,
+    bloom_ndv: int = 1_000_000,
 ) -> dict[str, int]:
     """Compact the given (or all) partitions of one table path. Partition
     enumeration happens here, per table — the reference's cross-table
@@ -466,7 +492,8 @@ def compact_table(
         p: compact_partition(
             spark, path, p, target_bytes, cluster_by,
             known_bytes=known.get(p), fs=fs, zorder_by=zorder_by,
-            file_stats_for=file_stats_for,
+            file_stats_for=file_stats_for, bloom_for=bloom_for,
+            bloom_ndv=bloom_ndv,
         )
         for p in parts
     }

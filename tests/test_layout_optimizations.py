@@ -159,3 +159,85 @@ def test_zorder_key_bits_capped_to_64bit_key(spark):
     zs = [r["z"] for r in df.select(zorder_key(bounds).alias("z")).collect()]
     assert zs[0] < zs[1] < zs[2]  # monotone, no wrapped-bit collisions
     assert all(z >= 0 for z in zs)
+
+
+def _scan_rows(spark, df) -> int:
+    """FileSourceScanExec numOutputRows of df's execution — rows that
+    survived parquet row-group/page skipping, BEFORE Spark's Filter."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.metrics import (
+        _node_metrics,
+        _walk,
+    )
+
+    df._jdf.queryExecution().toRdd().count()
+    rows = []
+    _walk(
+        df._jdf.queryExecution().executedPlan(),
+        lambda node, cls: rows.append(
+            _node_metrics(node).get("numOutputRows", 0)
+        )
+        if cls == "FileSourceScanExec"
+        else None,
+    )
+    assert rows, "no FileSourceScanExec in plan"
+    return sum(rows)
+
+
+def _write_hash_partition(spark, table: str, n_per_file: int, n_files: int):
+    """n_files batch files whose hash column spans the FULL md5 range in
+    every file — min/max stats can't skip any of them — with enough
+    distinct values that parquet's dictionary page falls back to plain
+    encoding (so any observed skip is the bloom filter's, not
+    dictionary filtering's)."""
+    for i in range(n_files):
+        df = spark.range(i * n_per_file, (i + 1) * n_per_file).selectExpr(
+            "id", "md5(CAST(id AS STRING)) AS pnfsid"
+        )
+        df.coalesce(1).write.mode("append").parquet(
+            os.path.join(table, f"partition_date={PART}")
+        )
+
+
+def test_bloom_filter_compaction_skips_row_groups(spark, tmp_path):
+    """compact(bloom_for=...) must let a point probe on a hash-like
+    column skip whole row groups. Construction: 2 files x 100k distinct
+    md5 values — every file spans the full value range (min/max
+    useless) and the dictionary falls back to plain (dict filtering
+    useless); only the bloom filter can prune. The control rewrite
+    without bloom_for must scan everything."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.compact import (
+        compact_table,
+    )
+
+    n, files = 100_000, 2
+    probe = spark.sql("SELECT md5('123')").first()[0]  # id=123 -> file 0
+
+    with_bloom = str(tmp_path / "bloomed")
+    _write_hash_partition(spark, with_bloom, n, files)
+    pdir = os.path.join(with_bloom, f"partition_date={PART}")
+    pbytes = sum(
+        os.path.getsize(os.path.join(pdir, f))
+        for f in os.listdir(pdir) if f.endswith(".parquet")
+    )
+    # target half the partition -> the coalesce keeps 2 output files,
+    # each one input file's rows = one row group per original range
+    compact_table(spark, with_bloom, target_bytes=pbytes // files + 1,
+                  bloom_for=["pnfsid"], bloom_ndv=n)
+
+    control = str(tmp_path / "plain")
+    _write_hash_partition(spark, control, n, files)
+    compact_table(spark, control, target_bytes=pbytes // files + 1)
+
+    q = lambda t: spark.read.parquet(t).where(F.col("pnfsid") == probe)  # noqa: E731
+    assert q(with_bloom).count() == 1  # correctness first
+    skipped = _scan_rows(spark, q(with_bloom))
+    unskipped = _scan_rows(spark, q(control))
+    assert unskipped == n * files  # nothing else could prune
+    assert skipped <= n  # at least the non-matching group skipped
+
+
+def test_bloom_for_unknown_column_fails_loud(spark, tmp_path):
+    t = str(tmp_path / "bad_bloom")
+    _write_hash_partition(spark, t, 100, 1)
+    with pytest.raises(ValueError, match="bloom_for"):
+        compact_partition(spark, t, PART, bloom_for=["no_such_col"])
