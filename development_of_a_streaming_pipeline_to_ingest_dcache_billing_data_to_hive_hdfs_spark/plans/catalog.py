@@ -6626,6 +6626,103 @@ def q_billing_schema_evolution_check(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.createDataFrame(viol, "kind string, n bigint")
 
 
+_EMPTY_BLOOM_CHECK_ORACLE = """
+    SELECT CAST(NULL AS VARCHAR) AS kind, CAST(NULL AS BIGINT) AS n
+    WHERE FALSE
+"""
+
+
+@register("q_billing_bloom_pointlookup_check", _EMPTY_BLOOM_CHECK_ORACLE)
+def q_billing_bloom_pointlookup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter layout gate (expected EMPTY): compaction with
+    ``bloom_for`` must make a point probe on a hash-like column skip
+    whole parquet row groups — the point-lookup pruning tier
+    (compact.py ``bloom_for``) that min/max stats (useless when every
+    file spans the full hash range) and dictionary filtering (dead
+    past the dict-page fallback) cannot provide. Measured, not
+    asserted from plan shape: FileSourceScanExec's ``numOutputRows``
+    after execution counts rows that survived row-group skipping.
+    Audited invariants:
+
+    - ``probe_wrong_rows``: the probe must return exactly its one row
+      after the bloom rewrite (pruning must never drop a match — bloom
+      filters have no false negatives);
+    - ``bloom_not_skipping``: the bloomed layout must scan at most one
+      of the two row groups' row counts;
+    - ``control_pruned``: the SAME data compacted without bloom_for
+      must scan everything — if something else (dict/stats filtering)
+      prunes the control, the bloom attribution above is vacuous;
+    - ``guard``: two data files must exist before compaction.
+
+    Scratch state lives in a tmp dir, deleted before returning. The
+    construction is synthetic (md5 over a range — full-range overlap in
+    every file, dict fallback forced by cardinality) because the gate
+    tests the LAYOUT machinery, not table content."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..compact import compact_table
+    from .metrics import _node_metrics, _walk
+
+    def scan_rows(df) -> int:
+        df._jdf.queryExecution().toRdd().count()
+        rows: list[int] = []
+        _walk(
+            df._jdf.queryExecution().executedPlan(),
+            lambda node, cls: rows.append(
+                _node_metrics(node).get("numOutputRows", 0)
+            )
+            if cls == "FileSourceScanExec"
+            else None,
+        )
+        return sum(rows)
+
+    n, part = 20_000, "2024-03-01"
+    tmp = _tempfile.mkdtemp(prefix="bloom_check_")
+    viol: list[tuple[str, int]] = []
+    try:
+        probe = spark.sql("SELECT md5('123')").first()[0]  # id 123 → file 0
+        paths = {}
+        for kind in ("bloomed", "control"):
+            t = _os.path.join(tmp, kind)
+            paths[kind] = t
+            for i in range(2):
+                (
+                    spark.range(i * n, (i + 1) * n)
+                    .selectExpr("id", "md5(CAST(id AS STRING)) AS pnfsid")
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(_os.path.join(t, f"partition_date={part}"))
+                )
+            pdir = _os.path.join(t, f"partition_date={part}")
+            files = _glob.glob(_os.path.join(pdir, "*.parquet"))
+            if len(files) != 2:
+                viol.append(("guard", len(files)))
+            pbytes = sum(_os.path.getsize(f) for f in files)
+            compact_table(
+                spark, t, target_bytes=pbytes // 2 + 1,
+                bloom_for=["pnfsid"] if kind == "bloomed" else None,
+                bloom_ndv=n,
+            )
+        q = lambda t: spark.read.parquet(t).where(  # noqa: E731
+            F.col("pnfsid") == probe
+        )
+        matched = q(paths["bloomed"]).count()
+        if matched != 1:
+            viol.append(("probe_wrong_rows", matched))
+        skipped = scan_rows(q(paths["bloomed"]))
+        if skipped > n:
+            viol.append(("bloom_not_skipping", skipped))
+        unskipped = scan_rows(q(paths["control"]))
+        if unskipped != 2 * n:
+            viol.append(("control_pruned", unskipped))
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(viol, "kind string, n bigint")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The entry() query: billing-core semantics in one plan."""
     return q_billing_flagship_daily(spark, sf_dir)
