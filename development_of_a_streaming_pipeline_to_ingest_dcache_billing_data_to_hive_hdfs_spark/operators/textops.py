@@ -105,6 +105,76 @@ def repeated_token_ratio(col: str = "text") -> Column:
     return F.when(n > 0, 1 - F.size(F.array_distinct(t)) / n)
 
 
+def gopher_quality_flags(
+    col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_distinct_stopwords: int = 2,
+) -> dict[str, Column]:
+    """Gopher-style rule filters (Rae et al. 2021, "Scaling Language
+    Models", table A1) as scan-stage boolean columns — the classic
+    heuristic document gate that runs BEFORE any model-based scoring:
+
+    - ``fail_word_count``    word count outside [min_words, max_words]
+    - ``fail_mean_word_len`` mean word length outside
+      [min_mean_word_len, max_mean_word_len]
+    - ``fail_symbol_ratio``  (# + "..." occurrences) / words > 1/10
+    - ``fail_bullet_lines``  > 90% of lines start with a bullet mark
+    - ``fail_ellipsis_lines``> 30% of lines end with an ellipsis
+    - ``fail_alpha_words``   < 80% of words contain a letter
+    - ``fail_stopwords``     fewer than ``min_distinct_stopwords``
+      distinct English stopwords appear as whole tokens
+    - ``gopher_pass``        none of the above failed
+
+    Every ratio rule is evaluated by INTEGER cross-multiplication
+    (``10*symbols > n_words`` instead of ``symbols/n_words > 0.1``), so
+    the decision is exact and engine-portable — no float-division ulp
+    can flip a document across the threshold between Spark and the
+    DuckDB oracle. Line rules count one compiled multiline-regex scan
+    (``(?m)`` anchors), not a per-line lambda. No shuffle anywhere:
+    the whole rule set is one codegen'd projection at scan speed, the
+    only shape that matters when the gate fronts a 100 TB corpus.
+    """
+    toks = tokens_col(col)
+    n_words = F.size(toks)
+    # total characters inside words == length after stripping whitespace
+    word_chars = F.length(F.regexp_replace(F.trim(F.col(col)), r"\s+", ""))
+    n_symbols = F.regexp_count(F.col(col), F.lit(r"#|\.\.\."))
+    n_lines = F.size(F.split(F.col(col), "\n"))
+    n_bullet = F.regexp_count(F.col(col), F.lit(r"(?m)^[ \t]*[-*•‣▪]"))
+    n_ellipsis = F.regexp_count(F.col(col), F.lit(r"(?m)(\.\.\.|…)[ \t]*$"))
+    n_alpha = F.regexp_count(F.col(col), F.lit(r"\S*[A-Za-z]\S*"))
+    padded = _padded_norm(col)
+    n_stop_types = sum(
+        F.when(F.instr(padded, f" {w} ") > 0, 1).otherwise(0)
+        for w in STOPWORDS["en"]
+    )
+    flags = {
+        "n_words": n_words,
+        "fail_word_count": (n_words < min_words) | (n_words > max_words),
+        "fail_mean_word_len": (word_chars < min_mean_word_len * n_words)
+        | (word_chars > max_mean_word_len * n_words),
+        "fail_symbol_ratio": 10 * n_symbols > n_words,
+        "fail_bullet_lines": 10 * n_bullet > 9 * n_lines,
+        "fail_ellipsis_lines": 10 * n_ellipsis > 3 * n_lines,
+        "fail_alpha_words": 5 * n_alpha < 4 * n_words,
+        "fail_stopwords": n_stop_types < F.lit(min_distinct_stopwords),
+    }
+    flags["gopher_pass"] = ~(
+        flags["fail_word_count"]
+        | flags["fail_mean_word_len"]
+        | flags["fail_symbol_ratio"]
+        | flags["fail_bullet_lines"]
+        | flags["fail_ellipsis_lines"]
+        | flags["fail_alpha_words"]
+        | flags["fail_stopwords"]
+    )
+    return flags
+
+
 def bigrams_col(col: str = "text") -> Column:
     """Adjacent-token bigrams as ``"tok1 tok2"`` strings (empty array
     for texts with fewer than 2 tokens). Built array-side with one

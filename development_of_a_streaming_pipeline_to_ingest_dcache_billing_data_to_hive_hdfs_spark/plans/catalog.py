@@ -4839,6 +4839,107 @@ def q_llm_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_llm_gopher_rules",
+    r"""
+    WITH feats AS (
+      SELECT source,
+        len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                        t -> t <> '')) AS n_words,
+        length(regexp_replace(trim(text), '\s+', '', 'g')) AS word_chars,
+        len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols,
+        len(string_split(text, chr(10))) AS n_lines,
+        len(regexp_extract_all(text, '(?m)^[ \t]*[-*' || chr(8226) || chr(8227)
+            || chr(9642) || ']')) AS n_bullet,
+        len(regexp_extract_all(text, '(?m)(\.\.\.|' || chr(8230)
+            || ')[ \t]*$')) AS n_ellipsis,
+        len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha,
+        (' ' || replace(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                        ' ', '  ') || ' ') AS padded
+      FROM documents),
+    flags AS (
+      SELECT source,
+        (n_words < 50 OR n_words > 100000) AS f_wc,
+        (word_chars < 3 * n_words OR word_chars > 10 * n_words) AS f_mwl,
+        (10 * n_symbols > n_words) AS f_sym,
+        (10 * n_bullet > 9 * n_lines) AS f_bul,
+        (10 * n_ellipsis > 3 * n_lines) AS f_ell,
+        (5 * n_alpha < 4 * n_words) AS f_alpha,
+        ((CASE WHEN strpos(padded, ' the ') > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN strpos(padded, ' and ') > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN strpos(padded, ' of ') > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN strpos(padded, ' to ') > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN strpos(padded, ' is ') > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN strpos(padded, ' in ') > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN strpos(padded, ' that ') > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN strpos(padded, ' it ') > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN strpos(padded, ' was ') > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN strpos(padded, ' for ') > 0 THEN 1 ELSE 0 END)) < 2
+          AS f_stop
+      FROM feats)
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_fail_word_count,
+      CAST(SUM(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_fail_mean_word_len,
+      CAST(SUM(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_fail_symbol_ratio,
+      CAST(SUM(CASE WHEN f_bul THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_fail_bullet_lines,
+      CAST(SUM(CASE WHEN f_ell THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_fail_ellipsis_lines,
+      CAST(SUM(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_fail_alpha_words,
+      CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_fail_stopwords,
+      CAST(SUM(CASE WHEN NOT (f_wc OR f_mwl OR f_sym OR f_bul OR f_ell
+                              OR f_alpha OR f_stop)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM flags GROUP BY source
+    """,
+)
+def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher heuristic rule gate (operators.textops.
+    gopher_quality_flags): the rule-based document filter that fronts
+    every model-based quality stage — word-count bounds, mean word
+    length, symbol ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, distinct-stopword floor — aggregated per source as
+    per-rule failure counts plus the overall pass count. Every ratio
+    threshold is an INTEGER cross-multiplication, so each per-document
+    decision is exact in both engines and the counts are hard parity
+    (no rounding, no float thresholds). Whole rule set is one
+    codegen'd scan-stage projection: zero shuffles beyond the final
+    per-source aggregate, which is map-side-combined to |sources|
+    rows — the gate costs one corpus scan at 100 TB."""
+    from ..operators.textops import gopher_quality_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_quality_flags()
+    flagged = docs.select("source", *[v.alias(k) for k, v in flags.items()])
+
+    def n_fail(name: str):
+        return (
+            F.sum(F.when(F.col(f"fail_{name}"), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_fail_{name}")
+        )
+
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        n_fail("word_count"),
+        n_fail("mean_word_len"),
+        n_fail("symbol_ratio"),
+        n_fail("bullet_lines"),
+        n_fail("ellipsis_lines"),
+        n_fail("alpha_words"),
+        n_fail("stopwords"),
+        F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+    )
+
+
+@register(
     "q_rel_forward_fill",
     """
     SELECT event_id, user_id,

@@ -1105,6 +1105,126 @@ def test_linear_quality_logit_decision(spark):
     assert out[1] < 0, out
 
 
+def test_gopher_rules_each_rule_fires_on_its_own_violation(spark):
+    """Every Gopher rule trips on a document constructed to violate
+    exactly that rule (plus word-count where unavoidable), and a
+    prose document passes all of them. Integer cross-multiplication
+    thresholds — assertions are exact, no float tolerance."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        gopher_quality_flags,
+    )
+
+    prose = "the cat and the dog ran to the house and it was for the best " * 5
+    rows = [
+        (0, prose),  # passes everything
+        (1, "the of " + "w " * 10),  # word count < 50
+        (2, "aa " * 30 + "the of " + "bb " * 30),  # mean word len < 3
+        (3, ("supercalifragilisticexpialidocious " * 60) + "the of"),  # len>10
+        (4, "# " * 30 + "the of " + "word " * 40),  # symbol ratio
+        (5, "\n".join("- bullet item here now" for _ in range(20))
+            + "\nthe of " + "w " * 20),  # >90% bullet lines
+        (6, "\n".join("trailing off..." for _ in range(10))
+            + "\n" + "the of " + "w " * 60),  # >30% ellipsis lines
+        (7, "1234 5678 " * 40 + "the of"),  # alpha-word frac < 0.8
+        (8, "word " * 80),  # no stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    flags = gopher_quality_flags()
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in docs.select(
+            "doc_id", *[v.alias(k) for k, v in flags.items()]
+        ).collect()
+    }
+    assert out[0]["gopher_pass"] and not any(
+        v for k, v in out[0].items() if k.startswith("fail_")
+    ), out[0]
+    expected_fail = {
+        1: "fail_word_count",
+        2: "fail_mean_word_len",
+        3: "fail_mean_word_len",
+        4: "fail_symbol_ratio",
+        5: "fail_bullet_lines",
+        6: "fail_ellipsis_lines",
+        7: "fail_alpha_words",
+        8: "fail_stopwords",
+    }
+    for doc_id, rule in expected_fail.items():
+        assert out[doc_id][rule], (doc_id, rule, out[doc_id])
+        assert not out[doc_id]["gopher_pass"], (doc_id, out[doc_id])
+
+
+def test_gopher_rules_match_duckdb_on_adversarial_text(spark):
+    """Engine parity on inputs the sf corpus never produces (newlines,
+    unicode bullets/ellipses, numeric words, empty text): the DuckDB
+    replay of the oracle's feature SQL reaches identical per-document
+    rule decisions — the (?m) anchors, \\S classes and integer
+    thresholds behave the same under Java regex and RE2."""
+    import duckdb
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        gopher_quality_flags,
+    )
+
+    rows = [
+        (1, "the cat and dog " * 20),
+        (2, ""),
+        (3, "- a\n- b\n- c\nthe end of it " + "w " * 50),
+        (4, "w… …\nmore… \nthe of it was " + "z " * 55),
+        (5, "• b\n‣ c\n▪ d\n* e\n- f\nthe of " + "x " * 50),
+        (6, "12345 678 " * 40 + "the of"),
+        (7, "ends... mid... " * 10 + "\nthe of it " + "y " * 50),
+    ]
+    flags = gopher_quality_flags()
+    names = [k for k in flags if k.startswith("fail_")] + ["gopher_pass"]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: tuple(bool(r[n]) for n in names)
+        for r in docs.select(
+            "doc_id", *[flags[n].alias(n) for n in names]
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    stop_sql = " + ".join(
+        f"(CASE WHEN strpos(padded, ' {w} ') > 0 THEN 1 ELSE 0 END)"
+        for w in ["the", "and", "of", "to", "is", "in",
+                  "that", "it", "was", "for"]
+    )
+    duck = con.execute(rf"""
+        WITH feats AS (
+          SELECT doc_id,
+            len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            t -> t <> '')) AS n_words,
+            length(regexp_replace(trim(text), '\s+', '', 'g')) AS word_chars,
+            len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols,
+            len(string_split(text, chr(10))) AS n_lines,
+            len(regexp_extract_all(text, '(?m)^[ \t]*[-*' || chr(8226)
+                || chr(8227) || chr(9642) || ']')) AS n_bullet,
+            len(regexp_extract_all(text, '(?m)(\.\.\.|' || chr(8230)
+                || ')[ \t]*$')) AS n_ellipsis,
+            len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha,
+            (' ' || replace(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                            ' ', '  ') || ' ') AS padded
+          FROM documents)
+        SELECT doc_id,
+          (n_words < 50 OR n_words > 100000) AS f_wc,
+          (word_chars < 3 * n_words OR word_chars > 10 * n_words) AS f_mwl,
+          (10 * n_symbols > n_words) AS f_sym,
+          (10 * n_bullet > 9 * n_lines) AS f_bul,
+          (10 * n_ellipsis > 3 * n_lines) AS f_ell,
+          (5 * n_alpha < 4 * n_words) AS f_alpha,
+          ({stop_sql}) < 2 AS f_stop
+        FROM feats ORDER BY doc_id
+    """).fetchall()
+    for row in duck:
+        doc_id, fails = row[0], [bool(v) for v in row[1:]]
+        want = tuple(fails + [not any(fails)])
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
 def test_prefix_duplicate_groups_truncation(spark):
     """A truncated copy shares the 16-token prefix (min < max tokens);
     short docs and unique prefixes never appear."""
