@@ -5007,6 +5007,32 @@ def q_llm_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_duplicate_groups(docs, n_prefix=16)
 
 
+_EMPTY_COMPRESSION_CHECK_ORACLE = """
+    SELECT CAST(NULL AS VARCHAR) AS kind,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS DOUBLE) AS detail
+    WHERE FALSE
+"""
+
+
+@register("q_llm_compression_check", _EMPTY_COMPRESSION_CHECK_ORACLE)
+def q_llm_compression_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFLATE-contract invariant gate (expected EMPTY) for the
+    compression-ratio quality signal (operators.compress.
+    with_compression_signals — the model-free redundancy gate next to
+    the Gopher rules). zlib has no cross-engine SQL oracle, so the
+    driver verdict rides on invariants that hold for ANY correct
+    DEFLATE: roundtrip identity over every corpus document, the
+    stored-block worst-case size bound, and repetition-must-compress
+    (x×8 strictly below 8× the single-copy size once a full LZ77
+    window of context exists). One Arrow-batched scan, no shuffle —
+    the violations frame is empty unless the codec itself is broken."""
+    from ..operators.compress import compression_invariant_violations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_invariant_violations(docs.select("doc_id", "text"))
+
+
 _EMPTY_KMEANS_CHECK_ORACLE = """
     SELECT CAST(NULL AS VARCHAR) AS kind,
            CAST(NULL AS DOUBLE) AS metric_value,
