@@ -346,6 +346,64 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    col: str = "text",
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size overlapping token chunks —
+    the context-window prep step for both pretraining (fixed-length
+    examples) and retrieval indexing (passage chunks). Chunk ``i``
+    covers tokens ``[i·stride, i·stride + chunk_tokens)`` with
+    ``stride = chunk_tokens − overlap``; chunks start while tokens
+    remain, so every token lands in ≥1 chunk and consecutive chunks
+    share exactly ``overlap`` tokens (the final chunk may be short —
+    documents are never padded here; padding is the tokenizer's job).
+
+    Scale shape: ``explode(sequence(...))`` + ``slice`` is pure
+    scan-stage row generation — NO shuffle, no window, no join; output
+    size is corpus_tokens/stride rows, each carrying only its own
+    slice. That is the only chunking shape that survives 100 TB: a
+    window-function or self-join formulation would shuffle the full
+    token corpus.
+
+    Returns ``(id_col, chunk_id, chunk_start, n_chunk_tokens,
+    chunk_text)``; chunk_text re-joins the normalized tokens with
+    single spaces (deterministic, engine-portable — the DuckDB oracle
+    rebuilds it byte-identically)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens): {overlap=} {chunk_tokens=}"
+        )
+    stride = chunk_tokens - overlap
+    toks = tokens_col(col)
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    ).where(F.col("_n") > 0)
+    chunked = base.select(
+        id_col,
+        F.explode(
+            F.sequence(
+                F.lit(0), F.floor((F.col("_n") - 1) / stride).cast("int")
+            )
+        ).alias("chunk_id"),
+        "_toks",
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        (F.col("chunk_id") * stride).alias("chunk_start"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def holdout_split_col(
     col: str = "text", val_pct: int = 10, test_pct: int = 10
 ) -> Column:

@@ -5007,6 +5007,56 @@ def q_llm_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_duplicate_groups(docs, n_prefix=16)
 
 
+@register(
+    "q_llm_chunking",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t <> '') AS toks
+      FROM documents),
+    base AS (SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0),
+    chunks AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST((n - 1) // 24 AS BIGINT)))
+               AS chunk_id,
+             toks
+      FROM base)
+    SELECT doc_id,
+           CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(chunk_id * 24 AS INTEGER) AS chunk_start,
+           CAST(len(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32))
+                AS INTEGER) AS n_chunk_tokens,
+           md5(array_to_string(
+                 list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32), ' '))
+             AS chunk_md5
+    FROM chunks
+    """,
+)
+def q_llm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators.textops.chunk_documents):
+    every document split into 32-token chunks with 8-token overlap
+    (stride 24) — the fixed-length example / retrieval-passage prep
+    step. Per-chunk MEMBERSHIP parity: the oracle rebuilds each chunk's
+    exact text byte-identically (same tokenization, same slice bounds,
+    same single-space join) and both sides emit its md5, so a
+    one-token-off slice anywhere in the corpus flips the hash. Plan:
+    explode(sequence)+slice in the scan stage — zero shuffles at any
+    corpus size (output rows ≈ tokens/stride, each row carries only its
+    own slice, never the whole document)."""
+    from ..operators.textops import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 _EMPTY_COMPRESSION_CHECK_ORACLE = """
     SELECT CAST(NULL AS VARCHAR) AS kind,
            CAST(NULL AS BIGINT) AS doc_id,

@@ -1105,6 +1105,90 @@ def test_linear_quality_logit_decision(spark):
     assert out[1] < 0, out
 
 
+def test_chunk_documents_bounds_and_overlap(spark):
+    """10 tokens, chunk 4, overlap 1 (stride 3) → 4 chunks at starts
+    0/3/6/9; consecutive chunks share exactly `overlap` tokens, every
+    token is covered, the final chunk is short, empty docs vanish."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(0, text), (1, ""), (2, None)], "doc_id long, text string"
+    )
+    rows = (
+        chunk_documents(docs, chunk_tokens=4, overlap=1)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    assert [r["doc_id"] for r in rows] == [0, 0, 0, 0]
+    assert [r["chunk_start"] for r in rows] == [0, 3, 6, 9]
+    assert [r["n_chunk_tokens"] for r in rows] == [4, 4, 4, 1]
+    chunks = [r["chunk_text"].split(" ") for r in rows]
+    assert chunks[0] == ["t0", "t1", "t2", "t3"]
+    assert chunks[-1] == ["t9"]
+    for prev, cur in zip(chunks, chunks[1:]):
+        assert prev[-1:] == cur[:1]  # overlap = 1 token
+    covered = {t for c in chunks for t in c}
+    assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_chunk_documents_zero_overlap_reconstructs(spark):
+    """With overlap 0 the chunks partition the token stream: re-joining
+    them in chunk order rebuilds the normalized document exactly."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        chunk_documents,
+        tokens_col,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    rebuilt = (
+        chunk_documents(docs, chunk_tokens=7, overlap=0)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "chunk_text"))
+                    ),
+                    lambda s: s.chunk_text,
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    norm = docs.select(
+        "doc_id", F.array_join(tokens_col(), " ").alias("norm")
+    )
+    diff = rebuilt.join(norm, "doc_id").where(
+        F.col("rebuilt") != F.col("norm")
+    )
+    assert diff.count() == 0
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_plan_has_no_exchange(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        chunk_documents,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
 def test_gopher_rules_each_rule_fires_on_its_own_violation(spark):
     """Every Gopher rule trips on a document constructed to violate
     exactly that rule (plus word-count where unavoidable), and a
