@@ -172,3 +172,54 @@ def winsorized_stats(
             F.round(F.avg(value_col), 4).alias("raw_mean"),
         )
     )
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, *, top_n: int = 10
+) -> DataFrame:
+    """Join/agg-key skew diagnostic: the heaviest ``top_n`` keys with
+    exact counts, row share, cumulative share, and the ratio to the
+    MEDIAN group size — the numbers that predict a shuffle-partition
+    blowout BEFORE a 100 TB join runs, and that size the salt factor
+    for ``relational.salted_join`` (a key at 1000× median needs ~1000
+    salts to flatten; share_pct bounds how much of the corpus the
+    hot-key replication touches).
+
+    Plan shape: one keyed aggregate with map-side partials (|keys|
+    rows), a global top-N (TakeOrderedAndProject — never a full sort),
+    a 1-row stats aggregate broadcast back, and a window over only the
+    top_n survivors. The fact table is scanned once; nothing bigger
+    than |keys| rows ever shuffles. Output: rank, key (string-cast for
+    portability), n_rows, share_pct, cum_share_pct, x_median.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    stats = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.percentile(F.col("n_rows"), F.lit(0.5)).alias("__med"),
+    )
+    top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_n)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total") * 100, 4).alias(
+                "share_pct"
+            ),
+            F.round(
+                F.sum("n_rows").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                / F.col("__total")
+                * 100,
+                4,
+            ).alias("cum_share_pct"),
+            F.round(F.col("n_rows") / F.col("__med"), 4).alias("x_median"),
+        )
+    )

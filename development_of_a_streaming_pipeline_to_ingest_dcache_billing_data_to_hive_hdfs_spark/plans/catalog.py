@@ -6091,6 +6091,45 @@ def q_rel_winsorized_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rel_key_skew_profile",
+    """
+    WITH counts AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n_rows
+      FROM events GROUP BY 1),
+    stats AS (SELECT SUM(n_rows) AS total, median(n_rows) AS med
+              FROM counts),
+    top AS (SELECT key, n_rows FROM counts
+            ORDER BY n_rows DESC, key LIMIT 15)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, key) AS INTEGER)
+             AS rank,
+           key,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           ROUND(n_rows / total * 100, 4) AS share_pct,
+           ROUND(SUM(n_rows) OVER (ORDER BY n_rows DESC, key
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)
+                 / total * 100, 4) AS cum_share_pct,
+           ROUND(n_rows / med, 4) AS x_median
+    FROM top, stats
+    """,
+)
+def q_rel_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (operators.profile.key_skew_profile):
+    the 15 heaviest event user_ids with exact counts, row share,
+    cumulative share, and ratio to the median group size — the
+    pre-flight numbers that size the salt factor for salted_join and
+    predict shuffle-partition blowout before a 100 TB join runs. Plan:
+    one keyed aggregate with map-side partials, TakeOrdered top-N (no
+    full sort), a 1-row stats aggregate broadcast back, window only
+    over the 15 survivors. Exact integer counts; ratios rounded 4 dp
+    on both engines."""
+    from ..operators.profile import key_skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id", top_n=15)
+
+
+@register(
     "q_llm_unigram_nll",
     f"""
     WITH toks AS (

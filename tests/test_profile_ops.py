@@ -145,3 +145,44 @@ def test_winsorized_null_group_key_reported(spark):
     )
     rows = {r["k"]: r for r in winsorized_stats(df, "k", "value", 0.0, 1.0).collect()}
     assert None in rows and rows[None]["n"] == 2
+
+
+def test_key_skew_profile_hand_computed(spark):
+    """9 'hot' + 3×2 + 2×1 rows: ranks, shares and median ratios are
+    exact; tie between the two singleton keys breaks by key order."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.profile import (
+        key_skew_profile,
+    )
+
+    rows = (
+        [("hot",)] * 9 + [("b",)] * 2 + [("c",)] * 2 + [("a",)] + [("d",)]
+    )
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_profile(df, "k", top_n=3).orderBy("rank").collect()
+    assert [(r["rank"], r["key"], r["n_rows"]) for r in out] == [
+        (1, "hot", 9),
+        (2, "b", 2),
+        (3, "c", 2),
+    ]
+    total, med = 15, 2.0  # group sizes 9,2,2,1,1 -> median 2
+    assert out[0]["share_pct"] == round(9 / total * 100, 4)
+    assert out[0]["x_median"] == round(9 / med, 4)
+    assert out[2]["cum_share_pct"] == round(13 / total * 100, 4)
+
+
+def test_key_skew_profile_plan_shape(spark):
+    """Top-N must compile to TakeOrderedAndProject (never a global
+    sort) and the stats side must broadcast."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.profile import (
+        key_skew_profile,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = (
+        key_skew_profile(ev, "user_id", top_n=15)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
