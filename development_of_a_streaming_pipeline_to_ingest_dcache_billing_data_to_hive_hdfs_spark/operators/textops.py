@@ -962,3 +962,72 @@ def unigram_nll(
             F.round(F.avg(-F.log(p)), 4).alias("nll"),
         )
     )
+
+
+def bigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    freq_source: DataFrame | None = None,
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Per-document mean bigram negative log-likelihood with Laplace
+    smoothing — the sequence-aware step up from :func:`unigram_nll`
+    (a unigram LM scores "wrong words", the bigram LM scores "words in
+    the wrong ORDER": shuffled or templated text keeps its unigram
+    profile but loses its transitions — exactly the KenLM-shaped
+    signal CCNet-style filters use).
+
+    Model: p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), counted over
+    ``freq_source`` (default: the scored corpus itself); V = unigram
+    vocabulary size. Context counts come from the BIGRAM stream (count
+    of pairs starting with w1), so the estimator is a proper
+    conditional; unseen pairs and unseen contexts fall back smoothly
+    to 1/(c1+V) and 1/V — gibberish ranks worst, never vanishes
+    (LEFT joins throughout). Docs with < 2 tokens have no transitions
+    and drop out.
+
+    Output: (id, n_bigrams, nll), nll = avg(-ln p) rounded 4 dp.
+
+    Shape at 100 TB: one explode into the pair stream, two model-sized
+    groupBys (pairs, contexts), a 1-row vocab aggregate broadcast, and
+    two model joins back onto the pair stream — all two-phase with
+    map-side partials. ``broadcast_model=True`` broadcasts both model
+    tables (safe when the bigram table fits an executor; gate it with
+    a min-count cut first at corpus scale). Pure JVM math: +, /, ln
+    are IEEE ops, identical in the DuckDB oracle."""
+    pairs = df.select(
+        F.col(id_col), F.explode(bigrams_col(text_col)).alias("bg")
+    )
+    if freq_source is None:
+        src_pairs = pairs.select("bg")
+        src_toks = df.select(F.explode(tokens_col(text_col)).alias("tok"))
+    else:
+        src_pairs = freq_source.select(
+            F.explode(bigrams_col(text_col)).alias("bg")
+        )
+        src_toks = freq_source.select(
+            F.explode(tokens_col(text_col)).alias("tok")
+        )
+    bgf = src_pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = (
+        src_pairs.select(F.substring_index("bg", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    voc = src_toks.agg(F.count_distinct("tok").alias("v"))
+    if broadcast_model:
+        bgf, ctx = F.broadcast(bgf), F.broadcast(ctx)
+    scored = (
+        pairs.join(bgf, "bg", "left")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(voc))
+    )
+    p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1)) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(-F.log(p)), 4).alias("nll"),
+    )

@@ -6158,6 +6158,55 @@ def q_llm_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_nll(docs, "doc_id", "text").orderBy("doc_id")
 
 
+@register(
+    "q_llm_bigram_nll",
+    f"""
+    WITH tl AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM tl
+    ),
+    bgf AS (SELECT bg, COUNT(*) AS c12 FROM pairs GROUP BY bg),
+    ctx AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1
+            FROM pairs GROUP BY 1),
+    toks AS (SELECT unnest(toks) AS tok FROM tl),
+    voc AS (SELECT COUNT(DISTINCT tok) AS v FROM toks)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-LN((COALESCE(c12, 0) + 1)
+                         / (COALESCE(c1, 0) + v))), 4) AS nll
+    FROM pairs
+    LEFT JOIN bgf USING (bg)
+    LEFT JOIN ctx ON split_part(bg, ' ', 1) = ctx.w1
+    CROSS JOIN voc
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_llm_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-aware perplexity proxy (operators.textops.bigram_nll):
+    per-document mean bigram NLL under a Laplace-smoothed conditional
+    p(w2|w1) = (c12+1)/(c1+V) estimated from the corpus itself — the
+    KenLM-shaped transition signal that catches shuffled/templated
+    text whose unigram profile looks fine (q_llm_unigram_nll's blind
+    spot). One explode into the pair stream, two model-sized groupBys,
+    a broadcast 1-row vocab aggregate, two model joins back — all
+    two-phase; +, /, ln are IEEE-identical across engines and the
+    4-dp round absorbs summation-order ulp."""
+    from ..operators.textops import bigram_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        bigram_nll(docs, "doc_id", "text")
+        .withColumn("n_bigrams", F.col("n_bigrams").cast("bigint"))
+        .orderBy("doc_id")
+    )
+
+
 _EMPTY_INC_ROLLUP_ORACLE = """
     SELECT CAST(NULL AS VARCHAR) AS partition_date,
            CAST(NULL AS VARCHAR) AS event_type,

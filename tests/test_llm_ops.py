@@ -2094,3 +2094,69 @@ def test_duplicated_spans_broadcast_gate(spark):
         }
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_bigram_nll_hand_computed(spark):
+    """d0='a b a b', d1='b b': pairs ab×2+ba / bb, contexts a:2 b:2,
+    V=2 — NLLs match the closed-form Laplace model; a 1-token doc
+    has no transitions and drops out."""
+    import math
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        bigram_nll,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "b b"), (2, "solo")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_nll(docs).collect()}
+    assert set(out) == {0, 1}
+    # c12: ab=2, ba=1, bb=1; c1: a=2, b=2; V=3 (a, b, solo)
+    v = 3
+    d0 = -(math.log((2 + 1) / (2 + v)) + math.log((1 + 1) / (2 + v))
+           + math.log((2 + 1) / (2 + v))) / 3
+    d1 = -math.log((1 + 1) / (2 + v))
+    assert out[0]["n_bigrams"] == 3 and out[0]["nll"] == round(d0, 4)
+    assert out[1]["n_bigrams"] == 1 and out[1]["nll"] == round(d1, 4)
+
+
+def test_bigram_nll_oov_scores_worst_against_reference(spark):
+    """Scored against a REFERENCE corpus, a gibberish doc (unseen
+    contexts and pairs) must score strictly worse than an in-domain
+    doc — and must not vanish (left-join contract)."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        bigram_nll,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "the cat sat on the mat the cat ran")], "doc_id long, text string"
+    )
+    scored = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zz qq vv")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["nll"] for r in bigram_nll(scored, freq_source=ref).collect()}
+    assert set(out) == {1, 2}
+    assert out[2] > out[1], out
+
+
+def test_bigram_nll_detects_shuffled_word_order(spark):
+    """The bigram LM's reason to exist: same unigram profile, broken
+    transitions. A doc whose words are shuffled against a repetitive
+    reference scores worse than the in-order doc."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        bigram_nll,
+        unigram_nll,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "the cat sat on the mat " * 20)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat sat on the mat"),
+         (2, "mat the on sat cat the mat the on sat cat the")],
+        "doc_id long, text string",
+    )
+    bg = {r["doc_id"]: r["nll"] for r in bigram_nll(docs, freq_source=ref).collect()}
+    ug = {r["doc_id"]: r["nll"] for r in unigram_nll(docs, freq_source=ref).collect()}
+    assert ug[1] == ug[2]  # unigram LM is blind to order
+    assert bg[2] > bg[1], bg  # bigram LM is not
