@@ -90,6 +90,12 @@ BENCH_QUERIES = [
     # (no Expand — the 100 TB path), as a measured pair
     "q_rel_table_profile",
     "q_rel_table_profile_approx",
+    # round-8 curation additions: Gopher rule gate (one codegen'd scan),
+    # context-window chunking (explode+slice, zero shuffle), bigram-LM
+    # scoring (pair-stream model joins — the heaviest new shape)
+    "q_llm_gopher_rules",
+    "q_llm_chunking",
+    "q_llm_bigram_nll",
 ]
 
 

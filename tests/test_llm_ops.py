@@ -2160,3 +2160,22 @@ def test_bigram_nll_detects_shuffled_word_order(spark):
     ug = {r["doc_id"]: r["nll"] for r in unigram_nll(docs, freq_source=ref).collect()}
     assert ug[1] == ug[2]  # unigram LM is blind to order
     assert bg[2] > bg[1], bg  # bigram LM is not
+
+
+def test_gopher_rules_flags_plan_is_scan_stage(spark):
+    """The full rule set is one codegen'd projection: no Exchange in
+    the flags plan (the catalog query's only shuffle is the tiny
+    per-source count aggregate)."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        gopher_quality_flags,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    flags = gopher_quality_flags()
+    plan = (
+        docs.select("doc_id", *[v.alias(k) for k, v in flags.items()])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
