@@ -1031,3 +1031,208 @@ def bigram_nll(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg(-F.log(p)), 4).alias("nll"),
     )
+
+
+# Unicode script (writing-system) ranges for corpus language/script
+# profiling. Explicit codepoint ranges (not \p{Script=...} classes) so
+# the exact same pattern string runs under Java regex (Spark) and RE2
+# (the DuckDB oracle). Latin excludes the U+00D7/U+00F7 math signs that
+# sit inside Latin-1 Supplement.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": (
+        r"[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]"
+    ),
+    "digit": r"[0-9]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "greek": r"[\x{0370}-\x{03FF}]",
+    "arabic": r"[\x{0600}-\x{06FF}]",
+    "hebrew": r"[\x{0590}-\x{05FF}]",
+    "cjk": r"[\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]",
+    "kana": r"[\x{3040}-\x{30FF}]",
+    "hangul": r"[\x{1100}-\x{11FF}\x{AC00}-\x{D7AF}]",
+    "devanagari": r"[\x{0900}-\x{097F}]",
+}
+
+# Fixed precedence for dominant-script tie-breaks (dict order above).
+_SCRIPT_ORDER = list(SCRIPT_RANGES)
+
+
+def script_profile_cols(col: str = "text") -> dict[str, Column]:
+    """Writing-system detection as scan-stage columns — the script
+    profile a multilingual curation pipeline gates on before routing
+    documents to per-language pipelines (mislabeled-language detection,
+    mixed-script spam, transliteration artifacts):
+
+    - ``n_<script>``       chars in each script range (one
+      ``regexp_count`` per range, all inside one codegen'd projection)
+    - ``n_script_chars``   total chars claimed by any range
+    - ``dominant_script``  the range with the max count (ties broken by
+      the fixed ``SCRIPT_RANGES`` order; NULL when no script chars)
+    - ``dominant_share_bp``dominant count in basis points of
+      ``n_script_chars`` — INTEGER division (``div``), so the share is
+      exact and engine-portable (no float-division ulp at the boundary)
+
+    Zero shuffles: at 100 TB this is one pass over the corpus fused
+    into whatever scan already runs. The counts are integer-exact, so
+    the DuckDB oracle matches them hard (no rounding).
+    """
+    counts = {
+        name: F.regexp_count(F.col(col), F.lit(pat))
+        for name, pat in SCRIPT_RANGES.items()
+    }
+    total = sum(counts.values())
+    dom_count = F.greatest(*counts.values())
+    dominant = F.lit(None).cast("string")
+    # reversed fold so the FIRST script in _SCRIPT_ORDER wins ties
+    for name in reversed(_SCRIPT_ORDER):
+        dominant = F.when(counts[name] == dom_count, F.lit(name)).otherwise(
+            dominant
+        )
+    dominant = F.when(total > 0, dominant)
+    out: dict[str, Column] = {f"n_{k}": v for k, v in counts.items()}
+    out["n_script_chars"] = total
+    out["dominant_script"] = dominant
+    # Exact integer division without a PySpark `div` operator: subtract
+    # the pmod remainder so the double division is of an exact multiple
+    # (exact in IEEE for these magnitudes) — no float-ulp boundary flip
+    # vs the oracle's native `//`.
+    num = (F.lit(10000) * dom_count).cast("bigint")
+    bp = ((num - F.pmod(num, total)) / total).cast("bigint")
+    out["dominant_share_bp"] = F.when(total > 0, bp)
+    return out
+
+
+def char_entropy_col(col: str = "text") -> Column:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    gibberish/low-diversity signal that complements the zlib compression
+    ratio (operators/compress.py): entropy is closed-form and
+    oracle-expressible where DEFLATE is not, so this one gets a hard
+    DuckDB parity gate.
+
+    Built entirely from higher-order array functions (split →
+    array_distinct → array_sort → per-char count → fold), i.e. a
+    scan-stage projection with NO explode and NO shuffle: the histogram
+    never leaves the row. Cost is O(n·k) per doc (k = distinct chars,
+    ≤ alphabet size), fine for documents; the fold runs over the
+    SORTED distinct chars so the float summation order is identical in
+    Spark and the DuckDB oracle (both fold left-to-right over the same
+    sequence). Empty/NULL texts return NULL.
+    """
+    chars = F.split(F.col(col), "")
+    n = F.size(chars).cast("double")
+    counts = F.transform(
+        F.array_sort(F.array_distinct(chars)),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double"),
+    )
+    # `+ 0.0` normalizes IEEE -0.0 (a constant doc folds to -0.0) to
+    # +0.0 on both engines, so the oracle's value hash can't split on
+    # the sign of zero.
+    ent = (
+        -F.aggregate(
+            counts,
+            F.lit(0.0),
+            lambda acc, c: acc + (c / n) * F.log2(c / n),
+        )
+        + F.lit(0.0)
+    )
+    return F.when(F.length(F.col(col)) > 0, ent)
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    *,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequent-line table for CCNet-style boilerplate removal: one row
+    per (group, line fingerprint) where the EXACT line recurs in
+    ≥ ``min_docs`` distinct documents of the same group (site/source) —
+    scraped nav bars, cookie banners, copyright footers. Whitespace-only
+    lines are structure, not boilerplate, and are excluded.
+
+    Columns: ``<group_col>``, ``line_fp`` (md5 — portable to the DuckDB
+    oracle), ``n_docs``. Shuffle shape: the exchange carries DISTINCT
+    (group, doc, fp) triples — bounded by corpus line count, hashes not
+    line text — then a map-side-combined count to the (group, fp)
+    grain. Nothing here is quadratic and no line string crosses the
+    network.
+    """
+    lines = docs.select(
+        F.col(group_col),
+        F.col(id_col).alias("_doc"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_line"),
+    ).where(F.trim(F.col("_line")) != "")
+    per_doc = lines.select(
+        group_col, "_doc", F.md5(F.col("_line")).alias("line_fp")
+    ).distinct()
+    return (
+        per_doc.groupBy(group_col, "line_fp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .where(F.col("n_docs") >= F.lit(min_docs))
+    )
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    *,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style per-site boilerplate line removal: drop every line
+    that recurs verbatim in ≥ ``min_docs`` distinct documents of the
+    same group, keeping line order and whitespace-only lines (document
+    structure) intact. Adds ``n_lines_removed`` / ``n_lines_kept``
+    beside the cleaned ``<text_col>``; other columns pass through.
+
+    Architecture (the duplicated_spans shape, one level up): the
+    frequent-line table collapses to ONE ROW PER GROUP (an array of
+    md5 fingerprints), joined back on the group key — hinted broadcast
+    while the fingerprint volume fits the session's
+    ``autoBroadcastJoinThreshold``, else the planner's shuffle join
+    (groups are few; a skewed group key is exactly the case where the
+    broadcast side stays small because it's one row per group). Removal
+    itself is a SCAN-STAGE array filter (split → filter on
+    array_contains → array_join): the document text never shuffles for
+    the rewrite, only (group, fp) pairs do for the count.
+    """
+    bl = boilerplate_lines(
+        docs,
+        min_docs=min_docs,
+        id_col=id_col,
+        group_col=group_col,
+        text_col=text_col,
+    )
+    sets = (
+        bl.groupBy(group_col)
+        .agg(F.collect_set("line_fp").alias("_bl_fps"))
+        .localCheckpoint()
+    )
+    n_fps = sets.agg(F.sum(F.size("_bl_fps"))).collect()[0][0] or 0
+    # 48 bytes per 32-hex-char fingerprint string + row overhead
+    hint = (
+        F.broadcast
+        if n_fps * 48 <= _broadcast_threshold_bytes(docs.sparkSession)
+        else (lambda df: df)
+    )
+    joined = docs.join(hint(sets), group_col, "left")
+    all_lines = F.split(F.col(text_col), "\n")
+    fps = F.coalesce(
+        F.col("_bl_fps"), F.array().cast("array<string>")
+    )
+    kept = F.filter(
+        all_lines,
+        lambda l: (F.trim(l) == "") | ~F.array_contains(fps, F.md5(l)),
+    )
+    out_cols = [c for c in docs.columns if c != text_col]
+    return joined.select(
+        *out_cols,
+        F.array_join(kept, "\n").alias(text_col),
+        (F.size(all_lines) - F.size(kept))
+        .cast("bigint")
+        .alias("n_lines_removed"),
+        F.size(kept).cast("bigint").alias("n_lines_kept"),
+    )

@@ -6993,6 +6993,183 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
     return q_billing_flagship_daily(spark, sf_dir)
 
 
+@register(
+    "q_llm_script_profile",
+    r"""
+    WITH aug AS (
+      SELECT lang,
+             text || CASE lang WHEN 'zh' THEN ' 中文数据集 123'
+                               WHEN 'fr' THEN ' café déjà vu'
+                               WHEN 'de' THEN ' über maße'
+                               WHEN 'es' THEN ' año señal'
+                               ELSE ' данные 45' END AS t2,
+             CASE lang WHEN 'zh' THEN ' 中文数据集 123'
+                       WHEN 'fr' THEN ' café déjà vu'
+                       WHEN 'de' THEN ' über maße'
+                       WHEN 'es' THEN ' año señal'
+                       ELSE ' данные 45' END AS sfx
+      FROM documents),
+    prof AS (
+      SELECT lang,
+        len(regexp_extract_all(t2,
+            '[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]'))
+          AS c_latin,
+        len(regexp_extract_all(t2, '[0-9]')) AS c_digit,
+        len(regexp_extract_all(t2, '[\x{0400}-\x{04FF}]')) AS c_cyr,
+        len(regexp_extract_all(t2, '[\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]'))
+          AS c_cjk,
+        len(regexp_extract_all(t2, '[\x{3040}-\x{30FF}]')) AS c_kana,
+        len(regexp_extract_all(t2, '[\x{1100}-\x{11FF}\x{AC00}-\x{D7AF}]'))
+          AS c_han,
+        len(regexp_extract_all(sfx,
+            '[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]'))
+          AS s_latin,
+        len(regexp_extract_all(sfx, '[0-9]')) AS s_digit,
+        len(regexp_extract_all(sfx, '[\x{0400}-\x{04FF}]')) AS s_cyr,
+        len(regexp_extract_all(sfx, '[\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}]'))
+          AS s_cjk,
+        len(regexp_extract_all(sfx, '[\x{3040}-\x{30FF}]')) AS s_kana,
+        len(regexp_extract_all(sfx, '[\x{1100}-\x{11FF}\x{AC00}-\x{D7AF}]'))
+          AS s_han
+      FROM aug),
+    dom AS (
+      SELECT lang, c_latin, c_digit, c_cyr, c_cjk, c_kana, c_han,
+        greatest(c_latin, c_digit, c_cyr, c_cjk, c_kana, c_han) AS g,
+        c_latin + c_digit + c_cyr + c_cjk + c_kana + c_han AS tot,
+        greatest(s_latin, s_digit, s_cyr, s_cjk, s_kana, s_han) AS sg,
+        s_latin + s_digit + s_cyr + s_cjk + s_kana + s_han AS stot,
+        s_latin, s_digit, s_cyr, s_cjk, s_kana, s_han
+      FROM prof)
+    SELECT lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(c_latin) AS BIGINT) AS sum_latin,
+      CAST(SUM(c_digit) AS BIGINT) AS sum_digit,
+      CAST(SUM(c_cyr) AS BIGINT) AS sum_cyrillic,
+      CAST(SUM(c_cjk) AS BIGINT) AS sum_cjk,
+      MIN(CASE WHEN tot = 0 THEN NULL
+               WHEN c_latin = g THEN 'latin'
+               WHEN c_digit = g THEN 'digit'
+               WHEN c_cyr = g THEN 'cyrillic'
+               WHEN c_cjk = g THEN 'cjk'
+               WHEN c_kana = g THEN 'kana'
+               ELSE 'hangul' END) AS dominant_full,
+      MIN(CASE WHEN stot = 0 THEN NULL
+               WHEN s_latin = sg THEN 'latin'
+               WHEN s_digit = sg THEN 'digit'
+               WHEN s_cyr = sg THEN 'cyrillic'
+               WHEN s_cjk = sg THEN 'cjk'
+               WHEN s_kana = sg THEN 'kana'
+               ELSE 'hangul' END) AS dominant_suffix,
+      CAST(SUM((10000 * g) // tot) AS BIGINT) AS sum_share_bp
+    FROM dom GROUP BY lang
+    """,
+)
+def q_llm_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-system detection (operators.textops.script_profile_cols):
+    the mislabeled-language / mixed-script gate of a multilingual
+    curation pipeline. The corpus is ASCII-only, so the query
+    deterministically augments each document with a per-lang multilingual
+    suffix (CJK+digits for zh, accented Latin for fr/de/es, Cyrillic for
+    the en rows — the "mislabeled language" case the operator exists to
+    catch) using IDENTICAL utf-8 literals on both engines, then profiles
+    both the full text and the suffix alone. Per lang: per-script char
+    sums (integer-exact), the dominant script of full text vs suffix
+    (fixed tie-break order), and the summed dominant share in basis
+    points — computed by EXACT integer division on both sides (Spark:
+    pmod-remainder subtraction; DuckDB: native `//`), so every output
+    cell is hard parity. Plan: one scan-stage projection (10
+    regexp_counts fused into codegen) + one map-side-combined aggregate
+    to |langs| rows — one corpus pass at 100 TB, no shuffle of
+    document data."""
+    from ..operators.textops import script_profile_cols
+
+    docs = load_table(spark, sf_dir, "documents")
+    sfx = (
+        F.when(F.col("lang") == "zh", F.lit(" 中文数据集 123"))
+        .when(F.col("lang") == "fr", F.lit(" café déjà vu"))
+        .when(F.col("lang") == "de", F.lit(" über maße"))
+        .when(F.col("lang") == "es", F.lit(" año señal"))
+        .otherwise(F.lit(" данные 45"))
+    )
+    aug = docs.select(
+        "lang",
+        F.concat(F.col("text"), sfx).alias("t2"),
+        sfx.alias("sfx"),
+    )
+    full = script_profile_cols("t2")
+    suf = script_profile_cols("sfx")
+    prof = aug.select(
+        "lang",
+        full["n_latin"].alias("c_latin"),
+        full["n_digit"].alias("c_digit"),
+        full["n_cyrillic"].alias("c_cyrillic"),
+        full["n_cjk"].alias("c_cjk"),
+        full["dominant_script"].alias("dom_full"),
+        full["dominant_share_bp"].alias("bp_full"),
+        suf["dominant_script"].alias("dom_sfx"),
+    )
+    return prof.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("c_latin").cast("bigint").alias("sum_latin"),
+        F.sum("c_digit").cast("bigint").alias("sum_digit"),
+        F.sum("c_cyrillic").cast("bigint").alias("sum_cyrillic"),
+        F.sum("c_cjk").cast("bigint").alias("sum_cjk"),
+        F.min("dom_full").alias("dominant_full"),
+        F.min("dom_sfx").alias("dominant_suffix"),
+        F.sum("bp_full").cast("bigint").alias("sum_share_bp"),
+    )
+
+
+@register(
+    "q_llm_char_entropy",
+    r"""
+    WITH ent AS (
+      SELECT source,
+        CASE WHEN length(text) > 0 THEN
+          -list_aggregate(
+             list_transform(
+               list_sort(list_distinct(string_split(text, ''))),
+               c -> (CAST(len(list_filter(string_split(text, ''),
+                                          x -> x = c)) AS DOUBLE)
+                     / length(text))
+                    * log2(CAST(len(list_filter(string_split(text, ''),
+                                               x -> x = c)) AS DOUBLE)
+                           / length(text))),
+             'sum') + 0.0
+        END AS e
+      FROM documents)
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      ROUND(AVG(e), 4) AS avg_entropy,
+      ROUND(MIN(e), 4) AS min_entropy,
+      ROUND(MAX(e), 4) AS max_entropy
+    FROM ent GROUP BY source
+    """,
+)
+def q_llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (operators.textops.
+    char_entropy_col), aggregated per source — the closed-form
+    gibberish/low-diversity signal beside the zlib compression ratio
+    (which can only be invariant-gated; entropy gets hard DuckDB
+    parity). The entropy is a pure higher-order-function projection
+    (split → array_distinct → array_sort → per-char count → ordered
+    fold): the per-doc histogram never leaves the row, so the operator
+    adds ZERO shuffles to a corpus scan at any scale; the fold runs
+    over the sorted distinct chars so the float summation order is
+    identical in both engines, and -0.0 is normalized. Aggregates
+    rounded 4 dp per repo convention (cross-engine libm log2 ulp)."""
+    from ..operators.textops import char_entropy_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("source", char_entropy_col().alias("e"))
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("e"), 4).alias("avg_entropy"),
+        F.round(F.min("e"), 4).alias("min_entropy"),
+        F.round(F.max("e"), 4).alias("max_entropy"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver evaluates the FIRST 50
 # registered queries() entries, so registration order is a coverage
