@@ -7170,6 +7170,79 @@ def q_llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_boilerplate_strip",
+    r"""
+    WITH aug AS (
+      SELECT doc_id, source,
+             'NAV ' || source || chr(10) || text || chr(10)
+               || '(c) 2026 ' || source AS t2
+      FROM documents),
+    exploded AS (
+      SELECT source, doc_id,
+             unnest(string_split(t2, chr(10))) AS line
+      FROM aug),
+    freq AS (
+      SELECT source, md5(line) AS fp
+      FROM (SELECT DISTINCT source, doc_id, line
+            FROM exploded WHERE trim(line) <> '')
+      GROUP BY source, fp HAVING COUNT(*) >= 2),
+    sets AS (SELECT source, list(fp) AS fps FROM freq GROUP BY source),
+    cleaned AS (
+      SELECT a.doc_id, a.source,
+        len(string_split(a.t2, chr(10))) AS n_all,
+        list_filter(string_split(a.t2, chr(10)),
+                    l -> trim(l) = ''
+                         OR NOT list_contains(coalesce(s.fps, []), md5(l)))
+          AS kept
+      FROM aug a LEFT JOIN sets s USING (source))
+    SELECT doc_id, source,
+      CAST(n_all - len(kept) AS BIGINT) AS n_lines_removed,
+      CAST(len(kept) AS BIGINT) AS n_lines_kept,
+      md5(coalesce(list_aggregate(kept, 'string_agg', chr(10)), ''))
+        AS cleaned_fp
+    FROM cleaned
+    """,
+)
+def q_llm_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-site boilerplate removal (operators.textops.
+    strip_boilerplate_lines): the corpus is single-line, so the query
+    deterministically injects a per-source nav header and copyright
+    footer around each document (identical literals both engines) —
+    every document in a source then shares exactly those lines, the
+    2-distinct-doc threshold marks them boilerplate, and the cleaned
+    text must equal the original (except documents whose whole text is
+    an exact within-source duplicate, which the threshold also strips —
+    deterministically on both sides). Output is PER-DOCUMENT hard
+    parity: removed/kept line counts and the md5 of the cleaned text.
+    Plan: frequent-line counting shuffles (group, doc, fp) hash triples
+    once; the per-group fingerprint sets collapse to one row per group,
+    broadcast back under the session threshold; the rewrite itself is a
+    scan-stage array filter — document text never crosses the network
+    at any corpus size."""
+    from ..operators.textops import strip_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("NAV "), F.col("source")),
+            F.col("text"),
+            F.concat(F.lit("(c) 2026 "), F.col("source")),
+        ).alias("text"),
+    )
+    out = strip_boilerplate_lines(aug, min_docs=2)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_lines_removed",
+        "n_lines_kept",
+        F.md5("text").alias("cleaned_fp"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver evaluates the FIRST 50
 # registered queries() entries, so registration order is a coverage
