@@ -7243,6 +7243,55 @@ def q_llm_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_unicode_normalize",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber ma'
+                  || chr(223) || 'e' AS t2
+      FROM documents)
+    SELECT doc_id,
+      (t2 <> nfc_normalize(t2)) AS changed,
+      CAST(length(t2) - length(nfc_normalize(t2)) AS BIGINT) AS n_composed,
+      md5(nfc_normalize(t2)) AS norm_fp
+    FROM aug
+    """,
+)
+def q_llm_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators.normalize.
+    normalize_text_col) — the pass that must front every
+    fingerprinting operator: byte-different, render-identical text
+    (decomposed accents) defeats md5-keyed exact dedup. The corpus is
+    ASCII, so each document gets a DECOMPOSED suffix appended via
+    combining-mark codepoints (``chr()`` literals identical on both
+    engines; the ß stays as a composed-passthrough control). Per-doc
+    hard parity of changed flag, composed-codepoint delta, and md5 of
+    the normalized text pits CPython's unicodedata (Arrow-batched
+    pandas UDF — Spark has no normalization builtin) against DuckDB's
+    utf8proc ``nfc_normalize``, both implementing UAX #15. Scan-stage:
+    one Arrow round trip fused into the corpus scan, no shuffle at any
+    scale."""
+    from ..operators.normalize import normalize_text_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" cafe\u0301 u\u0308ber ma\u00dfe")
+        ).alias("t2"),
+    )
+    normed = aug.select(
+        "doc_id", "t2", normalize_text_col("t2").alias("_n")
+    )
+    return normed.select(
+        "doc_id",
+        (F.col("t2") != F.col("_n")).alias("changed"),
+        (F.length("t2") - F.length("_n")).cast("bigint").alias("n_composed"),
+        F.md5("_n").alias("norm_fp"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver evaluates the FIRST 50
 # registered queries() entries, so registration order is a coverage
