@@ -1057,6 +1057,15 @@ SCRIPT_RANGES: dict[str, str] = {
 _SCRIPT_ORDER = list(SCRIPT_RANGES)
 
 
+def _exact_int_div(num: Column, den: Column) -> Column:
+    """Exact floor division of non-negative integer columns without a
+    PySpark `div` operator: subtracting the pmod remainder makes the
+    double division act on an exact multiple (exact in IEEE for these
+    magnitudes) — no float-ulp boundary flip vs an oracle's native
+    integer `//`."""
+    return ((num - F.pmod(num, den)) / den).cast("bigint")
+
+
 def script_profile_cols(col: str = "text") -> dict[str, Column]:
     """Writing-system detection as scan-stage columns — the script
     profile a multilingual curation pipeline gates on before routing
@@ -1092,13 +1101,9 @@ def script_profile_cols(col: str = "text") -> dict[str, Column]:
     out: dict[str, Column] = {f"n_{k}": v for k, v in counts.items()}
     out["n_script_chars"] = total
     out["dominant_script"] = dominant
-    # Exact integer division without a PySpark `div` operator: subtract
-    # the pmod remainder so the double division is of an exact multiple
-    # (exact in IEEE for these magnitudes) — no float-ulp boundary flip
-    # vs the oracle's native `//`.
-    num = (F.lit(10000) * dom_count).cast("bigint")
-    bp = ((num - F.pmod(num, total)) / total).cast("bigint")
-    out["dominant_share_bp"] = F.when(total > 0, bp)
+    out["dominant_share_bp"] = F.when(
+        total > 0, _exact_int_div((F.lit(10000) * dom_count).cast("bigint"), total)
+    )
     return out
 
 
@@ -1235,4 +1240,65 @@ def strip_boilerplate_lines(
         .cast("bigint")
         .alias("n_lines_removed"),
         F.size(kept).cast("bigint").alias("n_lines_kept"),
+    )
+
+
+def ecdf_rank_fuse(
+    df: DataFrame,
+    signals: "dict[str, Column]",
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Consensus quality scoring by empirical-CDF rank fusion: each
+    signal (oriented so HIGHER = BETTER; negate "lower is better"
+    inputs) is normalized to its corpus percentile in basis points —
+    ``bp = 10000 · |{rows with smaller value}| / N`` — and the fused
+    score is the bp sum. Output: ``id_col``, one ``bp_<name>`` per
+    signal, ``fused_bp``. Rows must have NON-NULL signal values (NULL
+    ordering differs across engines; coalesce upstream).
+
+    Why not ``percent_rank()``: a global window is a single-reducer
+    total sort of the corpus — the canonical 100 TB scale killer. Here
+    each signal instead does (1) a map-side-combined count per DISTINCT
+    VALUE (the only corpus-wide exchange, bounded by the signal's value
+    domain — integer counts and 4-dp-rounded ratios keep it tiny),
+    (2) a cumulative sum over that small distinct-value table (the
+    one-partition window touches |domain| rows, not the corpus), and
+    (3) a BROADCAST join back on the value. The corpus itself never
+    sorts and never shuffles. All arithmetic is integer (exact floor
+    division via the pmod identity), so the DuckDB oracle matches every
+    cell hard.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col), *[c.alias(k) for k, c in signals.items()]
+    )
+    total = base.agg(F.count(F.lit(1)).alias("_n"))
+    out = base
+    for k in signals:
+        w = Window.orderBy(k).rowsBetween(Window.unboundedPreceding, 0)
+        ranked = (
+            base.groupBy(k)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .select(
+                k, (F.sum("_c").over(w) - F.col("_c")).alias(f"_below_{k}")
+            )
+        )
+        out = out.join(F.broadcast(ranked), k, "left")
+    out = out.crossJoin(F.broadcast(total))
+    bp = {
+        k: _exact_int_div(
+            (F.lit(10000) * F.col(f"_below_{k}")).cast("bigint"),
+            F.col("_n"),
+        )
+        for k in signals
+    }
+    fused = None
+    for c in bp.values():
+        fused = c if fused is None else fused + c
+    return out.select(
+        id_col,
+        *[bp[k].alias(f"bp_{k}") for k in signals],
+        fused.cast("bigint").alias("fused_bp"),
     )
