@@ -1370,3 +1370,69 @@ def semantic_dedup(
         drops.withColumnRenamed("id", id_col), id_col, "left_anti"
     )
     return kept, pairs, clusters
+
+
+def prototypicality(
+    embs: DataFrame,
+    centroids,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector prototypicality: cosine similarity to the NEAREST of
+    ``k`` given centroids, plus that centroid's index — the
+    SSL-Prototypes / data-pruning signal (Sorscher et al. 2022: prune
+    the most prototypical examples in big data regimes, the least
+    prototypical in small ones). Downstream: keep/drop by percentile of
+    ``proto_cos`` (compose with textops.ecdf_rank_fuse for exact
+    percentiles).
+
+    ``centroids`` is a small in-memory sequence (k × d, e.g.
+    ``kmeans_embeddings``' ndarray) — k·d doubles ALWAYS fit in the
+    plan, so they are embedded as column literals and the whole
+    operator is ONE scan-stage projection: per-centroid cosines as
+    ordered double folds, argmax as a greatest/when chain with the
+    centroid INDEX as the deterministic tie-break on the 4-dp-rounded
+    score. Zero joins, zero shuffles, zero driver round trips at any
+    corpus size — unlike a crossJoin-against-centroids formulation,
+    which would shuffle k·N rows back through a groupBy(id).
+
+    Returns (``id_col``, ``cluster`` int, ``proto_cos`` double 4 dp).
+    Vectors are cast element-wise to double before any arithmetic, so
+    the fold matches the DuckDB oracle's double-list
+    ``list_cosine_similarity`` at 4 dp.
+    """
+    import math
+
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm_v = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda s, v: s + v * v)
+    )
+    cos_r = []
+    for c in centroids:
+        c = [float(x) for x in c]
+        lit_arr = F.array(*[F.lit(x) for x in c])
+        dot = F.aggregate(
+            F.zip_with(vec, lit_arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        # plain left-to-right double sum: the same fold order the
+        # engines use (fsum's exact summation would diverge in ulp)
+        norm_c = math.sqrt(sum(x * x for x in c))
+        if norm_c == 0.0:
+            raise ValueError("zero-norm centroid")
+        cos_r.append(
+            F.round(
+                F.when(norm_v > 0, dot / (norm_v * F.lit(norm_c))), 4
+            )
+        )
+    best = F.greatest(*cos_r) if len(cos_r) > 1 else cos_r[0]
+    cluster = F.lit(None).cast("int")
+    for i in reversed(range(len(cos_r))):
+        cluster = F.when(cos_r[i] == best, F.lit(i)).otherwise(cluster)
+    return embs.select(
+        F.col(id_col),
+        cluster.alias("cluster"),
+        best.alias("proto_cos"),
+    )

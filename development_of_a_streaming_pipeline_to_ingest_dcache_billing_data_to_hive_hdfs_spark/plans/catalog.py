@@ -7358,6 +7358,52 @@ def q_llm_quality_rank_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_prototypicality",
+    """
+    WITH cents AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+        ROUND(list_cosine_similarity(
+          list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+          c.cvec), 4) AS cosr
+      FROM embeddings e CROSS JOIN cents c)
+    SELECT vec_id, CAST(cid AS INT) AS cluster, cosr AS proto_cos
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cosr DESC, cid ASC) = 1
+    """,
+)
+def q_llm_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality scoring (operators.similarity.prototypicality):
+    cosine to the nearest of 8 fixed prototype vectors — the
+    SSL-Prototypes data-pruning signal. Prototypes are the embeddings
+    of vec_id 0–7 (deterministic on both engines; in production they
+    come from kmeans_embeddings' centroids, whose k·d ndarray is this
+    same in-memory shape). The Spark side embeds them as PLAN LITERALS:
+    per-centroid cosines are ordered double folds and the argmax is a
+    greatest/when chain with index tie-break on the 4-dp score — one
+    scan-stage projection, zero joins/shuffles at any corpus size (a
+    crossJoin+groupBy formulation would shuffle k·N rows). The oracle
+    cross-joins the same 8 rows and picks the same argmax via
+    ROW_NUMBER over (rounded cos DESC, cid ASC); the bounded driver
+    collect is 8 rows of metadata scale."""
+    from ..operators.similarity import prototypicality
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in embs.where(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    return prototypicality(embs, cents)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver evaluates the FIRST 50
 # registered queries() entries, so registration order is a coverage
