@@ -1302,3 +1302,74 @@ def ecdf_rank_fuse(
         *[bp[k].alias(f"bp_{k}") for k in signals],
         fused.cast("bigint").alias("fused_bp"),
     )
+
+
+def temperature_mixture_k(
+    docs: DataFrame,
+    total_k: int,
+    *,
+    alpha: float = 0.5,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix-v1",
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Temperature-weighted mixture sampling (the multilingual-LM
+    mixing rule, mC4/XLM-R style): per-stratum quotas proportional to
+    ``n_s^alpha``, with ``alpha < 1`` upweighting low-resource strata
+    relative to their raw share; rows inside each stratum are chosen by
+    the shared content-addressed hash order, so the pick is
+    deterministic, rerun-stable, and grows consistently with
+    ``total_k``. Adds ``mix_quota`` (the stratum's seat count) and
+    ``rank_col`` beside the surviving rows.
+
+    Quota arithmetic is INTEGER-exact: weights are
+    ``floor(10000·n^alpha)`` and seats are the exact floor division
+    ``total_k·w_s // Σw`` — for the default ``alpha=0.5`` the weight
+    uses IEEE ``sqrt`` (correctly rounded, so bit-identical in any
+    engine: the DuckDB oracle replays it exactly); other alphas go
+    through ``pow``, whose libm ulp may differ across engines — fine in
+    production, not oracle-hard. Floor allocation means up to
+    ``|strata|−1`` remainder seats stay unfilled (never oversampled).
+
+    Plan shape at 100 TB: one map-side-combined count to |strata| rows,
+    weight/quota arithmetic on that tiny frame (one broadcast of a
+    1-row total), a broadcast join of quotas back, and ONE shuffle of
+    the corpus on the stratum key for the per-stratum hash-order
+    row_number (the stratified_fixed_k top-k shape — no global sort).
+    Skew: a hot stratum serializes into one window task; pre-filter
+    with ``hash_bucket_col`` as documented on stratified_fixed_k.
+    """
+    from pyspark.sql import Window
+
+    if total_k <= 0:
+        raise ValueError(f"total_k must be positive: {total_k}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive: {alpha}")
+    n = F.col("_n").cast("double")
+    w_expr = (
+        F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(float(alpha)))
+    )
+    weights = (
+        docs.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            stratum_col,
+            F.floor(F.lit(10000.0) * w_expr).cast("bigint").alias("_w"),
+        )
+    )
+    tot = weights.agg(F.sum("_w").alias("_tw"))
+    quotas = weights.crossJoin(F.broadcast(tot)).select(
+        stratum_col,
+        _exact_int_div(
+            (F.lit(total_k) * F.col("_w")).cast("bigint"), F.col("_tw")
+        ).alias("mix_quota"),
+    )
+    order = hash_bucket_col(F.col(key_col), 1_000_000, salt)
+    w = Window.partitionBy(stratum_col).orderBy(
+        order.asc(), F.col(key_col).asc()
+    )
+    ranked = docs.withColumn(rank_col, F.row_number().over(w))
+    return ranked.join(F.broadcast(quotas), stratum_col).where(
+        F.col(rank_col) <= F.col("mix_quota")
+    )

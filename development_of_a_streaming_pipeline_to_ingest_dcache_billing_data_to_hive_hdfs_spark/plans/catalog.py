@@ -7404,6 +7404,57 @@ def q_llm_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prototypicality(embs, cents)
 
 
+@register(
+    "q_llm_temperature_mixture",
+    """
+    WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents
+                 GROUP BY source),
+    w AS (SELECT source,
+                 CAST(floor(10000.0 * sqrt(CAST(n AS DOUBLE))) AS BIGINT)
+                   AS w
+          FROM cnt),
+    tw AS (SELECT SUM(w) AS tw FROM w),
+    q AS (SELECT source, (100 * w) // tw AS mix_quota
+          FROM w CROSS JOIN tw),
+    ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '|mix-v1'),
+                                        1, 8))::UBIGINT % 1000000,
+                        doc_id) AS rn
+      FROM documents)
+    SELECT r.doc_id, r.source,
+           CAST(r.rn AS BIGINT) AS rn,
+           CAST(q.mix_quota AS BIGINT) AS mix_quota
+    FROM ranked r JOIN q USING (source)
+    WHERE r.rn <= q.mix_quota
+    """,
+)
+def q_llm_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling (operators.textops.
+    temperature_mixture_k, alpha=0.5): per-source seats proportional to
+    √n — the mC4/XLM-R low-resource upweighting rule — with rows chosen
+    by the shared content-addressed hash order. EXACT-MEMBERSHIP
+    parity: the oracle replays the integer quota arithmetic
+    (floor(10000·sqrt(n)) weights — IEEE sqrt is correctly rounded, so
+    bit-identical across engines — and exact floor division of seats)
+    and the md5 bucket ordering, so both engines must select the same
+    documents. Plan: counts collapse map-side to |sources| rows, quota
+    math happens on that tiny frame, quotas broadcast back, and the
+    corpus shuffles ONCE on the stratum key for the windowed rank."""
+    from ..operators.textops import temperature_mixture_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_mixture_k(docs, 100)
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("rn").cast("bigint").alias("rn"),
+        F.col("mix_quota").cast("bigint").alias("mix_quota"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver evaluates the FIRST 50
 # registered queries() entries, so registration order is a coverage
