@@ -96,6 +96,16 @@ BENCH_QUERIES = [
     "q_llm_gopher_rules",
     "q_llm_chunking",
     "q_llm_bigram_nll",
+    # round-8 curation additions, second wave: per-site boilerplate
+    # strip (hash-triple count + broadcast-back array filter), ECDF
+    # rank fusion (3 distinct-value counts + broadcast joins), char
+    # entropy (heaviest higher-order-function projection), Unicode NFC
+    # (the Arrow UDF boundary), prototypicality (k ordered folds/row)
+    "q_llm_boilerplate_strip",
+    "q_llm_quality_rank_fuse",
+    "q_llm_char_entropy",
+    "q_llm_unicode_normalize",
+    "q_llm_prototypicality",
 ]
 
 
