@@ -1373,3 +1373,155 @@ def temperature_mixture_k(
     return ranked.join(F.broadcast(quotas), stratum_col).where(
         F.col(rank_col) <= F.col("mix_quota")
     )
+
+
+# Gopher repetition thresholds (Rae et al. 2021 table A1): "top n-gram
+# char fraction" for short n, "duplicated n-gram char fraction" for
+# long n — as integer percents so every gate is exact cross-engine.
+GOPHER_TOP_NGRAM_PCT = {2: 20, 3: 18, 4: 16}
+GOPHER_DUP_NGRAM_PCT = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
+
+def _ngrams_expr(toks: Column, n: int) -> Column:
+    """Token n-grams of a token-array EXPRESSION (space-joined strings);
+    empty array when the doc has fewer than n tokens (guarded: Spark's
+    ``sequence(1, 0)`` would descend, not return empty)."""
+    m = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), m - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(m >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def with_gopher_repetition_flags(
+    df: DataFrame, col: str = "text"
+) -> DataFrame:
+    """The OTHER half of the Gopher rule table (Rae et al. 2021, A1):
+    repetition filters, completing gopher_quality_flags' quality rules.
+    Appends boolean columns to ``df``; every threshold is an integer
+    cross-multiplication over integer char counts (exact,
+    engine-portable):
+
+    - ``fail_dup_lines``       > 30% of lines repeat an earlier line
+    - ``fail_dup_line_chars``  chars in repeated line OCCURRENCES
+      (the chars line-dedup would remove: Σ (cnt−1)·len over repeated
+      distinct lines) > 20% of the doc's chars
+    - ``fail_top_{2,3,4}gram`` chars covered by the most frequent
+      n-gram (occurrences × n-gram char length, separators included;
+      deterministic tie-break: lexicographically smallest among the
+      max-count n-grams; zero when the top n-gram occurs only once —
+      a single occurrence is not repetition) > 20/18/16% of doc chars
+    - ``fail_dup_{5..10}gram`` chars in ALL occurrences of repeated
+      n-grams (Σ cnt·len over n-grams with cnt > 1) > 15/14/13/12/11/10%
+    - ``repetition_pass``      none failed
+
+    Definitional notes (documented because DeepMind's exact
+    char-marking impl is unpublished): n-gram char fractions use the
+    sum-of-occurrences × length formulation, NOT per-character span
+    occupancy — overlapping occurrences can push the numerator past the
+    denominator, which only makes the gate stricter on degenerate
+    repetition; denominators are ``length(text)`` raw.
+
+    Shape: a DataFrame TRANSFORMER (not a column factory) so each
+    intermediate array — tokens, per-n n-gram list, its distinct
+    elements, their counts — is a STAGED projection materialized once
+    per row; a single-expression formulation re-evaluates the n-gram
+    array inside every lambda element (measured ~10× slower). All
+    stages fuse into one whole-stage-codegen scan: per-doc
+    O(len·distinct) lambda work, no explode, no shuffle — the gate
+    costs one corpus scan at 100 TB. For book-length documents switch
+    to the exploded groupBy formulation (duplicated_spans' shape).
+    """
+    out = df.withColumn("_toks", tokens_col(col)).withColumn(
+        "_total", F.length(F.col(col)).cast("bigint")
+    )
+    lines = F.split(F.col(col), "\n")
+    out = out.withColumn("_lines", lines).withColumn(
+        "_dlines", F.array_distinct(lines)
+    )
+    ngram_ns = list(GOPHER_TOP_NGRAM_PCT) + list(GOPHER_DUP_NGRAM_PCT)
+    for n in ngram_ns:
+        out = out.withColumn("_g", _ngrams_expr(F.col("_toks"), n))
+        out = out.withColumn("_d", F.array_distinct(F.col("_g")))
+        out = out.withColumn(
+            "_c",
+            F.transform(
+                F.col("_d"),
+                lambda d: F.size(
+                    F.filter(F.col("_g"), lambda x: x == d)
+                ).cast("bigint"),
+            ),
+        )
+        if n in GOPHER_TOP_NGRAM_PCT:
+            out = out.withColumn("_maxc", F.array_max(F.col("_c")))
+            top = F.array_min(
+                F.filter(
+                    F.zip_with(
+                        F.col("_d"),
+                        F.col("_c"),
+                        lambda d, c: F.when(c == F.col("_maxc"), d),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            )
+            chars = F.when(
+                (F.size(F.col("_g")) > 0) & (F.col("_maxc") > 1),
+                F.col("_maxc") * F.length(top),
+            ).otherwise(F.lit(0))
+            out = out.withColumn(
+                f"_chars_top{n}", chars.cast("bigint")
+            ).drop("_maxc")
+        else:
+            chars = F.aggregate(
+                F.zip_with(
+                    F.col("_d"),
+                    F.col("_c"),
+                    lambda d, c: F.when(
+                        c > 1, c * F.length(d)
+                    ).otherwise(F.lit(0).cast("bigint")),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            out = out.withColumn(f"_chars_dup{n}", chars)
+        out = out.drop("_g", "_d", "_c")
+
+    dup_line_chars = F.aggregate(
+        F.col("_dlines"),
+        F.lit(0).cast("bigint"),
+        lambda acc, l: acc
+        + F.when(
+            F.size(F.filter(F.col("_lines"), lambda x: x == l)) > 1,
+            (
+                (F.size(F.filter(F.col("_lines"), lambda x: x == l)) - 1)
+                * F.length(l)
+            ).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    n_lines = F.size(F.col("_lines"))
+    total = F.col("_total")
+    flags: dict[str, Column] = {
+        "fail_dup_lines": 10 * (n_lines - F.size(F.col("_dlines")))
+        > 3 * n_lines,
+        "fail_dup_line_chars": 5 * dup_line_chars > total,
+    }
+    for n, pct in GOPHER_TOP_NGRAM_PCT.items():
+        flags[f"fail_top_{n}gram"] = (
+            100 * F.col(f"_chars_top{n}") > pct * total
+        )
+    for n, pct in GOPHER_DUP_NGRAM_PCT.items():
+        flags[f"fail_dup_{n}gram"] = (
+            100 * F.col(f"_chars_dup{n}") > pct * total
+        )
+    passed = None
+    for v in flags.values():
+        passed = v if passed is None else (passed | v)
+    out = out.select(
+        *df.columns,
+        *[v.alias(k) for k, v in flags.items()],
+        (~passed).alias("repetition_pass"),
+    )
+    return out

@@ -1,0 +1,98 @@
+"""Gopher repetition rules (operators.textops.
+with_gopher_repetition_flags): constructed per-rule violations, guard
+semantics, plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+    GOPHER_DUP_NGRAM_PCT,
+    GOPHER_TOP_NGRAM_PCT,
+    with_gopher_repetition_flags,
+)
+
+
+def _flags(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return {
+        r["doc_id"]: r.asDict()
+        for r in with_gopher_repetition_flags(df).collect()
+    }
+
+
+def test_clean_prose_passes(spark):
+    out = _flags(
+        spark,
+        [
+            "the quick brown fox jumps over one lazy dog while another "
+            "cat watches from a warm windowsill thinking about dinner "
+            "and many other interesting things entirely",
+        ],
+    )
+    assert out[0]["repetition_pass"] is True
+
+
+def test_dup_lines_rules(spark):
+    # 3 of 4 lines are the same long line -> both line rules fire
+    t = "repeated line with plenty of characters\n" * 3 + "unique tail"
+    out = _flags(spark, [t.rstrip("\n")])
+    assert out[0]["fail_dup_lines"] is True
+    assert out[0]["fail_dup_line_chars"] is True
+    # distinct lines -> neither fires
+    out2 = _flags(spark, ["alpha\nbeta\ngamma\ndelta"])
+    assert out2[0]["fail_dup_lines"] is False
+    assert out2[0]["fail_dup_line_chars"] is False
+
+
+def test_top_ngram_coverage(spark):
+    # "spam spam ... spam": every 2-gram is "spam spam"
+    out = _flags(spark, ["spam " * 20])
+    for n in GOPHER_TOP_NGRAM_PCT:
+        assert out[0][f"fail_top_{n}gram"] is True, n
+    assert out[0]["repetition_pass"] is False
+
+
+def test_single_occurrence_top_ngram_is_not_repetition(spark):
+    # short unrepeated doc: its top bigram covers >20% of the chars but
+    # occurs ONCE -> must not fail (the maxc > 1 guard)
+    out = _flags(spark, ["tiny unrepeated document"])
+    for n in GOPHER_TOP_NGRAM_PCT:
+        assert out[0][f"fail_top_{n}gram"] is False, n
+
+
+def test_dup_long_ngram_coverage(spark):
+    # a 10-token phrase repeated 3 times with unique filler between
+    phrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t = f"{phrase} x1 {phrase} y2 {phrase} z3"
+    out = _flags(spark, [t])
+    for n in GOPHER_DUP_NGRAM_PCT:
+        assert out[0][f"fail_dup_{n}gram"] is True, n
+    # the same tokens shuffled uniquely -> no repeated 5..10-grams
+    out2 = _flags(
+        spark,
+        ["alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "x1 y2 z3 kappa iota theta eta zeta epsilon delta gamma"],
+    )
+    for n in GOPHER_DUP_NGRAM_PCT:
+        assert out2[0][f"fail_dup_{n}gram"] is False, n
+
+
+def test_short_and_empty_docs_pass(spark):
+    out = _flags(spark, ["", "one", "two words"])
+    for i in range(3):
+        assert out[i]["repetition_pass"] is True, i
+
+
+def test_passthrough_columns_and_plan(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c", "s1")], "doc_id long, text string, source string"
+    )
+    out = with_gopher_repetition_flags(df)
+    assert out.columns[:3] == ["doc_id", "text", "source"]
+    n_flags = 2 + len(GOPHER_TOP_NGRAM_PCT) + len(GOPHER_DUP_NGRAM_PCT) + 1
+    assert len(out.columns) == 3 + n_flags
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
