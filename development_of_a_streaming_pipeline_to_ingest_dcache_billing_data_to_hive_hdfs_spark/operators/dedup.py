@@ -1017,3 +1017,52 @@ def prefix_duplicate_groups(
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+def stitched_doc_pairs(
+    docs: DataFrame,
+    n: int = 16,
+    *,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stitching-artifact detection: ordered pairs (doc_a, doc_b) where
+    doc_a's LAST ``n`` normalized tokens equal doc_b's FIRST ``n`` —
+    the chunked-scrape signature (one page split across consecutive
+    records with a shared boundary window, or paginated article parts).
+    The family neither exact dedup (different content) nor whole-doc
+    near-dup (low global Jaccard when the parts are long) catches;
+    downstream, matched pairs are merge candidates, the complement of
+    chunk_documents' split direction.
+
+    Both edge windows hash to md5 IN THE SCAN STAGE (slice + concat_ws
+    + md5, codegen), so the equi-join shuffles 32-byte fingerprints —
+    never document text; the boundary window (bounded: n tokens) rides
+    the suffix side for display. Docs need > ``n`` tokens: at exactly
+    ``n`` the "suffix" is the whole document and the match is exact
+    dedup's job. Self-pairs are excluded; a doc whose own suffix equals
+    its own prefix is periodic text, not stitching.
+
+    Output: (doc_a, doc_b, boundary) — one row per matching ordered
+    pair. Pair volume is bounded by boundary-window collisions, the
+    same birthday bound as every md5-keyed operator here.
+    """
+    from .textops import tokens_col
+
+    toks = docs.select(
+        F.col(doc_id_col).alias("doc_id"), tokens_col(text_col).alias("toks")
+    ).where(F.size("toks") > n)
+    suf = toks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.md5(F.concat_ws(" ", F.slice("toks", -n, n))).alias("_fp"),
+        F.concat_ws(" ", F.slice("toks", -n, n)).alias("boundary"),
+    )
+    pre = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.md5(F.concat_ws(" ", F.slice("toks", 1, n))).alias("_fp"),
+    )
+    return (
+        suf.join(pre, "_fp")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "boundary")
+    )

@@ -7623,6 +7623,87 @@ ORACLES["q_llm_gopher_repetition"] = _repetition_oracle()
 
 
 
+@register(
+    "q_llm_stitched_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                    x -> x <> '') AS t
+      FROM documents),
+    q AS (SELECT doc_id, t, len(t) AS m, len(t) // 2 AS mid
+          FROM toks WHERE len(t) >= 34),
+    halves AS (
+      SELECT doc_id * 2 AS id,
+             list_aggregate(t[1:mid+16], 'string_agg', ' ') AS text
+      FROM q
+      UNION ALL
+      SELECT doc_id * 2 + 1,
+             list_aggregate(t[mid+1:m], 'string_agg', ' ')
+      FROM q),
+    htoks AS (
+      SELECT id,
+        list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                    x -> x <> '') AS t
+      FROM halves),
+    big AS (SELECT id, t FROM htoks WHERE len(t) > 16),
+    suf AS (
+      SELECT id AS doc_a,
+             md5(list_aggregate(t[len(t)-15:len(t)], 'string_agg', ' '))
+               AS fp,
+             list_aggregate(t[len(t)-15:len(t)], 'string_agg', ' ')
+               AS boundary
+      FROM big),
+    pre AS (
+      SELECT id AS doc_b,
+             md5(list_aggregate(t[1:16], 'string_agg', ' ')) AS fp
+      FROM big)
+    SELECT doc_a, doc_b, md5(boundary) AS boundary_fp
+    FROM suf JOIN pre USING (fp) WHERE doc_a <> doc_b
+    """,
+)
+def q_llm_stitched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stitching-artifact detection (operators.dedup.stitched_doc_pairs):
+    pairs whose suffix window equals another doc's prefix window — the
+    chunked-scrape / paginated-article signature between exact dedup
+    and whole-doc near-dup. The corpus has no natural stitch points, so
+    the query CONSTRUCTS them: each ≥34-token document splits into two
+    halves sharing a 16-token boundary window (pure integer arithmetic,
+    identical both engines), and the operator must reunite every pair —
+    plus any deterministic cross-doc matches from exact-duplicate
+    documents. Per-pair hard parity on (doc_a, doc_b, boundary md5).
+    Plan: edge windows hash in the scan stage, the equi-join shuffles
+    32-byte fingerprints (never text); at 100 TB the join carries two
+    narrow corpus-scan projections."""
+    from ..operators.dedup import stitched_doc_pairs
+    from ..operators.textops import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens_col().alias("t")
+    ).withColumn("m", F.size("t"))
+    q = toks.where(F.col("m") >= 34).withColumn(
+        "mid", F.floor(F.col("m") / 2).cast("int")
+    )
+    half_a = q.select(
+        (F.col("doc_id") * 2).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice("t", 1, F.col("mid") + 15 + 1)
+        ).alias("text"),
+    )
+    half_b = q.select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice("t", F.col("mid") + 1, F.col("m") - F.col("mid"))
+        ).alias("text"),
+    )
+    corpus = half_a.unionByName(half_b)
+    pairs = stitched_doc_pairs(corpus, 16)
+    return pairs.select(
+        "doc_a", "doc_b", F.md5("boundary").alias("boundary_fp")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering. The correctness driver evaluates the FIRST 50
 # registered queries() entries, so registration order is a coverage
