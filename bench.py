@@ -106,6 +106,10 @@ BENCH_QUERIES = [
     "q_llm_char_entropy",
     "q_llm_unicode_normalize",
     "q_llm_prototypicality",
+    # the 13-rule array-lambda battery (heaviest scan-stage projection
+    # in the catalog) and the fingerprint-join stitch detector
+    "q_llm_gopher_repetition",
+    "q_llm_stitched_pairs",
 ]
 
 

@@ -7732,11 +7732,17 @@ def _computed_driver_priority() -> list[str]:
     CORRECTNESS_r*.json at import, the window rotates ITSELF the moment
     a round's artifact lands — the r4 failure mode (a hand-maintained
     list going stale between the driver run and the next session,
-    tripping test_no_query_goes_stale) cannot recur. With 129 queries
-    and a 50-slot window the debt cycle is ~3 rounds, and the stale set
-    (no verdict in the last two recorded rounds) is at most
-    129 − 2×50 = 29 — it always fits the window, so the staleness
-    tripwire is satisfiable every round by construction."""
+    tripping test_no_query_goes_stale) cannot recur.
+
+    Capacity math: with N catalog queries and a 50-slot window, the
+    full-coverage cycle is ceil(N/50) rounds, so the TIGHTEST
+    guaranteed-satisfiable staleness bound is K = max(2, ceil((N−50)/50))
+    rounds — the worst-case backlog of queries unverified in the last K
+    rounds is N − K·50 ≤ 50, which always fits the window.
+    test_no_query_goes_stale derives the SAME K from the live catalog
+    size, so the tripwire self-tightens at N ≤ 150 (2-round bound) and
+    relaxes honestly (3 rounds at N ≤ 200, …) as coverage grows instead
+    of becoming arithmetically unsatisfiable."""
     return _rank_window(_recorded_last_green(), list(QUERIES))
 
 
