@@ -1404,6 +1404,17 @@ def prototypicality(
     """
     import math
 
+    n_lits = sum(len(c) for c in centroids)
+    if n_lits > 100_000:
+        # plan-literal centroids stop being "metadata" around here: the
+        # expression tree itself becomes the bottleneck. Past the valve,
+        # assign with ivf_assign (broadcast ndarray + one BLAS matmul
+        # per Arrow batch) and compute the cosine in that path instead.
+        raise ValueError(
+            f"{len(centroids)} centroids x dim = {n_lits} literals "
+            "exceed the plan-literal budget (100k); use ivf_assign's "
+            "broadcast-matmul path for IVF-scale centroid sets"
+        )
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm_v = F.sqrt(
         F.aggregate(vec, F.lit(0.0), lambda s, v: s + v * v)

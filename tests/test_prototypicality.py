@@ -83,3 +83,14 @@ def test_scan_stage_plan(spark):
     )
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_plan_literal_budget_valve(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    big = [[1.0] * 101 for _ in range(1000)]  # 101k literals
+    with _pytest.raises(ValueError, match="plan-literal budget"):
+        prototypicality(df, big)
