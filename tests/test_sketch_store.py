@@ -1,0 +1,173 @@
+"""Persisted HLL sketch store: union≡resketch, slice-overwrite
+idempotence, incremental==rebuild, partition-pruned range reads, and
+the strict lg_k contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.sketches import (
+    HllStore,
+    sketch_slices,
+    union_estimate,
+)
+
+
+def _events(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("day", F.to_date("ts").cast("string"))
+    )
+
+
+def _drop(spark, *tables):
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_sketch_slices_one_row_per_slice_exact_counts(spark):
+    ev = _events(spark)
+    sk = sketch_slices(ev, "day", "user_id").collect()
+    exact = {
+        r.day: r.n
+        for r in ev.groupBy("day").agg(F.count("user_id").alias("n")).collect()
+    }
+    assert {r.day for r in sk} == set(exact)
+    assert all(r.n_rows == exact[r.day] for r in sk)
+    assert all(isinstance(r.sketch, (bytes, bytearray)) for r in sk)
+
+
+def test_union_of_slices_equals_single_pass_sketch(spark):
+    """Register merge is pointwise max ⇒ the per-day union's estimate is
+    IDENTICAL to sketching the raw rows in one pass — and invariant to
+    the physical partitioning of the input."""
+    ev = _events(spark)
+    inc = union_estimate(sketch_slices(ev, "day", "user_id")).collect()[0]
+    full = ev.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))
+        ).alias("e")
+    ).collect()[0].e
+    full_repart = ev.repartition(13).agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))
+        ).alias("e")
+    ).collect()[0].e
+    assert inc.distinct_estimate == full == full_repart
+    assert inc.n_slices == ev.select("day").distinct().count()
+
+
+def test_estimate_tracks_exact_distinct(spark):
+    ev = _events(spark)
+    est = union_estimate(sketch_slices(ev, "day", "user_id")).collect()[0]
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est.distinct_estimate - exact) <= max(1, 0.05 * exact)
+
+
+def test_store_update_is_replay_idempotent(spark):
+    _drop(spark, "hll_idem")
+    ev = _events(spark)
+    store = HllStore(spark, "hll_idem")
+    try:
+        n1 = store.update(ev, "day", "user_id")
+        est1 = store.estimate()
+        n2 = store.update(ev, "day", "user_id")  # crash-replay
+        assert n1 == n2 == len(store.slices())
+        # still exactly one row per slice — overwrite, not append
+        per_slice = (
+            spark.table("hll_idem")
+            .groupBy("slice_key")
+            .count()
+            .where(F.col("count") > 1)
+            .count()
+        )
+        assert per_slice == 0
+        assert store.estimate() == est1
+    finally:
+        store.drop()
+
+
+def test_incremental_updates_match_full_rebuild(spark):
+    _drop(spark, "hll_inc", "hll_full")
+    ev = _events(spark)
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    cut = days[len(days) // 2]
+    inc = HllStore(spark, "hll_inc")
+    full = HllStore(spark, "hll_full")
+    try:
+        inc.update(ev.where(F.col("day") <= cut), "day", "user_id")
+        inc.update(ev.where(F.col("day") > cut), "day", "user_id")
+        full.update(ev, "day", "user_id")
+        assert inc.slices() == full.slices() == days
+        assert inc.estimate() == full.estimate()
+        # range reads agree too, and track the exact sub-range count
+        lo, hi = days[0], cut
+        sub_exact = (
+            ev.where(F.col("day").between(lo, hi))
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert inc.estimate(lo, hi) == full.estimate(lo, hi)
+        assert abs(inc.estimate(lo, hi) - sub_exact) <= max(1, 0.05 * sub_exact)
+    finally:
+        inc.drop()
+        full.drop()
+
+
+def test_late_data_rewrites_one_slice(spark):
+    """A late row for an already-summarized slice re-updates THAT slice
+    only; the store picks up the new distinct."""
+    _drop(spark, "hll_late")
+    ev = _events(spark)
+    day0 = ev.select(F.min("day").alias("d")).collect()[0].d
+    store = HllStore(spark, "hll_late")
+    try:
+        store.update(ev, "day", "user_id")
+        before = store.estimate()
+        late = spark.createDataFrame(
+            [(day0, 10_000_001), (day0, 10_000_002)], "day string, user_id long"
+        )
+        augmented = ev.where(F.col("day") == day0).select(
+            "day", "user_id"
+        ).unionByName(late)
+        store.update(augmented, "day", "user_id")
+        assert store.estimate() >= before + 1
+        assert len(store.slices()) == ev.select("day").distinct().count()
+    finally:
+        store.drop()
+
+
+def test_range_read_prunes_partitions(spark):
+    """The slice-range filter must reach the store scan as a
+    PartitionFilter — a range estimate over a 10-year store opens only
+    the covered slice files."""
+    _drop(spark, "hll_prune")
+    ev = _events(spark)
+    store = HllStore(spark, "hll_prune")
+    try:
+        store.update(ev, "day", "user_id")
+        days = store.slices()
+        pruned = store._slice_range(days[0], days[2])
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+        assert part_lines and "slice_key" in part_lines[0], plan
+        assert pruned.count() == 3
+    finally:
+        store.drop()
+
+
+def test_lg_k_contract(spark):
+    with pytest.raises(ValueError, match="lg_k"):
+        sketch_slices(_events(spark), "day", "user_id", lg_k=3)
+    with pytest.raises(ValueError, match="lg_k"):
+        HllStore(spark, "t", lg_k=22)
+    # strict union: a width mismatch fails loudly rather than silently
+    # degrading every register to the coarser sketch
+    ev = _events(spark)
+    a = sketch_slices(ev, "day", "user_id", lg_k=12)
+    b = sketch_slices(ev, "day", "user_id", lg_k=13)
+    with pytest.raises(Exception):
+        union_estimate(a.unionByName(b)).collect()
