@@ -1033,6 +1033,165 @@ def bigram_nll(
     )
 
 
+def _dsir_features(
+    df: DataFrame,
+    text_col: str,
+    n_buckets: int,
+    salt: str,
+    *extra_cols: str,
+) -> DataFrame:
+    """Hashed n-gram feature stream (DSIR's featurizer): each document's
+    unigrams AND bigrams, hashed to ``[0, n_buckets)`` with the shared
+    portable md5 bucket. One explode per doc into ``2L−1`` feature rows;
+    the bucket is a scan-stage expression, so nothing but (extra_cols,
+    bucket) ever leaves the scan."""
+    feats = F.concat(tokens_col(text_col), bigrams_col(text_col))
+    return df.select(
+        *extra_cols, F.explode(feats).alias("feat")
+    ).select(
+        *extra_cols,
+        hash_bucket_col(F.col("feat"), n_buckets, salt).alias("bucket"),
+    )
+
+
+def dsir_logratio_model(
+    target: DataFrame,
+    raw: DataFrame,
+    *,
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """DSIR importance model (Xie et al. 2023, "Data Selection for
+    Language Modeling via Importance Resampling"): Laplace-smoothed
+    hashed-n-gram bag models for the TARGET distribution (the corpus
+    you want more of — wiki/books in the paper) and the RAW distribution
+    (the pool being filtered), reduced to one log-ratio per bucket:
+
+        lr[b] = ln((c_tgt[b]+1)/(N_tgt+B)) − ln((c_raw[b]+1)/(N_raw+B))
+
+    Output: ``(bucket, logratio)``, at most ``n_buckets`` rows — the
+    model is BOUNDED no matter how big either corpus is, which is the
+    whole point of hashed features at 100 TB: two map-side-combined
+    groupBys whose shuffle width is ≤ B, a broadcast 1-row totals
+    aggregate, and a ≤B-row outer join. Buckets unseen in both corpora
+    are absent; score-time joins fall back to the same smoothed floor
+    (see :func:`dsir_scores`)."""
+    counts, totals = _dsir_model_parts(
+        target, raw, text_col, n_buckets, salt
+    )
+    return counts.crossJoin(totals).select(
+        "bucket",
+        _dsir_lr(n_buckets).alias("logratio"),
+    )
+
+
+def _dsir_model_parts(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str,
+    n_buckets: int,
+    salt: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(counts, totals): the ≤B-row full-outer bucket-count table
+    ``(bucket, c_tgt, c_raw)`` and the broadcast 1-row totals
+    ``(n_tgt, n_raw)`` both models share."""
+    if not 0 < n_buckets <= 1_000_000:
+        raise ValueError(f"n_buckets out of range: {n_buckets}")
+    tgt = (
+        _dsir_features(target, text_col, n_buckets, salt)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    rawc = (
+        _dsir_features(raw, text_col, n_buckets, salt)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_raw"))
+    )
+    totals = F.broadcast(
+        tgt.agg(F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("n_tgt")).crossJoin(
+            rawc.agg(F.coalesce(F.sum("c_raw"), F.lit(0)).alias("n_raw"))
+        )
+    )
+    return tgt.join(rawc, "bucket", "full_outer"), totals
+
+
+def _dsir_lr(n_buckets: int) -> Column:
+    """Smoothed log-ratio from (possibly NULL) bucket counts + totals —
+    NULL counts coalesce to 0, so a bucket absent from either corpus
+    falls back to the Laplace floor by the same expression."""
+    b = F.lit(n_buckets)
+    return F.log(
+        (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1) / (F.col("n_tgt") + b)
+    ) - F.log(
+        (F.coalesce(F.col("c_raw"), F.lit(0)) + 1) / (F.col("n_raw") + b)
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target: DataFrame,
+    raw: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """Per-document DSIR importance weight: ``log w(x) = Σ_f lr[bucket(f)]``
+    over the document's hashed unigram+bigram stream (a feature occurring
+    c times contributes c·lr — the bag-of-hashed-ngrams likelihood ratio
+    of Xie et al. 2023). ``raw`` defaults to ``df`` itself (score the
+    pool against its own distribution). Docs with zero tokens have no
+    features and drop out.
+
+    Output: ``(id_col, n_features, logw)`` with ``logw`` rounded 4 dp —
+    higher = more target-like. +, /, ln are IEEE ops shared with the
+    DuckDB oracle; the round absorbs summation-order ulp (the
+    q_llm_bigram_nll precedent).
+
+    Shape at 100 TB: the model is ≤ ``n_buckets`` rows and BROADCASTS;
+    the corpus side is one explode + broadcast-join + keyed sum with
+    map-side partials — no corpus-sized model shuffle anywhere. Score
+    with a model from a different pool via :func:`dsir_logratio_model`
+    composed manually if needed; unseen buckets fall back to the
+    smoothed floor ratio via the broadcast totals."""
+    if raw is None:
+        raw = df
+    counts, totals = _dsir_model_parts(target, raw, text_col, n_buckets, salt)
+    feats = _dsir_features(df, text_col, n_buckets, salt, id_col)
+    # LEFT join against the COUNT table (not a prebuilt ratio): a bucket
+    # absent from both corpora coalesces its counts to 0 and gets the
+    # Laplace floor from the very same expression — no separate fallback
+    # constant, no extra corpus pass to derive it
+    return (
+        feats.join(F.broadcast(counts), "bucket", "left")
+        .crossJoin(totals)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_features"),
+            F.round(F.sum(_dsir_lr(n_buckets)), 4).alias("logw"),
+        )
+    )
+
+
+def dsir_select(
+    scored: DataFrame, k: int, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic top-k selection over DSIR scores: order by the
+    ROUNDED ``logw`` (desc) with the id as tie-break, so the kept set is
+    reproducible across engines, retries, and repartitioning — the
+    deterministic variant of the paper's Gumbel-top-k resampling (noise
+    would make every rerun keep a different corpus; at pipeline scale
+    reproducibility wins). Plan: TakeOrderedAndProject — per-partition
+    heaps, never a full sort."""
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    return scored.orderBy(
+        F.col("logw").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
 # Unicode script (writing-system) ranges for corpus language/script
 # profiling. Explicit codepoint ranges (not \p{Script=...} classes) so
 # the exact same pattern string runs under Java regex (Spark) and RE2

@@ -7704,6 +7704,91 @@ def q_llm_stitched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR hashed-n-gram importance scores, replayed exactly: same md5
+# bucketing as hash_bucket_col, same Laplace-smoothed log-ratio; the
+# 4-dp round absorbs summation-order ulp (the q_llm_bigram_nll
+# precedent). Target distribution = src0+src1 documents.
+_DSIR_SCORES_SQL = f"""
+    WITH tl AS (
+      SELECT doc_id, source, {_DUCK_TOKENS} AS toks FROM documents),
+    feats AS (
+      SELECT doc_id, source, unnest(
+        list_concat(toks,
+          list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i + 1]))) AS feat
+      FROM tl),
+    fb AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(feat || '|dsir-v1'), 1, 8))::UBIGINT
+               % 4096 AS bucket
+      FROM feats),
+    tgt AS (SELECT bucket, COUNT(*) AS c_tgt FROM fb
+            WHERE source IN ('src0', 'src1') GROUP BY bucket),
+    rawc AS (SELECT bucket, COUNT(*) AS c_raw FROM fb GROUP BY bucket),
+    tot AS (SELECT (SELECT COUNT(*) FROM fb
+                    WHERE source IN ('src0', 'src1')) AS n_tgt,
+                   (SELECT COUNT(*) FROM fb) AS n_raw)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+           ROUND(SUM(LN((COALESCE(c_tgt, 0) + 1)::DOUBLE / (n_tgt + 4096))
+                   - LN((COALESCE(c_raw, 0) + 1)::DOUBLE / (n_raw + 4096))),
+                 4) AS logw
+    FROM fb LEFT JOIN tgt USING (bucket) LEFT JOIN rawc USING (bucket)
+    CROSS JOIN tot
+    GROUP BY doc_id
+"""
+
+
+def _dsir_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import dsir_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    return dsir_scores(docs, target, n_buckets=4096)
+
+
+@register("q_llm_dsir_scores", _DSIR_SCORES_SQL + " ORDER BY doc_id")
+def q_llm_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators.textops.dsir_scores — Xie et
+    al. 2023, "Data Selection for Language Modeling via Importance
+    Resampling"): per-document log w(x) = Σ_f lr[bucket(f)] over the
+    hashed unigram+bigram stream, where lr is the Laplace-smoothed
+    log-ratio between a TARGET bag-of-hashed-ngrams model (src0+src1
+    here — the "wiki/books" stand-in) and the RAW pool's own model.
+    Hard per-doc 4-dp parity over the full corpus.
+
+    Shape at 100 TB: the model is ≤ n_buckets rows (two map-side-
+    combined groupBys whose shuffle width is bounded by B, however big
+    the corpora) and BROADCASTS to the scoring join; the corpus side is
+    one explode + keyed sum — no corpus-sized model state anywhere,
+    which is exactly why DSIR hashes features instead of keeping the
+    raw n-gram vocabulary."""
+    return _dsir_spark(spark, sf_dir).orderBy("doc_id")
+
+
+@register(
+    "q_llm_dsir_select",
+    f"""
+    SELECT doc_id, logw FROM ({_DSIR_SCORES_SQL})
+    ORDER BY logw DESC, doc_id LIMIT 50
+    """,
+)
+def q_llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DSIR top-k selection (operators.textops.
+    dsir_select): keep the k most target-like documents by ROUNDED
+    score with the doc id as tie-break — the reproducible variant of
+    the paper's Gumbel-top-k resampling (noise would keep a different
+    corpus every rerun). EXACT-MEMBERSHIP parity: the oracle replays
+    the scores and the same (logw DESC, doc_id) order, so a wrong
+    selection — not just a wrong score — trips the gate. Plan:
+    TakeOrderedAndProject over the scored stream (per-partition heaps,
+    never a full sort)."""
+    from ..operators.textops import dsir_select
+
+    return dsir_select(_dsir_spark(spark, sf_dir), 50).select(
+        "doc_id", "logw"
+    )
+
+
 _EMPTY_HLL_SKETCH_ORACLE = """
     SELECT CAST(NULL AS VARCHAR) AS reason,
            CAST(NULL AS BIGINT) AS detail
