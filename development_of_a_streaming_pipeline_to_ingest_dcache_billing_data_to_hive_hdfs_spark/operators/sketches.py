@@ -133,6 +133,52 @@ class HllStore:
             aligned.write.mode("overwrite").insertInto(self.table)
         return aligned.select("slice_key").distinct().count()
 
+    def merge(self, df: DataFrame, slice_col: str, value_col: str) -> int:
+        """Fold an INCREMENT into the store: sketch the batch per slice,
+        union register-wise with the existing rows for those slices, and
+        overwrite exactly the touched slices. This is the streaming /
+        foreachBatch shape, where a micro-batch carries a fragment of a
+        day — ``update`` would *replace* the day's sketch with the
+        fragment's.
+
+        Replay safety is the HLL property itself: registers are
+        pointwise max, so re-merging the SAME values is a no-op on the
+        sketch and the estimate (asserted in tests). ``n_rows`` is
+        ingest accounting and DOES double-count on replay — a pipeline
+        that needs exactly-once row counts already has them from its
+        batch ledger (``sink.BatchLedger``); the distinct estimate
+        needs nothing. Returns the number of slices written."""
+        inc = sketch_slices(df, slice_col, value_col, lg_k=self.lg_k).select(
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("sketch"),
+            F.col(slice_col).cast("string").alias("slice_key"),
+        )
+        if not self.exists():
+            inc.write.mode("overwrite").format("parquet").partitionBy(
+                "slice_key"
+            ).saveAsTable(self.table)
+            return inc.select("slice_key").distinct().count()
+        touched = [r.slice_key for r in inc.select("slice_key").distinct().collect()]
+        existing = self.spark.table(self.table).where(
+            F.col("slice_key").isin(touched)
+        )
+        merged = (
+            inc.unionByName(existing)
+            .groupBy("slice_key")
+            .agg(
+                F.sum("n_rows").cast("bigint").alias("n_rows"),
+                F.hll_union_agg("sketch", F.lit(False)).alias("sketch"),
+            )
+            .select("n_rows", "sketch", "slice_key")
+        )
+        # materialize before the overwrite: the merged rows read the
+        # very files the dynamic overwrite is about to replace
+        rows = merged.collect()
+        self.spark.createDataFrame(rows, merged.schema).write.mode(
+            "overwrite"
+        ).insertInto(self.table)
+        return len(rows)
+
     def _slice_range(self, lo: str | None, hi: str | None) -> DataFrame:
         df = self.spark.table(self.table)
         if lo is not None:

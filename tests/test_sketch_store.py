@@ -171,3 +171,72 @@ def test_lg_k_contract(spark):
     b = sketch_slices(ev, "day", "user_id", lg_k=13)
     with pytest.raises(Exception):
         union_estimate(a.unionByName(b)).collect()
+
+
+def test_merge_folds_fragments_like_a_full_update(spark):
+    """Two micro-batch fragments of one day merge to the SAME estimate
+    as a single full-day update — union ≡ resketch, incrementally."""
+    _drop(spark, "hll_mrg_a", "hll_mrg_b")
+    ev = _events(spark)
+    frag = HllStore(spark, "hll_mrg_a")
+    full = HllStore(spark, "hll_mrg_b")
+    try:
+        frag.merge(ev.where(F.col("event_id") % 2 == 0), "day", "user_id")
+        frag.merge(ev.where(F.col("event_id") % 2 == 1), "day", "user_id")
+        full.update(ev, "day", "user_id")
+        assert frag.slices() == full.slices()
+        assert frag.estimate() == full.estimate()
+        # range reads agree slice-by-slice
+        for d in frag.slices()[:3]:
+            assert frag.estimate(d, d) == full.estimate(d, d)
+    finally:
+        frag.drop()
+        full.drop()
+
+
+def test_merge_replay_leaves_the_estimate_fixed(spark):
+    """Re-merging the SAME values is a register no-op (pointwise max):
+    the estimate — the quantity the store exists for — cannot drift
+    under crash-replay. n_rows is ingest accounting only."""
+    _drop(spark, "hll_mrg_r")
+    ev = _events(spark)
+    store = HllStore(spark, "hll_mrg_r")
+    try:
+        batch = ev.where(F.col("event_id") % 3 == 0)
+        store.merge(ev, "day", "user_id")
+        before = store.estimate()
+        per_day_before = {d: store.estimate(d, d) for d in store.slices()}
+        store.merge(batch, "day", "user_id")  # replay
+        assert store.estimate() == before
+        assert {d: store.estimate(d, d) for d in store.slices()} == per_day_before
+    finally:
+        store.drop()
+
+
+def test_merge_only_touches_the_batch_slices(spark):
+    _drop(spark, "hll_mrg_t")
+    ev = _events(spark)
+    store = HllStore(spark, "hll_mrg_t")
+    try:
+        store.update(ev, "day", "user_id")
+        days = store.slices()
+        rows_before = {
+            r.slice_key: r.n_rows for r in spark.table("hll_mrg_t").collect()
+        }
+        late = spark.createDataFrame(
+            [(days[0], 20_000_001)], "day string, user_id long"
+        )
+        est_before = store.estimate()
+        store.merge(late, "day", "user_id")
+        rows_after = {
+            r.slice_key: r.n_rows for r in spark.table("hll_mrg_t").collect()
+        }
+        # untouched slices keep their accounting rows byte-for-byte
+        assert all(
+            rows_after[d] == rows_before[d] for d in days if d != days[0]
+        )
+        assert rows_after[days[0]] == rows_before[days[0]] + 1
+        assert store.estimate() == est_before + 1  # coupon-exact regime
+        assert len(store.slices()) == len(days)
+    finally:
+        store.drop()
