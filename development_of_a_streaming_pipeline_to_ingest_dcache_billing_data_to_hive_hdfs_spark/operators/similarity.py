@@ -16,6 +16,8 @@ the expression path wins.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -464,6 +466,83 @@ def cosine_pairs_blas(
             yield batch
 
     return df.mapInPandas(op, f"{out_fields}, cos double")
+
+
+def jl_sign_matrix(
+    in_dim: int, out_dim: int, salt: str = "jl-v1"
+) -> list[list[float]]:
+    """±1 Johnson–Lindenstrauss sign matrix (Achlioptas 2003: Rademacher
+    entries satisfy the JL lemma like Gaussians, with exact arithmetic)
+    derived from md5 — NOT an RNG stream, so any engine replays entry
+    (i, j) independently: sign = +1 iff the top 32 bits of
+    ``md5(f"{i},{j}|{salt}")`` are even (the DuckDB oracle computes the
+    identical expression). Returns in_dim × out_dim, unscaled."""
+    import hashlib
+
+    def sign(i: int, j: int) -> float:
+        h = hashlib.md5(f"{i},{j}|{salt}".encode()).hexdigest()[:8]
+        return 1.0 if int(h, 16) % 2 == 0 else -1.0
+
+    return [[sign(i, j) for j in range(out_dim)] for i in range(in_dim)]
+
+
+def jl_project(
+    df: DataFrame,
+    out_dim: int,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    salt: str = "jl-v1",
+    in_dim: int | None = None,
+) -> DataFrame:
+    """Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    ``y[j] = (1/√out_dim) · Σ_i x[i]·s[i][j]`` with the portable ±1 sign
+    matrix of :func:`jl_sign_matrix`. The cheap-and-exact-to-replay
+    front half of an ANN pipeline: project 64→16 (or 1024→64) once,
+    shuffle/store/block on the short vectors, re-rank survivors on the
+    originals (``cosine_pairs_blas``) — pairwise inner products and
+    norms are preserved within the JL distortion bound, and E‖y‖² = ‖x‖²
+    exactly for Rademacher signs.
+
+    The matrix embeds as PLAN LITERALS (the prototypicality pattern):
+    each output coordinate is one ordered ``zip_with``+``aggregate``
+    double fold, the whole operator ONE codegen'd scan-stage projection
+    — zero joins, shuffles, or Python at any corpus size. The same
+    plan-literal budget applies: past ~100k literals (e.g. 4096×64),
+    the expression tree is the bottleneck — batch a broadcast ndarray
+    matmul through ``mapInPandas`` instead (the ``ivf_assign`` shape).
+
+    ``in_dim`` is probed from one row when not given (bounded collect).
+    Appends ``out_col`` as array<double>; rows whose vector is NULL or
+    wrong-length yield NULL (loud downstream, never silent truncation).
+    """
+    if out_dim <= 0:
+        raise ValueError(f"out_dim must be positive: {out_dim}")
+    if in_dim is None:
+        probe = df.select(F.size(vec_col).alias("n")).first()
+        if probe is None:
+            raise ValueError("cannot probe in_dim of an empty DataFrame")
+        in_dim = probe.n
+    if in_dim * out_dim > 100_000:
+        raise ValueError(
+            f"{in_dim}x{out_dim} = {in_dim * out_dim} literals exceed the "
+            "plan-literal budget (100k); use a broadcast-matmul "
+            "mapInPandas path for projections this large"
+        )
+    signs = jl_sign_matrix(in_dim, out_dim, salt)
+    inv_root = 1.0 / math.sqrt(out_dim)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    coords = []
+    for j in range(out_dim):
+        col_j = F.array(*[F.lit(signs[i][j]) for i in range(in_dim)])
+        dot = F.aggregate(
+            F.zip_with(vec, col_j, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        coords.append(dot * F.lit(inv_root))
+    proj = F.when(F.size(vec_col) == in_dim, F.array(*coords))
+    return df.withColumn(out_col, proj)
 
 
 def quantize_embeddings(

@@ -7789,6 +7789,54 @@ def q_llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_jl_projection",
+    """
+    WITH m AS (
+      SELECT i, j,
+             CASE WHEN ('0x' || substr(md5(i::VARCHAR || ',' || j::VARCHAR
+                                       || '|jl-v1'), 1, 8))::UBIGINT
+                       % 2 = 0
+                  THEN 1.0 ELSE -1.0 END AS s
+      FROM range(64) t1(i) CROSS JOIN range(16) t2(j)),
+    x AS (
+      SELECT vec_id, i - 1 AS i, embedding[i]::DOUBLE AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i))
+    SELECT vec_id, CAST(j AS INTEGER) AS dim,
+           ROUND(SUM(v * s) / sqrt(16.0), 4) AS y
+    FROM x JOIN m USING (i)
+    GROUP BY vec_id, j
+    ORDER BY vec_id, dim
+    """,
+)
+def q_llm_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (operators.similarity.
+    jl_project): 64-dim embeddings down to 16 via the PORTABLE ±1 sign
+    matrix — entry (i, j) is a pure function of md5(f"{i},{j}|salt"),
+    so the oracle derives the identical matrix from SQL alone (no RNG
+    stream, no shipped literals) and every projected coordinate gets
+    hard 4-dp parity. The front half of an ANN pipeline at 100 TB:
+    project once, block/store/shuffle 4x-shorter vectors, re-rank
+    survivors on the originals.
+
+    Plan: the matrix embeds as plan literals and each coordinate is an
+    ordered zip_with+aggregate double fold — ONE codegen'd scan-stage
+    projection, zero joins/shuffles at any corpus size (the posexplode
+    here is presentation for the per-coordinate diff, not part of the
+    operator)."""
+    from ..operators.similarity import jl_project
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    proj = jl_project(embs, 16, in_dim=64)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("dim", "y0")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.round("y0", 4).alias("y"),
+    ).orderBy("vec_id", "dim")
+
+
 _EMPTY_HLL_SKETCH_ORACLE = """
     SELECT CAST(NULL AS VARCHAR) AS reason,
            CAST(NULL AS BIGINT) AS detail
