@@ -223,3 +223,123 @@ def key_skew_profile(
             F.round(F.col("n_rows") / F.col("__med"), 4).alias("x_median"),
         )
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    *,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Population Stability Index between a REFERENCE snapshot of a
+    numeric column and its CURRENT distribution — the standard
+    production drift monitor (rule of thumb: <0.1 stable, 0.1–0.25
+    shifting, >0.25 drifted; per-bin terms show WHERE it moved).
+
+    Equal-width bins over [lo, hi] (probed from the reference's
+    min/max when not given — two bounded 1-row aggregates); values
+    outside clamp to the edge bins, so new out-of-range mass is VISIBLE
+    drift, not silently dropped. Counts are Laplace-smoothed (+1 per
+    bin) before the share ratio so an empty bin contributes a finite
+    term instead of ±inf.
+
+    Output: one row per bin —
+    ``(bin, n_ref, n_cur, psi_term)`` with exact bigint counts and the
+    4-dp term ``(q − p)·ln(q/p)`` (q = cur share, p = ref share); sum
+    the terms for the index. Bin assignment and the term are built from
+    +,−,/,floor,ln on doubles — the identical expression replays in the
+    DuckDB oracle bit-for-bit, so even the bin EDGES are engine-exact.
+
+    Shape at 100 TB: two corpus scans (ref and cur), each collapsing
+    map-side into ≤``bins`` partial counts; a ≤bins-row outer join; a
+    broadcast totals row. Nothing corpus-sized ever shuffles."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2: {bins}")
+    if (lo is None) != (hi is None):
+        raise ValueError("pass lo and hi together, or neither")
+    if lo is None:
+        edge = ref.agg(
+            F.min(F.col(col).cast("double")).alias("lo"),
+            F.max(F.col(col).cast("double")).alias("hi"),
+        ).collect()[0]
+        if edge.lo is None:
+            raise ValueError("reference has no non-NULL values to bin")
+        lo, hi = float(edge.lo), float(edge.hi)
+    if not hi > lo:
+        raise ValueError(f"need hi > lo: [{lo}, {hi}]")
+    width = (hi - lo) / bins
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        b = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width))
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1)).cast("bigint")
+        return (
+            df.where(F.col(col).isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    r = binned(ref, "n_ref")
+    c = binned(cur, "n_cur")
+    joined = r.join(c, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    totals = F.broadcast(
+        joined.agg(
+            F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+        )
+    )
+    p = (F.col("n_ref") + 1) / (F.col("t_ref") + F.lit(bins))
+    q = (F.col("n_cur") + 1) / (F.col("t_cur") + F.lit(bins))
+    return joined.crossJoin(totals).select(
+        "bin",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round((q - p) * F.log(q / p), 4).alias("psi_term"),
+    )
+
+
+def psi_drift_categorical(
+    ref: DataFrame, cur: DataFrame, col: str
+) -> DataFrame:
+    """PSI over a CATEGORICAL column (event types, languages, sources):
+    one row per category seen in EITHER snapshot — a category that
+    appears or vanishes outright contributes its full smoothed term
+    instead of being dropped (that appearance/disappearance IS the
+    drift). Same smoothing and portable arithmetic as
+    :func:`psi_drift`; the category domain is assumed
+    aggregation-sized (it is the groupBy key)."""
+    r = (
+        ref.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("category"))
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    c = (
+        cur.where(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("category"))
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    joined = r.join(c, "category", "full_outer").select(
+        "category",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    totals = F.broadcast(
+        joined.agg(
+            F.sum("n_ref").alias("t_ref"),
+            F.sum("n_cur").alias("t_cur"),
+            F.count(F.lit(1)).alias("k"),
+        )
+    )
+    p = (F.col("n_ref") + 1) / (F.col("t_ref") + F.col("k"))
+    q = (F.col("n_cur") + 1) / (F.col("t_cur") + F.col("k"))
+    return joined.crossJoin(totals).select(
+        "category",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round((q - p) * F.log(q / p), 4).alias("psi_term"),
+    )

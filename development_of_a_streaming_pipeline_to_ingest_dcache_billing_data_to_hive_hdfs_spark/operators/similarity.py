@@ -494,6 +494,7 @@ def jl_project(
     out_col: str = "proj",
     salt: str = "jl-v1",
     in_dim: int | None = None,
+    method: str = "auto",
 ) -> DataFrame:
     """Random-projection dimensionality reduction (Johnson–Lindenstrauss):
     ``y[j] = (1/√out_dim) · Σ_i x[i]·s[i][j]`` with the portable ±1 sign
@@ -515,19 +516,35 @@ def jl_project(
     ``in_dim`` is probed from one row when not given (bounded collect).
     Appends ``out_col`` as array<double>; rows whose vector is NULL or
     wrong-length yield NULL (loud downstream, never silent truncation).
+
+    ``method``: ``"literal"`` (plan-literal folds, JVM-only),
+    ``"blas"`` (the matrix ships once in the serialized op and each
+    Arrow batch is ONE numpy matmul — the big-matrix path), or
+    ``"auto"`` (literal under the 100k budget, blas above). Both
+    evaluate the same exact ±·/√ arithmetic; only float summation
+    order differs (~1e-12).
     """
     if out_dim <= 0:
         raise ValueError(f"out_dim must be positive: {out_dim}")
+    if method not in ("auto", "literal", "blas"):
+        raise ValueError(f"unknown method: {method}")
     if in_dim is None:
         probe = df.select(F.size(vec_col).alias("n")).first()
         if probe is None:
             raise ValueError("cannot probe in_dim of an empty DataFrame")
         in_dim = probe.n
-    if in_dim * out_dim > 100_000:
+    over_budget = in_dim * out_dim > 100_000
+    if method == "auto":
+        method = "blas" if over_budget else "literal"
+    if method == "literal" and over_budget:
         raise ValueError(
             f"{in_dim}x{out_dim} = {in_dim * out_dim} literals exceed the "
-            "plan-literal budget (100k); use a broadcast-matmul "
-            "mapInPandas path for projections this large"
+            "plan-literal budget (100k); use method='blas' (broadcast "
+            "matmul) for projections this large"
+        )
+    if method == "blas":
+        return _jl_project_blas(
+            df, in_dim, out_dim, vec_col, out_col, salt
         )
     signs = jl_sign_matrix(in_dim, out_dim, salt)
     inv_root = 1.0 / math.sqrt(out_dim)
@@ -543,6 +560,52 @@ def jl_project(
         coords.append(dot * F.lit(inv_root))
     proj = F.when(F.size(vec_col) == in_dim, F.array(*coords))
     return df.withColumn(out_col, proj)
+
+
+def _jl_project_blas(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    vec_col: str,
+    out_col: str,
+    salt: str,
+) -> DataFrame:
+    """Big-matrix JL path: S (in_dim × out_dim, scaled by 1/√out_dim)
+    is built once on the driver from the same md5 signs, ships in the
+    serialized operator (executors get it once per task, not per row),
+    and each Arrow batch projects with ONE float64 matmul. Same
+    NULL/wrong-length → NULL contract as the literal path."""
+    S = (
+        np.asarray(jl_sign_matrix(in_dim, out_dim, salt), dtype=np.float64)
+        / math.sqrt(out_dim)
+    )
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema
+    )
+
+    def op(batches):
+        for batch in batches:
+            batch = batch.copy()
+            if not len(batch):
+                batch[out_col] = []
+                yield batch
+                continue
+            vecs = batch[vec_col]
+            ok = vecs.map(
+                lambda v: v is not None and len(v) == in_dim
+            ).to_numpy()
+            proj = [None] * len(batch)
+            if ok.any():
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in vecs[ok]]
+                )
+                Y = X @ S
+                for row_pos, y in zip(np.flatnonzero(ok), Y):
+                    proj[row_pos] = y.tolist()
+            batch[out_col] = proj
+            yield batch
+
+    return df.mapInPandas(op, f"{out_fields}, `{out_col}` array<double>")
 
 
 def quantize_embeddings(

@@ -7837,6 +7837,96 @@ def q_llm_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "dim")
 
 
+@register(
+    "q_rel_psi_value_drift",
+    """
+    WITH ref AS (SELECT value AS v FROM events
+                 WHERE event_id % 3 = 0 AND value IS NOT NULL),
+    cur AS (SELECT value AS v FROM events
+            WHERE event_id % 3 <> 0 AND value IS NOT NULL),
+    edges AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM ref),
+    rb AS (SELECT CAST(LEAST(GREATEST(
+               FLOOR((v - lo) / ((hi - lo) / 10)), 0), 9) AS BIGINT) AS bin
+           FROM ref CROSS JOIN edges),
+    cb AS (SELECT CAST(LEAST(GREATEST(
+               FLOOR((v - lo) / ((hi - lo) / 10)), 0), 9) AS BIGINT) AS bin
+           FROM cur CROSS JOIN edges),
+    r AS (SELECT bin, COUNT(*) AS n_ref FROM rb GROUP BY bin),
+    c AS (SELECT bin, COUNT(*) AS n_cur FROM cb GROUP BY bin),
+    j AS (SELECT COALESCE(r.bin, c.bin) AS bin,
+                 COALESCE(n_ref, 0) AS n_ref,
+                 COALESCE(n_cur, 0) AS n_cur
+          FROM r FULL OUTER JOIN c ON r.bin = c.bin),
+    t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM j)
+    SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND(((n_cur + 1) / (t_cur + 10) - (n_ref + 1) / (t_ref + 10))
+                 * LN(((n_cur + 1) / (t_cur + 10))
+                      / ((n_ref + 1) / (t_ref + 10))), 4) AS psi_term
+    FROM j CROSS JOIN t
+    ORDER BY bin
+    """,
+)
+def q_rel_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric drift monitoring (operators.profile.psi_drift):
+    Population Stability Index of events.value between a reference
+    slice (event_id % 3 = 0) and the rest — per-bin smoothed terms with
+    exact bigint counts and hard 4-dp parity, INCLUDING the bin edges
+    (the equal-width assignment is the identical +,−,/,floor double
+    expression in both engines, and out-of-range values clamp to the
+    edge bins so new mass is visible drift, never dropped rows).
+
+    Shape at 100 TB: two corpus scans collapsing map-side into ≤bins
+    partial counts, a ≤bins-row outer join, a broadcast totals row —
+    nothing corpus-sized shuffles. The per-snapshot monitor a training
+    pipeline runs between corpus versions before retraining."""
+    from ..operators.profile import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.where(F.col("event_id") % 3 == 0)
+    cur = ev.where(F.col("event_id") % 3 != 0)
+    return psi_drift(ref, cur, "value", bins=10).orderBy("bin")
+
+
+@register(
+    "q_rel_psi_event_type_drift",
+    """
+    WITH r AS (SELECT event_type AS category, COUNT(*) AS n_ref
+               FROM events WHERE event_id % 3 = 0
+                 AND event_type IS NOT NULL GROUP BY 1),
+    c AS (SELECT event_type AS category, COUNT(*) AS n_cur
+          FROM events WHERE event_id % 3 <> 0
+            AND event_type IS NOT NULL GROUP BY 1),
+    j AS (SELECT COALESCE(r.category, c.category) AS category,
+                 COALESCE(n_ref, 0) AS n_ref,
+                 COALESCE(n_cur, 0) AS n_cur
+          FROM r FULL OUTER JOIN c ON r.category = c.category),
+    t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur,
+                 COUNT(*) AS k FROM j)
+    SELECT category, CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND(((n_cur + 1) / (t_cur + k) - (n_ref + 1) / (t_ref + k))
+                 * LN(((n_cur + 1) / (t_cur + k))
+                      / ((n_ref + 1) / (t_ref + k))), 4) AS psi_term
+    FROM j CROSS JOIN t
+    ORDER BY category
+    """,
+)
+def q_rel_psi_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift (operators.profile.psi_drift_categorical): PSI
+    over events.event_type between the same reference/current split —
+    one row per category seen in EITHER snapshot, so a category that
+    appears or vanishes outright carries its full smoothed term (that
+    appearance IS the drift; an inner join would silently hide it).
+    Hard integer-count + 4-dp term parity."""
+    from ..operators.profile import psi_drift_categorical
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.where(F.col("event_id") % 3 == 0)
+    cur = ev.where(F.col("event_id") % 3 != 0)
+    return psi_drift_categorical(ref, cur, "event_type").orderBy("category")
+
+
 _EMPTY_HLL_SKETCH_ORACLE = """
     SELECT CAST(NULL AS VARCHAR) AS reason,
            CAST(NULL AS BIGINT) AS detail

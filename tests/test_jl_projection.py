@@ -80,10 +80,43 @@ def test_guards(spark):
     with pytest.raises(ValueError, match="out_dim"):
         jl_project(embs, 0)
     with pytest.raises(ValueError, match="plan-literal budget"):
-        jl_project(embs, 2000, in_dim=64)
+        jl_project(embs, 2000, in_dim=64, method="literal")
+    with pytest.raises(ValueError, match="unknown method"):
+        jl_project(embs, 4, method="numpy")
     empty = embs.where(F.lit(False))
     with pytest.raises(ValueError, match="empty"):
         jl_project(empty, 4)
+
+
+def test_blas_path_matches_literal_path(spark):
+    """method='blas' (the over-budget broadcast-matmul path, what
+    'auto' dispatches to past 100k literals) computes the same
+    projection as the plan-literal folds — only float summation order
+    differs. NULL/wrong-length contract holds in both."""
+    embs = spark.read.parquet(SF_EMB).limit(50)
+    lit_rows = {
+        r.vec_id: r.proj
+        for r in jl_project(embs, 16, method="literal").collect()
+    }
+    blas_rows = {
+        r.vec_id: r.proj
+        for r in jl_project(embs, 16, method="blas").collect()
+    }
+    assert set(lit_rows) == set(blas_rows)
+    for k in lit_rows:
+        np.testing.assert_allclose(lit_rows[k], blas_rows[k], atol=1e-9)
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    out = {
+        r.vec_id: r.proj
+        for r in jl_project(bad, 4, in_dim=64, method="blas").collect()
+    }
+    assert out[1] is None and out[2] is None
+    # auto dispatches to blas past the budget instead of raising
+    big = jl_project(embs, 2000, in_dim=64)  # 128k literals -> blas
+    row = big.limit(1).collect()[0]
+    assert len(row.proj) == 2000
 
 
 def test_scan_stage_only_plan(spark):

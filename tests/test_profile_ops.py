@@ -186,3 +186,82 @@ def test_key_skew_profile_plan_shape(spark):
     )
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_psi_drift_hand_computed(spark):
+    """10 ref rows uniform over [0,10), cur mass moved into one bin —
+    every smoothed term checked against the closed form."""
+    import math
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.profile import (
+        psi_drift,
+    )
+
+    ref = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    cur = spark.createDataFrame([(0.5,)] * 10, "v double")
+    rows = {r.bin: r for r in psi_drift(ref, cur, "v", bins=5).collect()}
+    # ref: 2 per bin of width 2; cur: all 10 in bin 0
+    assert [rows[b].n_ref for b in range(5)] == [2] * 5
+    assert [rows[b].n_cur for b in range(5)] == [10, 0, 0, 0, 0]
+    p = [(2 + 1) / (10 + 5)] * 5
+    q = [(10 + 1) / (10 + 5)] + [(0 + 1) / (10 + 5)] * 4
+    for b in range(5):
+        expected = round((q[b] - p[b]) * math.log(q[b] / p[b]), 4)
+        assert rows[b].psi_term == expected, (b, rows[b].psi_term, expected)
+    # identical snapshots: every term exactly 0.0
+    same = {r.bin: r.psi_term for r in psi_drift(ref, ref, "v", bins=5).collect()}
+    assert all(v == 0.0 for v in same.values())
+
+
+def test_psi_out_of_range_clamps_to_edge_bins(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.profile import (
+        psi_drift,
+    )
+
+    ref = spark.createDataFrame([(float(i),) for i in range(10)], "v double")
+    cur = spark.createDataFrame([(-50.0,), (999.0,), (999.0,)], "v double")
+    rows = {r.bin: r for r in psi_drift(ref, cur, "v", bins=5).collect()}
+    assert rows[0].n_cur == 1  # below lo -> first bin
+    assert rows[4].n_cur == 2  # above hi -> last bin (visible drift)
+    assert sum(r.n_cur for r in rows.values()) == 3
+
+
+def test_psi_categorical_tracks_appear_and_vanish(spark):
+    import math
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.profile import (
+        psi_drift_categorical,
+    )
+
+    ref = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 4, "c string"
+    )
+    cur = spark.createDataFrame(
+        [("a",)] * 5 + [("z",)] * 5, "c string"
+    )
+    rows = {r.category: r for r in psi_drift_categorical(ref, cur, "c").collect()}
+    assert set(rows) == {"a", "b", "z"}  # vanished b AND appeared z present
+    assert (rows["b"].n_ref, rows["b"].n_cur) == (4, 0)
+    assert (rows["z"].n_ref, rows["z"].n_cur) == (0, 5)
+    k = 3
+    p_b, q_b = (4 + 1) / (10 + k), (0 + 1) / (10 + k)
+    assert rows["b"].psi_term == round((q_b - p_b) * math.log(q_b / p_b), 4)
+
+
+def test_psi_guards(spark):
+    import pytest as _pytest
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.profile import (
+        psi_drift,
+    )
+
+    ref = spark.createDataFrame([(1.0,)], "v double")
+    with _pytest.raises(ValueError, match="bins"):
+        psi_drift(ref, ref, "v", bins=1)
+    with _pytest.raises(ValueError, match="together"):
+        psi_drift(ref, ref, "v", lo=0.0)
+    with _pytest.raises(ValueError, match="hi > lo"):
+        psi_drift(ref, ref, "v", lo=5.0, hi=5.0)
+    empty = spark.createDataFrame([], "v double")
+    with _pytest.raises(ValueError, match="no non-NULL"):
+        psi_drift(empty, ref, "v")
