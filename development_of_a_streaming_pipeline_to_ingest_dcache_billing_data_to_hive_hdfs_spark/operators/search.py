@@ -1,0 +1,140 @@
+"""BM25 keyword search over the document corpus.
+
+The corpus-exploration query a training-data pipeline runs constantly —
+"show me documents about X" — expressed so the corpus NEVER shuffles:
+
+- Document length (``dl``) is ``size(tokens)``: a scan-stage expression
+  carried alongside the exploded token stream, so no corpus-wide
+  doc-length join is ever needed.
+- The query-term filter lands on the exploded stream INSIDE the same
+  scan stage; only tokens matching the (tiny, literal) query survive
+  into the one keyed aggregation. Everything downstream — document
+  frequencies, corpus stats, the final top-k — operates on the matched
+  subset.
+- Corpus stats (``N``, ``avgdl``) are one 1-row aggregate over a
+  scan-stage projection (no explode), broadcast back.
+- Top-k is ``TakeOrderedAndProject`` on the ROUNDED score with the doc
+  id as tie-break — reproducible across engines and retries.
+
+Scoring is Lucene-shaped BM25:
+
+    idf(t)      = ln(1 + (N − df + 0.5)/(df + 0.5))
+    score(d)    = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+built from exact integer counts with +,/,ln doubles — the identical
+expression replays in the DuckDB oracle, so scores get hard 4-dp parity.
+
+For repeated querying, :func:`build_postings` materializes the classic
+inverted index — ``(term, doc_id, tf, dl)`` — once; ``bm25_search``
+accepts it via ``postings=``. Persist it BUCKETED on ``term`` (the
+``sink.write_bucketed_table`` path the dedup stores use) and a term
+lookup reads bucket-locally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import tokens_col
+
+__all__ = ["build_postings", "bm25_search"]
+
+
+def build_postings(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The inverted index as a DataFrame: one row per (term, document)
+    with the term frequency and the document length — everything BM25
+    needs at query time without touching raw text again. One corpus
+    scan (explode with ``dl`` carried as a scan-stage expression), one
+    keyed aggregation."""
+    toks = docs.select(
+        F.col(id_col),
+        F.size(tokens_col(text_col)).alias("dl"),
+        F.explode(tokens_col(text_col)).alias("term"),
+    )
+    return toks.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query, BM25-ranked.
+
+    Terms are matched against the same lowercase-whitespace
+    tokenization the rest of the text stack uses; duplicate query terms
+    are deduplicated (BM25 is a sum over distinct terms). Returns
+    ``(id_col, n_terms_hit, score)``, score rounded 4 dp, ordered by
+    (score desc, id) — only documents matching ≥1 term appear.
+
+    Pass ``postings=`` (from :func:`build_postings`, ideally persisted
+    bucketed on ``term``) to skip the corpus scan; ``docs`` is then
+    only used for the corpus stats when they cannot be derived — both
+    N and avgdl come from the postings' per-doc ``dl`` … which misses
+    zero-token documents, so stats still come from ``docs`` (cheap:
+    scan-stage sizes, no explode)."""
+    terms = sorted({t for t in (s.strip().lower() for s in query_terms) if t})
+    if not terms:
+        raise ValueError("query_terms is empty after normalization")
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+
+    if postings is None:
+        toks = docs.select(
+            F.col(id_col),
+            F.size(tokens_col(text_col)).alias("dl"),
+            F.explode(tokens_col(text_col)).alias("term"),
+        )
+        matched = toks.where(F.col("term").isin(terms))
+        tf = matched.groupBy("term", id_col).agg(
+            F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+        )
+    else:
+        tf = postings.where(F.col("term").isin(terms)).select(
+            "term", id_col, "tf", "dl"
+        )
+
+    stats = F.broadcast(
+        docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.size(tokens_col(text_col))).alias("avgdl"),
+        )
+    )
+    df_tbl = F.broadcast(
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(stats)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+            F.round(F.sum(idf * tf_part), 4).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

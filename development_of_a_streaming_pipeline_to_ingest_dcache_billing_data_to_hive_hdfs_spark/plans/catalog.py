@@ -7927,6 +7927,53 @@ def q_rel_psi_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift_categorical(ref, cur, "event_type").orderBy("category")
 
 
+@register(
+    "q_llm_bm25_search",
+    f"""
+    WITH tl AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM tl),
+    toks AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tl),
+    tf AS (
+      SELECT term, doc_id, COUNT(*) AS tf, MIN(dl) AS dl
+      FROM toks WHERE term IN ('merge', 'window', 'stream')
+      GROUP BY term, doc_id),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+           ROUND(SUM(LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                     * tf * 2.2
+                     / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+                 4) AS score
+    FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (operators.search.bm25_search): top-20
+    documents for the query {merge, window, stream}, Lucene-shaped
+    scoring from exact integer counts — hard 4-dp score parity AND
+    exact-membership/order (the oracle replays the same (score desc,
+    doc_id) order, so a wrong ranking trips the gate even when every
+    individual score is right).
+
+    Shape at 100 TB: document length is a scan-stage expression carried
+    with the exploded tokens, the query-term filter lands INSIDE the
+    scan (only matched tokens shuffle — plan-asserted in
+    tests/test_search.py), document frequencies and corpus stats
+    broadcast back, and the top-k is TakeOrderedAndProject. With a
+    persisted term-bucketed postings table (build_postings) the corpus
+    scan drops out entirely."""
+    from ..operators.search import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, ["merge", "window", "stream"], k=20)
+
+
 _EMPTY_HLL_SKETCH_ORACLE = """
     SELECT CAST(NULL AS VARCHAR) AS reason,
            CAST(NULL AS BIGINT) AS detail
