@@ -7974,6 +7974,84 @@ def q_llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(docs, ["merge", "window", "stream"], k=20)
 
 
+def _pagerank_oracle(iters: int = 10) -> str:
+    """Unrolled power iteration — DuckDB recursive CTEs restrict
+    aggregates over the recursive reference, so each round is its own
+    CTE, generated by the same loop count the Spark operator runs. The
+    synthetic graph is CLOSED over the dense user_id domain (every node
+    has out-degree 2, no dangling mass), so the simple formula is the
+    full algorithm here; the operator's dangling redistribution is
+    covered by tests/test_graph.py."""
+    parts = [
+        """
+    WITH m AS (SELECT COUNT(DISTINCT user_id) AS n FROM events),
+    nodes AS (SELECT DISTINCT user_id AS node FROM events),
+    edges AS (
+      SELECT node AS src, (node * 7 + 3) % n AS dst
+      FROM nodes CROSS JOIN m
+      UNION ALL
+      SELECT node, (node * 13 + 5) % n FROM nodes CROSS JOIN m),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN m)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+    r{k} AS (
+      SELECT nodes.node,
+             (1 - 0.85) / n
+               + 0.85 * COALESCE(SUM(r{k - 1}.rank / deg.d), 0) AS rank
+      FROM nodes CROSS JOIN m
+      LEFT JOIN edges ON edges.dst = nodes.node
+      LEFT JOIN r{k - 1} ON r{k - 1}.node = edges.src
+      LEFT JOIN deg ON deg.src = edges.src
+      GROUP BY nodes.node, n)"""
+        )
+    parts.append(
+        f"""
+    SELECT node, ROUND(rank * n, 4) AS rank_x_n
+    FROM r{iters} CROSS JOIN m ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+@register("q_rel_pagerank", _pagerank_oracle(10))
+def q_rel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators.graph.pagerank): 10 power iterations with
+    damping 0.85 over a deterministic directed graph on the user_id
+    domain (u → (7u+3) mod N and (13u+5) mod N — closed by
+    construction, both engines derive the identical edges from the
+    data). Output rank × N (mean exactly 1), hard 4-dp parity per node
+    against the oracle's unrolled 10-round replay — a wrong damping
+    constant, a missed parallel edge, or an off-by-one-iteration all
+    show up as per-node drift.
+
+    Execution: the second ITERATIVE graph op beside connected
+    components — a driver loop of keyed aggregations with
+    localCheckpoint() truncating lineage per round, static
+    edges/degree base checkpointed once, dangling mass folded back via
+    a broadcast 1-row aggregate (unused on this closed graph, load-
+    bearing on real link graphs)."""
+    from ..operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    nodes = ev.select(F.col("user_id").alias("node")).distinct()
+    m = nodes.count()
+    edges = nodes.select(
+        F.col("node").alias("src"),
+        ((F.col("node") * 7 + 3) % m).alias("dst"),
+    ).unionByName(
+        nodes.select(
+            F.col("node").alias("src"),
+            ((F.col("node") * 13 + 5) % m).alias("dst"),
+        )
+    )
+    pr = pagerank(edges, iters=10, damping=0.85)
+    return pr.select(
+        "node", F.round(F.col("rank") * m, 4).alias("rank_x_n")
+    ).orderBy("node")
+
+
 _EMPTY_HLL_SKETCH_ORACLE = """
     SELECT CAST(NULL AS VARCHAR) AS reason,
            CAST(NULL AS BIGINT) AS detail
