@@ -548,6 +548,58 @@ def stratified_fixed_k(
     )
 
 
+def weighted_sample_k(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    *,
+    key_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, algorithm A-ES): each row draws ``u ∈ (0, 1]`` and the k
+    largest ``u^(1/w)`` win — inclusion probability proportional to the
+    weight, exactly, with no rejection loop and ONE pass. The missing
+    member of the sampling family: ``stratified_sample`` mixes by RATE,
+    ``stratified_fixed_k``/``temperature_mixture_k`` by per-stratum
+    COUNT, ``token_budget_sample`` by token BUDGET — this one weights
+    each individual row (sample long documents proportionally to length,
+    sources by trust score, …).
+
+    The draw is CONTENT-ADDRESSED like every sampler here: ``u`` comes
+    from the md5 bucket of (key, salt), so reruns, repartitions, and
+    the DuckDB oracle pick the IDENTICAL sample. The sort key is
+    ``ln(u)/w`` (monotone in ``u^(1/w)`` — one libm call instead of
+    pow, same order), ties broken by key. Rows with NULL or
+    non-positive weight are excluded: zero weight means "never sample",
+    not "sample with rank NaN".
+
+    Plan: a scan-stage key expression + TakeOrderedAndProject
+    (per-partition heaps of k) — no global sort, no shuffle beyond the
+    final k rows, at any corpus size."""
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (v + F.lit(1.0)) / F.lit(4294967296.0)  # (0, 1]
+    es_key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        docs.where(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .withColumn("es_key", es_key)
+        .orderBy(F.col("es_key").desc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
 def bpe_pair_counts(
     docs: DataFrame,
     *,

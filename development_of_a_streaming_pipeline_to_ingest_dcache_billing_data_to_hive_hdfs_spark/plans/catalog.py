@@ -8052,6 +8052,40 @@ def q_rel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+@register(
+    "q_llm_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             LN((('0x' || substr(md5(doc_id::VARCHAR || '|mix-v1'), 1, 8))
+                 ::UBIGINT + 1.0) / 4294967296.0)
+               / n_chars AS es_key
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+    SELECT doc_id, ROUND(es_key, 4) AS es_key_4
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT 50
+    """,
+)
+def q_llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators.textops.
+    weighted_sample_k — Efraimidis & Spirakis 2006 A-ES): 50 documents
+    drawn with inclusion probability proportional to n_chars, via the
+    content-addressed draw u = md5(key)/2³² and sort key ln(u)/w. The
+    oracle replays the identical draw and ordering, so this is
+    EXACT-MEMBERSHIP parity plus the 4-dp key — a biased u, a
+    pow-vs-log ordering bug, or leaked zero-weight rows all trip it.
+    Plan: scan-stage key expression + TakeOrderedAndProject
+    (per-partition heaps; the corpus never globally sorts)."""
+    from ..operators.textops import weighted_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    picked = weighted_sample_k(docs, 50, "n_chars")
+    return picked.select(
+        "doc_id", F.round("es_key", 4).alias("es_key_4")
+    )
+
+
 _EMPTY_HLL_SKETCH_ORACLE = """
     SELECT CAST(NULL AS VARCHAR) AS reason,
            CAST(NULL AS BIGINT) AS detail

@@ -83,3 +83,73 @@ def test_fixed_k_quota_and_growth(corpus):
     assert _ids(k5) <= _ids(stratified_fixed_k(corpus, 6))
     with pytest.raises(ValueError, match="positive"):
         stratified_fixed_k(corpus, 0)
+
+
+def test_weighted_sample_k_is_deterministic_and_weight_biased(spark):
+    """A-ES sampling: repartition-invariant membership; heavy rows win
+    far more often across independent salts (the statistical contract),
+    and the per-salt sample replays exactly."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        weighted_sample_k,
+    )
+
+    rows = [(i, 100.0 if i < 10 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = [r.doc_id for r in weighted_sample_k(df, 20, "w").collect()]
+    b = [
+        r.doc_id
+        for r in weighted_sample_k(df.repartition(7), 20, "w").collect()
+    ]
+    assert a == b and len(a) == 20
+    # bias: count heavy-row wins across 30 salts; heavy rows are 10/200
+    # of the population but carry 1000/1190 of the weight
+    heavy_wins = total = 0
+    for s in range(30):
+        picked = weighted_sample_k(df, 5, "w", salt=f"salt-{s}").collect()
+        heavy_wins += sum(1 for r in picked if r.doc_id < 10)
+        total += 5
+    assert heavy_wins / total > 0.5, heavy_wins / total
+
+
+def test_weighted_sample_k_hand_check_and_exclusions(spark):
+    """The ln(u)/w ordering is replayed in python from the same md5
+    draw; NULL/zero/negative weights never appear."""
+    import hashlib
+    import math
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        weighted_sample_k,
+    )
+
+    rows = [(1, 2.0), (2, 5.0), (3, 0.5), (4, None), (5, 0.0), (6, -3.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [(r.doc_id, r.es_key) for r in weighted_sample_k(df, 3, "w").collect()]
+    assert {d for d, _ in got} <= {1, 2, 3}
+
+    def es_key(doc_id, w):
+        h = hashlib.md5(f"{doc_id}|mix-v1".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 1.0) / 4294967296.0
+        return math.log(u) / w
+
+    ref = sorted(
+        [(d, es_key(d, w)) for d, w in rows[:3]],
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert [d for d, _ in got] == [d for d, _ in ref]
+    for (d1, k1), (d2, k2) in zip(got, ref):
+        assert abs(k1 - k2) < 1e-12
+
+
+def test_weighted_sample_k_plan_and_guard(spark):
+    import pytest as _pytest
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        weighted_sample_k,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = weighted_sample_k(docs, 10, "n_chars")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    with _pytest.raises(ValueError, match="k must be positive"):
+        weighted_sample_k(docs, 0, "n_chars")
