@@ -110,6 +110,18 @@ BENCH_QUERIES = [
     # in the catalog) and the fingerprint-join stitch detector
     "q_llm_gopher_repetition",
     "q_llm_stitched_pairs",
+    # this round's additions: DSIR scoring (bounded hashed-ngram model
+    # + broadcast score join — the heaviest new explode), BM25 search
+    # (scan-stage term filter, only matched tokens shuffle), PageRank
+    # (10 checkpointed keyed-agg rounds), PSI drift (two scans
+    # collapsing to <=bins partials), JL projection (plan-literal
+    # folds), weighted A-ES sampling (TakeOrdered over a scan key)
+    "q_llm_dsir_scores",
+    "q_llm_bm25_search",
+    "q_rel_pagerank",
+    "q_rel_psi_value_drift",
+    "q_llm_jl_projection",
+    "q_llm_weighted_sample",
 ]
 
 
