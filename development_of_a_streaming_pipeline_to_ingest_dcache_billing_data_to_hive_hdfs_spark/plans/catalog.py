@@ -8086,6 +8086,85 @@ def q_llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_warc_roundtrip",
+    """
+    SELECT 'urn:doc:' || CAST(doc_id AS VARCHAR) AS target_uri,
+           md5(text) AS content_md5,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    ORDER BY target_uri
+    """,
+)
+def q_llm_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source connector round-trip (sources.warc.read_warc): the
+    corpus is serialized into a per-record-GZIPPED .warc.gz file (the
+    Common Crawl member layout) with one 'conversion' record per
+    document plus a warcinfo record and interleaved 'request' decoys,
+    then read back through the full Spark path — binaryFile →
+    mapInPandas walker with the record-type filter dropping the decoys
+    inside the walker. Hard parity of every document's URI, content md5
+    (byte-exact utf-8 payload fidelity, proven against DuckDB hashing
+    the source text directly), and byte length. A parser that
+    mis-slices one Content-Length, mishandles a gzip member boundary,
+    or lets a decoy through fails per-row.
+
+    Scale note: the gate writes one file from a bounded collect; the
+    OPERATOR's grain is one task per WARC file, which is exactly how a
+    100k-file crawl parallelizes."""
+    import gzip as _gzip
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..sources.warc import read_warc, write_warc_bytes
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = docs.collect()  # bounded: the documents table is 500-5000 rows
+    members = [
+        _gzip.compress(
+            write_warc_bytes([{"warc_type": "warcinfo", "content": b"gate"}])
+        )
+    ]
+    for i, r in enumerate(sorted(rows, key=lambda r: r.doc_id)):
+        if i % 3 == 0:  # decoy the filter must drop
+            members.append(
+                _gzip.compress(
+                    write_warc_bytes(
+                        [{"warc_type": "request", "content": b"GET /"}]
+                    )
+                )
+            )
+        members.append(
+            _gzip.compress(
+                write_warc_bytes(
+                    [
+                        {
+                            "warc_type": "conversion",
+                            "target_uri": f"urn:doc:{r.doc_id}",
+                            "content": (r.text or "").encode("utf-8"),
+                            "content_type": "text/plain",
+                        }
+                    ]
+                )
+            )
+        )
+    tmp = _tempfile.mkdtemp(prefix="warc_gate_")
+    try:
+        with open(_os.path.join(tmp, "corpus.warc.gz"), "wb") as f:
+            f.write(b"".join(members))
+        parsed = read_warc(spark, tmp, record_types=("conversion",))
+        out = parsed.select(
+            "target_uri",
+            F.md5("content").alias("content_md5"),
+            F.length("content").cast("bigint").alias("n_bytes"),
+        ).orderBy("target_uri")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 _EMPTY_HLL_SKETCH_ORACLE = """
     SELECT CAST(NULL AS VARCHAR) AS reason,
            CAST(NULL AS BIGINT) AS detail

@@ -1,0 +1,177 @@
+"""WARC source connector — the web-archive format LLM corpora arrive in
+(Common Crawl ships WARC/WET files; a training-data pipeline's first
+job is usually "read a few hundred TB of WARC").
+
+Execution shape: ``spark.read.format("binaryFile")`` distributes the
+FILES; each file's record walk is a pure-Python generator inside
+``mapInPandas``, so one file = one task and a 100 TB crawl parallelizes
+across its ~100k segment files with zero driver involvement. (WARC is a
+concatenated-record format with no splitpoints index — per-file is the
+natural parallel grain, matching how Common Crawl sizes segments to
+~1 GB precisely so that file-level parallelism is enough.)
+
+Format handling, ISO 28500 subset:
+
+- records: ``WARC/1.0\\r\\n`` + headers + CRLF CRLF + exactly
+  ``Content-Length`` payload bytes + CRLF CRLF;
+- gzip transparently (magic-sniffed): Common Crawl gzips PER RECORD
+  and concatenates the members — a ``zlib`` multi-member loop
+  decompresses the stream back into concatenated records, which also
+  covers whole-file gzip as the 1-member case;
+- malformed input fails LOUDLY (truncated payload, missing
+  Content-Length, bad version line) with the file path in the message —
+  a silently skipped record is corpus loss nobody notices.
+
+No third-party warc library is involved; the parser is ~60 lines of
+stdlib and is validated against an INDEPENDENT spec-direction writer in
+``tests/test_warc_source.py`` plus a corpus round-trip driver gate
+(``q_llm_warc_roundtrip``).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["parse_warc_bytes", "read_warc", "write_warc_bytes"]
+
+WARC_SCHEMA = (
+    "path string, record_id string, warc_type string, target_uri string, "
+    "warc_date string, content_type string, content binary"
+)
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Concatenated-gzip-member decompression (the Common Crawl layout:
+    one member per record). Plain zlib.decompress stops at the first
+    member; this loops until the stream is consumed."""
+    out = []
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(data))
+        out.append(d.flush())
+        data = d.unused_data
+    return b"".join(out)
+
+
+def parse_warc_bytes(data: bytes, origin: str = "<bytes>") -> Iterator[dict]:
+    """Walk one WARC stream, yielding a dict per record. Raises
+    ValueError (with ``origin``) on structural damage rather than
+    skipping bytes."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record padding (spec: exactly 2 CRLFs, but be
+        # tolerant of extras — they carry no information)
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        eol = data.find(b"\r\n", pos)
+        if eol < 0 or not data[pos:eol].startswith(b"WARC/"):
+            raise ValueError(
+                f"malformed WARC ({origin}): expected version line at "
+                f"byte {pos}, got {data[pos:pos + 20]!r}"
+            )
+        hdr_end = data.find(b"\r\n\r\n", eol)
+        if hdr_end < 0:
+            raise ValueError(
+                f"malformed WARC ({origin}): unterminated header block "
+                f"at byte {pos}"
+            )
+        headers: dict[str, str] = {}
+        for line in data[eol + 2 : hdr_end].split(b"\r\n"):
+            k, sep, v = line.partition(b":")
+            if not sep:
+                raise ValueError(
+                    f"malformed WARC ({origin}): header line without "
+                    f"colon: {line[:40]!r}"
+                )
+            headers[k.strip().decode("ascii").lower()] = v.strip().decode(
+                "utf-8", "replace"
+            )
+        if "content-length" not in headers:
+            raise ValueError(
+                f"malformed WARC ({origin}): record at byte {pos} has "
+                "no Content-Length"
+            )
+        clen = int(headers["content-length"])
+        body_start = hdr_end + 4
+        if body_start + clen > n:
+            raise ValueError(
+                f"malformed WARC ({origin}): truncated payload at byte "
+                f"{body_start} (need {clen}, have {n - body_start})"
+            )
+        yield {
+            "record_id": headers.get("warc-record-id", ""),
+            "warc_type": headers.get("warc-type", ""),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "content_type": headers.get("content-type"),
+            "content": data[body_start : body_start + clen],
+        }
+        pos = body_start + clen
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    *,
+    record_types: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Read WARC (or per-record-gzipped .warc.gz) files into one row per
+    record. ``record_types`` filters on WARC-Type ('response',
+    'conversion', …) INSIDE the walker, before anything is yielded —
+    a WET-style text extraction never materializes the request/metadata
+    records it is about to drop."""
+    wanted = tuple(t.lower() for t in record_types) if record_types else None
+    files = spark.read.format("binaryFile").load(path)
+
+    def walk(batches):
+        for batch in batches:
+            rows = {k: [] for k in (
+                "path", "record_id", "warc_type", "target_uri",
+                "warc_date", "content_type", "content",
+            )}
+            for p, blob in zip(batch["path"], batch["content"]):
+                for rec in parse_warc_bytes(bytes(blob), origin=p):
+                    if wanted and rec["warc_type"].lower() not in wanted:
+                        continue
+                    rows["path"].append(p)
+                    for k, v in rec.items():
+                        rows[k].append(v)
+            import pandas as pd
+
+            yield pd.DataFrame(rows)
+
+    return files.select("path", "content").mapInPandas(walk, WARC_SCHEMA)
+
+
+def write_warc_bytes(records: list[dict]) -> bytes:
+    """Serialize records to WARC/1.0 bytes — the EXPORT direction (ship
+    a curated slice back out in the format the ecosystem's tooling
+    reads). Each record needs ``warc_type`` and ``content`` (bytes);
+    ``record_id``/``target_uri``/``warc_date``/``content_type`` are
+    optional headers. This is also NOT the test oracle: the tests build
+    their fixtures with an independent writer so a symmetric bug here
+    cannot self-verify."""
+    out = []
+    for r in records:
+        body = r["content"]
+        hdrs = [b"WARC/1.0"]
+        hdrs.append(f"WARC-Type: {r['warc_type']}".encode())
+        for key, field in (
+            ("WARC-Record-ID", "record_id"),
+            ("WARC-Target-URI", "target_uri"),
+            ("WARC-Date", "warc_date"),
+            ("Content-Type", "content_type"),
+        ):
+            if r.get(field):
+                hdrs.append(f"{key}: {r[field]}".encode())
+        hdrs.append(f"Content-Length: {len(body)}".encode())
+        out.append(b"\r\n".join(hdrs) + b"\r\n\r\n" + body + b"\r\n\r\n")
+    return b"".join(out)
