@@ -8165,6 +8165,53 @@ def q_llm_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "q_llm_html_extract",
+    """
+    SELECT doc_id,
+           md5('Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+               || trim(regexp_replace(text || ' & more', '[ \t]+', ' ', 'g')))
+             AS text_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction (operators.html.extract_text — the
+    WET-conversion transform): each document is wrapped into a full
+    HTML page whose HEAD carries title/style/script decoys (the script
+    contains a FAKE <p> the tokenizer must not surface), body =
+    <h1>Doc N</h1> + a paragraph with an &amp; entity. The extractor
+    must drop every decoy, decode the entity, honor the block
+    boundaries, and reproduce the text byte-exactly — per-document
+    md5 hard parity against DuckDB composing the expected extraction
+    from the raw text. Page construction is a scan-stage concat;
+    extraction is the Arrow mapInPandas codec boundary; one scan, no
+    shuffle."""
+    from ..operators.html import extract_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><head><title>skip me</title><style>p{x:1}</style>'
+                '<script>var fake = "<p>decoy</p>";</script></head>'
+                "<body><h1>Doc "
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit(" &amp; more</p></body></html>"),
+        ).alias("html"),
+    )
+    return (
+        extract_text(pages)
+        .select("doc_id", F.md5("text").alias("text_md5"))
+        .orderBy("doc_id")
+    )
+
+
 _EMPTY_HLL_SKETCH_ORACLE = """
     SELECT CAST(NULL AS VARCHAR) AS reason,
            CAST(NULL AS BIGINT) AS detail
