@@ -28,6 +28,14 @@ NOTES = {
  "q_llm_contamination_probe": "Table-sized decontamination probe: corpus trigrams explode in the scan stage and stream through a BroadcastHashJoin against the deduplicated probe set (no corpus shuffle for the join); the only Exchange feeds the per-doc count_distinct aggregate.",
  "q_llm_sequence_packing": "Offset bin packing: one shuffle on the source shard feeds the per-shard running-sum window, and the pack aggregate reuses the same partitioning - no global sort, no single-task cumsum.",
  "q_rel_skew_join_plain": "Skew-stress baseline: SHUFFLE_HASH join on a 30%-hot key; AQE's skew-join split carves the oversized partition at runtime. Measured vs the salted twin: at sf0.1 AQE alone matches salting (bench r4), so explicit salting is reserved for AQE-off contexts (streaming micro-batches) or keys beyond partition-splitting.",
+ "q_llm_dsir_scores": "DSIR scoring: the hashed-ngram feature explode collapses into two B-bounded model groupBys (map-side partials; shuffle width <= n_buckets however big the corpus); the <=B-row count table BROADCASTS to the scoring join, so the per-doc sum is the only corpus-keyed shuffle.",
+ "q_llm_bm25_search": "BM25: the query-term INSET filter sits inside the token-explode scan stage, so only matched tokens reach the (term, doc) aggregate; document frequency and corpus stats broadcast back; TakeOrderedAndProject caps the result without a global sort.",
+ "q_rel_pagerank": "PageRank: 10 rounds of (broadcast dangling-mass 1-row agg, rank/deg contribution join, keyed sum), each round localCheckpoint()ed so round k's plan does not re-embed rounds 0..k-1; static edges and the node/degree base checkpoint once.",
+ "q_rel_psi_value_drift": "PSI drift: two corpus scans collapse map-side into <=bins partial counts; the <=bins-row full-outer join and the broadcast totals row are the only post-scan work — nothing corpus-sized shuffles.",
+ "q_llm_jl_projection": "JL projection: the +/-1 sign matrix embeds as plan literals and each output coordinate is one ordered zip_with+aggregate fold — a single codegen'd scan-stage projection, zero joins/shuffles (the posexplode in the gate is presentation, not the operator).",
+ "q_llm_weighted_sample": "A-ES weighted sampling: the ln(u)/w key is a scan-stage md5 expression; TakeOrderedAndProject keeps per-partition heaps of k, so the corpus never globally sorts and only k rows reach the driver side of the plan.",
+ "q_llm_warc_roundtrip": "WARC connector: binaryFile distributes segment files, the record walk is one mapInPandas generator per file — the natural parallel grain of a crawl; no shuffle anywhere in the read path.",
+ "q_llm_html_extract": "HTML extraction: page construction is a scan-stage concat; the HTMLParser tokenizer runs per Arrow batch in the same mapInPandas boundary as the multimodal codecs — one scan, no shuffle.",
  "q_rel_skew_join_salted": "Skew-stress treatment: the (content-hash + row-offset) salt spreads the hot key over 32 (key, salt) buckets before the shuffle; the dim side replicates once per salt value. Same answer as the plain join; ~10% slower at sf0.1 where AQE already handles the skew - the operator is the AQE-unavailable escape hatch, and the bench pair documents that honestly.",
  "q_llm_span_dedup": "Span-level dedup: per-doc window arrays build in the scan stage (transform over sequence, no Python), ONE explode streams token windows into ONE groupBy on the span; the map-side partial collapses spans seen once per partition before the exchange, so shuffle volume tracks distinct-span count. Top-50 via TakeOrderedAndProject.",
  "q_llm_bpe_pairs": "Tokenizer pair counts: corpus tokens collapse to a word-frequency table first (two-phase aggregate - the corpus->vocab reduction), then ONLY distinct words explode into character pairs for the weighted pair aggregate. Both shuffles are vocab-bounded; corpus size only affects the first map side.",
