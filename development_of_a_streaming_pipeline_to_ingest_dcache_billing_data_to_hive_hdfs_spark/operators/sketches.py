@@ -12,13 +12,19 @@ raw-data rescan.
 
 Why the maintenance is safe, in order of load-bearing-ness:
 
-- **Union ≡ resketch.** HLL register merge is pointwise ``max``:
-  associative, commutative, idempotent. The union of per-slice sketches
-  is register-identical to sketching the concatenated raw rows, so the
-  incremental answer is not an approximation OF an approximation — it
-  is bit-for-bit the single-pass sketch's answer (asserted by the
+- **Union is grouping-independent.** HLL register merge is pointwise
+  ``max``: associative, commutative, idempotent. ANY way of unioning
+  the same per-slice sketches — incrementally across store commits, or
+  fresh in one job — lands on the identical result (asserted by the
   ``q_billing_hll_user_sketch_check`` driver gate and
-  ``tests/test_sketch_store.py``).
+  ``tests/test_sketch_store.py``), so the incremental answer is not an
+  approximation OF an approximation. Caveat, measured at sf0.1: a
+  union is NOT always estimate-identical to a SINGLE-PASS sketch of
+  the raw rows — the DataSketches implementation keeps small sketches
+  in exact coupon mode, and unioning promotes to dense HLL mode
+  (1488 union vs 1500 coupon-exact for 1500 true distincts); both sit
+  inside the error envelope, which is the contract that holds
+  everywhere.
 - **Slice overwrite ⇒ replay-idempotent appends.** ``update`` rewrites
   exactly the slices present in the incoming batch (dynamic partition
   overwrite, the same mechanism ``compact.compact_partition`` relies

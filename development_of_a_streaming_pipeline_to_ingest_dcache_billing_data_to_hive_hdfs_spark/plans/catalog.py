@@ -8230,10 +8230,16 @@ def q_billing_hll_user_sketch_check(
     "distinct users over any date range" answered from O(days) persisted
     sketch rows instead of a raw rescan. Audited invariants:
 
-    - ``inc_vs_single_pass_drift``: the union of incrementally-committed
-      per-day sketches must estimate IDENTICALLY to one single-pass
-      sketch over the raw rows (HLL register merge is pointwise max —
-      associative, commutative, idempotent), detail = store estimate;
+    - ``inc_vs_fresh_union_drift``: the union over the STORE's
+      incrementally-committed rows must estimate IDENTICALLY to a fresh
+      one-job union over per-day sketches of the same raw data — union
+      is associative/commutative/idempotent over the same slice
+      sketches, so how the rows got committed cannot matter. (A
+      single-pass sketch over the raw rows is NOT the comparison: the
+      DataSketches impl keeps small sketches in exact coupon mode, and
+      a union promotes to dense HLL mode, so the two can legitimately
+      differ inside the error envelope — measured at sf0.1: 1488 union
+      vs 1500 coupon-exact.) detail = store estimate;
     - ``replay_not_idempotent``: re-running an update for a day must
       dynamic-overwrite that day's row, not append a second one,
       detail = number of slices with >1 row;
@@ -8283,15 +8289,13 @@ def q_billing_hll_user_sketch_check(
                 violations.append(("replay_not_idempotent", dup_slices))
 
             est = store.estimate()
-            single_pass = int(
-                ev.agg(
-                    F.hll_sketch_estimate(
-                        F.hll_sketch_agg("user_id", F.lit(store.lg_k))
-                    ).alias("e")
-                ).collect()[0].e
-            )
-            if est != single_pass:
-                violations.append(("inc_vs_single_pass_drift", est))
+            from ..operators.sketches import sketch_slices, union_estimate
+
+            fresh = union_estimate(
+                sketch_slices(ev, "day", "user_id", lg_k=store.lg_k)
+            ).collect()[0]
+            if est != int(fresh.distinct_estimate):
+                violations.append(("inc_vs_fresh_union_drift", est))
 
             exact = ev.select("user_id").distinct().count()
             if abs(est - exact) > max(1, 0.05 * exact):

@@ -39,23 +39,20 @@ def test_sketch_slices_one_row_per_slice_exact_counts(spark):
     assert all(isinstance(r.sketch, (bytes, bytearray)) for r in sk)
 
 
-def test_union_of_slices_equals_single_pass_sketch(spark):
-    """Register merge is pointwise max ⇒ the per-day union's estimate is
-    IDENTICAL to sketching the raw rows in one pass — and invariant to
-    the physical partitioning of the input."""
+def test_union_is_grouping_and_partitioning_invariant(spark):
+    """Register merge is pointwise max ⇒ unioning the same per-day
+    sketches gives the identical estimate however the input was
+    physically partitioned. (NOT asserted: equality with a single-pass
+    sketch of the raw rows — DataSketches keeps small sketches in
+    exact coupon mode and a union promotes to dense HLL mode, so those
+    two can differ inside the error envelope; at this tiny cardinality
+    they happen to agree, which the accuracy test covers.)"""
     ev = _events(spark)
     inc = union_estimate(sketch_slices(ev, "day", "user_id")).collect()[0]
-    full = ev.agg(
-        F.hll_sketch_estimate(
-            F.hll_sketch_agg("user_id", F.lit(12))
-        ).alias("e")
-    ).collect()[0].e
-    full_repart = ev.repartition(13).agg(
-        F.hll_sketch_estimate(
-            F.hll_sketch_agg("user_id", F.lit(12))
-        ).alias("e")
-    ).collect()[0].e
-    assert inc.distinct_estimate == full == full_repart
+    repart = union_estimate(
+        sketch_slices(ev.repartition(13), "day", "user_id")
+    ).collect()[0]
+    assert inc.distinct_estimate == repart.distinct_estimate
     assert inc.n_slices == ev.select("day").distinct().count()
 
 
@@ -175,7 +172,10 @@ def test_lg_k_contract(spark):
 
 def test_merge_folds_fragments_like_a_full_update(spark):
     """Two micro-batch fragments of one day merge to the SAME estimate
-    as a single full-day update — union ≡ resketch, incrementally."""
+    as a single full-day update. (Exact equality holds at this
+    cardinality because both paths stay in DataSketches' coupon-exact
+    regime; at promoted-HLL cardinalities the guarantee is the error
+    envelope, not bit equality — see the module docstring.)"""
     _drop(spark, "hll_mrg_a", "hll_mrg_b")
     ev = _events(spark)
     frag = HllStore(spark, "hll_mrg_a")
