@@ -63,15 +63,26 @@ def _curate(args) -> dict:
     spark = get_spark_session(app_name="dcache_curate", loglevel=args.loglevel)
     if args.input_format == "warc":
         from ..operators.html import extract_text
-        from ..sources.warc import read_warc
+        from ..sources.warc import decode_response_html, read_warc
 
         recs = read_warc(
             spark, args.input, record_types=("response", "conversion")
         ).select(
-            F.col("target_uri").alias("url"),
-            F.col("content").cast("string").alias("html"),
+            F.col("target_uri").alias("url"), "warc_type", "content"
         )
-        docs = extract_text(recs, "html", "text").select("url", "text")
+        # 'response' records carry a FULL HTTP message (status line +
+        # headers + possibly chunked/gzipped body) that needs the
+        # envelope stripped BEFORE HTML extraction; 'conversion' (WET)
+        # records are already plain text — running them through the
+        # HTML tokenizer would eat every '<'..'>' span as a fake tag
+        resp = recs.where(F.col("warc_type") == "response")
+        resp = extract_text(
+            decode_response_html(resp, "content", "html"), "html", "text"
+        ).select("url", "text")
+        conv = recs.where(F.col("warc_type") != "response").select(
+            "url", F.col("content").cast("string").alias("text")
+        )
+        docs = resp.unionByName(conv)
     else:
         docs = spark.read.schema("url string, text string").json(args.input)
     n_parsed = docs.count()
@@ -91,9 +102,12 @@ def _curate(args) -> dict:
         out = gated
     else:
         # exact dedup: one shuffle on the md5 fingerprint, smallest url
-        # is the deterministic survivor
+        # is the deterministic survivor. NULL urls coalesce to "" FIRST:
+        # min_by skips NULL ordering values, so an all-NULL-url group
+        # would otherwise write url=NULL AND text=NULL — destroyed text
         out = (
-            gated.withColumn("fp", fingerprint("text"))
+            gated.withColumn("url", F.coalesce("url", F.lit("")))
+            .withColumn("fp", fingerprint("text"))
             .groupBy("fp")
             .agg(
                 F.min_by("url", "url").alias("url"),

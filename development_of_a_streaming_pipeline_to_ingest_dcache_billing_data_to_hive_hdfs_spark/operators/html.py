@@ -11,8 +11,14 @@ multimodal decoders' shape). One scan, no shuffle.
 
 Extraction contract (deterministic, replayable):
 
-- content inside ``script/style/head/noscript/template/iframe/svg`` is
-  DROPPED (code and styling are not corpus text);
+- content inside ``script/style/title/noscript/template/iframe/svg`` is
+  DROPPED (code, styling, and the page title are not corpus text).
+  ``head`` itself is deliberately NOT a drop container: ``</head>`` is
+  legally omittable in HTML5 and commonly missing in crawl HTML, and a
+  depth-tracked ``head`` would then swallow the ENTIRE body (measured
+  on ``<head><title>T</title><body>text`` — extraction returned "").
+  Every text-bearing head element is in the drop list individually;
+  the rest (``meta``/``link``) are void tags with no text;
 - block-level boundaries (``p div br li h1..h6 tr table ul ol section
   article header footer blockquote pre``) become newlines; inline tags
   (``b i a span em strong code``) do not split words;
@@ -34,7 +40,7 @@ from pyspark.sql import DataFrame
 __all__ = ["html_to_text", "extract_text"]
 
 _DROP = frozenset(
-    "script style head noscript template iframe svg".split()
+    "script style title noscript template iframe svg".split()
 )
 _BLOCK = frozenset(
     (

@@ -95,19 +95,15 @@ def bm25_search(
         raise ValueError(f"k must be positive: {k}")
 
     if postings is None:
-        toks = docs.select(
-            F.col(id_col),
-            F.size(tokens_col(text_col)).alias("dl"),
-            F.explode(tokens_col(text_col)).alias("term"),
-        )
-        matched = toks.where(F.col("term").isin(terms))
-        tf = matched.groupBy("term", id_col).agg(
-            F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
-        )
-    else:
-        tf = postings.where(F.col("term").isin(terms)).select(
-            "term", id_col, "tf", "dl"
-        )
+        # one definition of the posting shape: Catalyst pushes the
+        # query-term filter below the (term, id) aggregate — it's a
+        # grouping-key predicate — so the scan-stage-filter contract
+        # holds without duplicating build_postings' explode inline
+        # (plan-asserted in tests/test_search.py)
+        postings = build_postings(docs, id_col=id_col, text_col=text_col)
+    tf = postings.where(F.col("term").isin(terms)).select(
+        "term", id_col, "tf", "dl"
+    )
 
     stats = F.broadcast(
         docs.agg(

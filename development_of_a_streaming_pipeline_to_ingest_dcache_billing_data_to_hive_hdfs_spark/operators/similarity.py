@@ -529,9 +529,17 @@ def jl_project(
     if method not in ("auto", "literal", "blas"):
         raise ValueError(f"unknown method: {method}")
     if in_dim is None:
-        probe = df.select(F.size(vec_col).alias("n")).first()
+        # probe a NON-NULL row: size(NULL) is NULL and the first row may
+        # be one of the NULL vectors the output contract tolerates
+        probe = (
+            df.where(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col).alias("n"))
+            .first()
+        )
         if probe is None:
-            raise ValueError("cannot probe in_dim of an empty DataFrame")
+            raise ValueError(
+                "cannot probe in_dim of an empty (or all-NULL) DataFrame"
+            )
         in_dim = probe.n
     over_budget = in_dim * out_dim > 100_000
     if method == "auto":

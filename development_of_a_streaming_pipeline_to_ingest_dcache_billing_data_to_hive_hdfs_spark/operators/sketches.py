@@ -126,18 +126,29 @@ class HllStore:
             F.col("sketch"),
             F.col(slice_col).cast("string").alias("slice_key"),
         )
+        # materialize the (one-row-per-slice, tiny) sketch table ONCE:
+        # writing `aligned` and then counting its slices would run the
+        # full corpus aggregation twice
+        rows = aligned.collect()
+        out = self.spark.createDataFrame(rows, aligned.schema)
         if not self.exists():
             (
-                aligned.write.mode("overwrite")
+                out.write.mode("overwrite")
                 .format("parquet")
                 .partitionBy("slice_key")
                 .saveAsTable(self.table)
             )
         else:
-            # dynamic partitionOverwriteMode (session default): only the
-            # slices present in `aligned` are rewritten
-            aligned.write.mode("overwrite").insertInto(self.table)
-        return aligned.select("slice_key").distinct().count()
+            # per-write dynamic overwrite (NOT the session default —
+            # under Spark's default STATIC mode this insert would
+            # silently delete every other slice in the store; merge.py
+            # guards its partition writes the same way)
+            (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .insertInto(self.table)
+            )
+        return len({r.slice_key for r in rows})
 
     def merge(self, df: DataFrame, slice_col: str, value_col: str) -> int:
         """Fold an INCREMENT into the store: sketch the batch per slice,
@@ -180,9 +191,12 @@ class HllStore:
         # materialize before the overwrite: the merged rows read the
         # very files the dynamic overwrite is about to replace
         rows = merged.collect()
-        self.spark.createDataFrame(rows, merged.schema).write.mode(
-            "overwrite"
-        ).insertInto(self.table)
+        (
+            self.spark.createDataFrame(rows, merged.schema)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .insertInto(self.table)
+        )
         return len(rows)
 
     def _slice_range(self, lo: str | None, hi: str | None) -> DataFrame:

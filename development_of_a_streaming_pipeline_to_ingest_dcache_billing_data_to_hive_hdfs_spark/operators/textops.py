@@ -589,11 +589,14 @@ def weighted_sample_k(
         10,
     ).cast("double")
     u = (v + F.lit(1.0)) / F.lit(4294967296.0)  # (0, 1]
-    es_key = F.log(u) / F.col(weight_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    es_key = F.log(u) / w
     return (
-        docs.where(
-            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
-        )
+        # NaN must be excluded EXPLICITLY: in Spark, NaN > 0 is true and
+        # NaN sorts ABOVE every value descending — a single NaN-weight
+        # row (0/0 in a derived weight) would otherwise monopolize the
+        # top-k
+        docs.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
         .withColumn("es_key", es_key)
         .orderBy(F.col("es_key").desc(), F.col(key_col).asc())
         .limit(k)

@@ -35,7 +35,13 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["parse_warc_bytes", "read_warc", "write_warc_bytes"]
+__all__ = [
+    "decode_response_html",
+    "http_response_body",
+    "parse_warc_bytes",
+    "read_warc",
+    "write_warc_bytes",
+]
 
 WARC_SCHEMA = (
     "path string, record_id string, warc_type string, target_uri string, "
@@ -99,7 +105,13 @@ def parse_warc_bytes(data: bytes, origin: str = "<bytes>") -> Iterator[dict]:
                 f"malformed WARC ({origin}): record at byte {pos} has "
                 "no Content-Length"
             )
-        clen = int(headers["content-length"])
+        try:
+            clen = int(headers["content-length"])
+        except ValueError:
+            raise ValueError(
+                f"malformed WARC ({origin}): non-numeric Content-Length "
+                f"{headers['content-length']!r} at byte {pos}"
+            ) from None
         body_start = hdr_end + 4
         if body_start + clen > n:
             raise ValueError(
@@ -130,13 +142,21 @@ def read_warc(
     records it is about to drop."""
     wanted = tuple(t.lower() for t in record_types) if record_types else None
     files = spark.read.format("binaryFile").load(path)
+    cols = (
+        "path", "record_id", "warc_type", "target_uri",
+        "warc_date", "content_type", "content",
+    )
+    # flush the walker every N records: a ~1 GB segment decompresses to
+    # several GB — holding raw bytes + decompressed stream + EVERY
+    # record payload in one pandas frame simultaneously is an avoidable
+    # peak-memory multiplier
+    flush_every = 1024
 
     def walk(batches):
+        import pandas as pd
+
         for batch in batches:
-            rows = {k: [] for k in (
-                "path", "record_id", "warc_type", "target_uri",
-                "warc_date", "content_type", "content",
-            )}
+            rows: dict[str, list] = {k: [] for k in cols}
             for p, blob in zip(batch["path"], batch["content"]):
                 for rec in parse_warc_bytes(bytes(blob), origin=p):
                     if wanted and rec["warc_type"].lower() not in wanted:
@@ -144,11 +164,106 @@ def read_warc(
                     rows["path"].append(p)
                     for k, v in rec.items():
                         rows[k].append(v)
-            import pandas as pd
-
+                    if len(rows["path"]) >= flush_every:
+                        yield pd.DataFrame(rows)
+                        rows = {k: [] for k in cols}
             yield pd.DataFrame(rows)
 
     return files.select("path", "content").mapInPandas(walk, WARC_SCHEMA)
+
+
+def http_response_body(payload: bytes, origin: str = "<bytes>") -> bytes:
+    """A WARC 'response' record's content is the FULL HTTP message —
+    status line, headers, CRLF CRLF, body (that's what Common Crawl
+    stores). This strips the envelope and undoes the transfer: chunked
+    transfer-encoding is reassembled, gzip/deflate content-encoding is
+    decompressed, identity passes through, anything else raises. A
+    payload that doesn't start with ``HTTP/`` is returned as-is (some
+    writers store pre-decoded bodies; WET 'conversion' records never
+    carry an envelope)."""
+    if not payload.startswith(b"HTTP/"):
+        return payload
+    hdr_end = payload.find(b"\r\n\r\n")
+    if hdr_end < 0:
+        raise ValueError(
+            f"malformed HTTP message ({origin}): no header terminator"
+        )
+    headers: dict[bytes, bytes] = {}
+    for line in payload[:hdr_end].split(b"\r\n")[1:]:
+        k, sep, v = line.partition(b":")
+        if sep:
+            headers[k.strip().lower()] = v.strip().lower()
+    body = payload[hdr_end + 4 :]
+    if headers.get(b"transfer-encoding", b"") == b"chunked":
+        body = _dechunk(body, origin)
+    enc = headers.get(b"content-encoding", b"identity")
+    if enc in (b"gzip", b"x-gzip"):
+        body = _gunzip_members(body)
+    elif enc == b"deflate":
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:  # raw-deflate servers (the classic ambiguity)
+            body = zlib.decompress(body, -zlib.MAX_WBITS)
+    elif enc not in (b"identity", b""):
+        raise ValueError(
+            f"unsupported Content-Encoding {enc!r} ({origin})"
+        )
+    return body
+
+
+def _dechunk(body: bytes, origin: str) -> bytes:
+    """Reassemble an HTTP/1.1 chunked body (hex-size lines, terminal
+    0-chunk; chunk extensions after ';' ignored)."""
+    out, pos = [], 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError(
+                f"malformed chunked body ({origin}): no size line at "
+                f"byte {pos}"
+            )
+        size_field = body[pos:eol].split(b";")[0].strip()
+        try:
+            size = int(size_field, 16)
+        except ValueError:
+            raise ValueError(
+                f"malformed chunked body ({origin}): bad chunk size "
+                f"{size_field!r}"
+            ) from None
+        if size == 0:
+            return b"".join(out)
+        start = eol + 2
+        if start + size > len(body):
+            raise ValueError(
+                f"malformed chunked body ({origin}): truncated chunk at "
+                f"byte {start}"
+            )
+        out.append(body[start : start + size])
+        pos = start + size + 2  # skip the chunk's trailing CRLF
+
+
+def decode_response_html(
+    df: DataFrame, content_col: str = "content", out_col: str = "html"
+) -> DataFrame:
+    """Append ``out_col`` = the HTTP response BODY of ``content_col``
+    decoded to text (utf-8, invalid bytes replaced — charset sniffing
+    is deliberately out of scope; replacement keeps the pipeline moving
+    and the mojibake measurable). Arrow ``mapInPandas``, one scan."""
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema
+    )
+
+    def op(batches):
+        for batch in batches:
+            batch = batch.copy()
+            batch[out_col] = batch[content_col].map(
+                lambda b: None
+                if b is None
+                else http_response_body(bytes(b)).decode("utf-8", "replace")
+            )
+            yield batch
+
+    return df.mapInPandas(op, f"{out_fields}, `{out_col}` string")
 
 
 def write_warc_bytes(records: list[dict]) -> bytes:

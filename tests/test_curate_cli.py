@@ -91,3 +91,46 @@ def test_status_path_contract(tmp_path, capsys):
             "--status-path", bad_status,
         ])
     assert open(bad_status).read() == "1"
+
+
+def test_http_envelope_stripped_and_wet_not_html_parsed(spark, tmp_path, capsys):
+    """'response' records carry full HTTP messages — headers must NOT
+    leak into the corpus; 'conversion' (WET) records are plain text —
+    the HTML tokenizer must NOT eat their angle-bracket spans."""
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(inp)
+    doc = "delta " + " ".join(f"h{i}" for i in range(15))
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + _page(doc)
+    )
+    wet_text = "for i <b and j > 2: loop " + " ".join(f"w{i}" for i in range(12))
+    recs = [
+        {"warc_type": "response", "target_uri": "http://h/", "content": http},
+        {"warc_type": "conversion", "target_uri": "http://wet/",
+         "content": wet_text.encode()},
+    ]
+    with open(os.path.join(inp, "c.warc.gz"), "wb") as f:
+        for r in recs:
+            f.write(gzip.compress(write_warc_bytes([r])))
+    curate_main(["--input", inp, "--output", out, "--min-tokens", "5"])
+    capsys.readouterr()
+    rows = {r.url: r.text for r in spark.read.parquet(out).collect()}
+    assert rows["http://h/"] == doc  # no 'HTTP/1.1 200 OK' prefix
+    assert rows["http://wet/"] == wet_text  # '<b ... >' span intact
+
+
+def test_null_url_rows_keep_their_text(spark, tmp_path, capsys):
+    """min_by skips NULL ordering values — without the coalesce, a
+    NULL-url group wrote url=NULL AND text=NULL (destroyed text)."""
+    inp, out = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(inp)
+    doc = "epsilon " + " ".join(f"n{i}" for i in range(15))
+    with open(os.path.join(inp, "a.jsonl"), "w") as f:
+        f.write(json.dumps({"text": doc}) + "\n")  # no url field
+    curate_main([
+        "--input", inp, "--output", out, "--input-format", "jsonl",
+        "--min-tokens", "5",
+    ])
+    capsys.readouterr()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0].text == doc and rows[0].url == ""

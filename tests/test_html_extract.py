@@ -66,3 +66,16 @@ def test_extract_text_spark_path(spark):
     assert out == {1: "A\ntext one", 2: "text two", 3: None}
     plan = extract_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_unclosed_head_does_not_swallow_the_body():
+    """</head> is legally omittable (HTML5) and commonly missing in
+    crawl HTML — a depth-tracked 'head' drop container returned '' for
+    the whole page. Title/style/script are dropped individually
+    instead."""
+    assert html_to_text(
+        "<html><head><title>T</title><body>Hello world</body></html>"
+    ) == "Hello world"
+    assert html_to_text(
+        "<head><title>T</title><style>a{}</style><p>kept text</p>"
+    ) == "kept text"

@@ -129,3 +129,20 @@ def test_scan_stage_only_plan(spark):
     )
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_probe_skips_null_vectors(spark):
+    """The in_dim probe must find a NON-NULL row — NULL-first inputs are
+    exactly what the NULL-tolerant output contract admits."""
+    df = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    out = {r.vec_id: r.proj for r in jl_project(df, 2).collect()}
+    assert out[1] is None and len(out[2]) == 2
+    all_null = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="all-NULL"):
+        jl_project(all_null, 2)

@@ -153,3 +153,18 @@ def test_weighted_sample_k_plan_and_guard(spark):
     assert "TakeOrderedAndProject" in plan, plan
     with _pytest.raises(ValueError, match="k must be positive"):
         weighted_sample_k(docs, 0, "n_chars")
+
+
+def test_weighted_sample_k_excludes_nan_weights(spark):
+    """NaN > 0 is true in Spark and NaN sorts above everything
+    descending — unexcluded, one 0/0-derived weight monopolizes the
+    whole sample."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        weighted_sample_k,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, float("nan")), (3, 5.0)], "doc_id long, w double"
+    )
+    got = {r.doc_id for r in weighted_sample_k(df, 3, "w").collect()}
+    assert got == {1, 3}

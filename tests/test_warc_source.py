@@ -115,3 +115,62 @@ def test_export_round_trip(spark):
     assert [r["content"] for r in back] == [b"curated text", b"k: v"]
     assert back[0]["target_uri"] == "http://x/"
     assert back[0]["content_type"] == "text/plain"
+
+
+def test_http_response_body_strips_envelope_and_encodings():
+    import zlib as _zlib
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sources.warc import (
+        http_response_body,
+    )
+
+    body = b"<html>hi</html>"
+    plain = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    )
+    assert http_response_body(plain) == body
+    # bare payloads (pre-decoded bodies, WET records) pass through
+    assert http_response_body(body) == body
+    gz = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+        + gzip.compress(body)
+    )
+    assert http_response_body(gz) == body
+    defl = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+        + _zlib.compress(body)
+    )
+    assert http_response_body(defl) == body
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"6\r\n<html>\r\n9\r\nhi</html>\r\n0\r\n\r\n"
+    )
+    assert http_response_body(chunked) == body
+    with pytest.raises(ValueError, match="unsupported Content-Encoding"):
+        http_response_body(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxx"
+        )
+    with pytest.raises(ValueError, match="bad chunk size"):
+        http_response_body(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZ\r\nxx"
+        )
+
+
+def test_non_numeric_content_length_names_the_origin():
+    data = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 12abc\r\n\r\n"
+    with pytest.raises(ValueError, match=r"seg-7.*non-numeric|non-numeric.*seg-7"):
+        list(parse_warc_bytes(data, origin="seg-7"))
+
+
+def test_decode_response_html_spark_path(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sources.warc import (
+        decode_response_html,
+    )
+
+    payload = b"HTTP/1.1 200 OK\r\nServer: x\r\n\r\n<p>body text</p>"
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, None)], "i long, content binary"
+    )
+    out = {r.i: r.html for r in decode_response_html(df).collect()}
+    assert out[1] == "<p>body text</p>"
+    assert out[2] is None
