@@ -76,7 +76,18 @@ class BillingPipeline:
     so the lock scope is one batch: acquired before the route writes,
     released between triggers, with a bounded wait (a nightly
     maintenance hold should queue the batch, a wedged holder should
-    fail the query loudly after ``lock_timeout_s``)."""
+    fail the query loudly after ``lock_timeout_s``).
+
+    ``sketch_specs``: optional per-route HLL sketch maintenance —
+    ``{route_name: (slice_col, value_col, store_table)}``. After each
+    batch's route writes, the batch slice of that route register-merges
+    into the named ``operators.sketches.HllStore`` (the "distinct
+    producers per day" dashboard maintained AT INGEST, no nightly
+    rescan). Exactly-once composition: a fully-committed batch is
+    skipped by the ledger before any merge; a crash BETWEEN the merge
+    and the ledger commit replays the merge, which is harmless — HLL
+    registers are pointwise max, so re-merging the same values cannot
+    move any estimate (`tests/test_sketch_store.py`)."""
 
     def __init__(
         self,
@@ -84,11 +95,13 @@ class BillingPipeline:
         warehouse_dir: str,
         lock_path: str | None = None,
         lock_timeout_s: float = 3600,
+        sketch_specs: dict[str, tuple[str, str, str]] | None = None,
     ):
         self.source = source
         self.warehouse = warehouse_dir
         self.lock_path = lock_path
         self.lock_timeout_s = lock_timeout_s
+        self.sketch_specs = sketch_specs or {}
         # source may be None in replay-only tests; URI warehouses then
         # resolve the Hadoop FS from the active session inside fs.py
         self.fs = get_filesystem(
@@ -118,7 +131,8 @@ class BillingPipeline:
         parsed.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             route_rows: dict[str, int] = {}
-            for name, df in route(parsed).items():
+            routed = route(parsed)
+            for name, df in routed.items():
                 # Observation rides the write action — the count costs a
                 # map-side aggregate inside the job that runs anyway; a
                 # df.count() probe would re-scan the route frame.
@@ -128,6 +142,19 @@ class BillingPipeline:
                     df, self.table_path(name), batch_id, fs=self.fs
                 )
                 route_rows[name] = obs.get["n_rows"]
+            for name, (slice_col, value_col, table) in self.sketch_specs.items():
+                if name not in routed:
+                    raise ValueError(
+                        f"sketch_specs names unknown route {name!r}; "
+                        f"routes are {sorted(routed)}"
+                    )
+                from ..operators.sketches import HllStore
+
+                HllStore(parsed.sparkSession, table).merge(
+                    routed[name].select(slice_col, value_col),
+                    slice_col,
+                    value_col,
+                )
             self._write_metrics(batch_id, route_rows)
             self.ledger.commit(batch_id)
         finally:

@@ -240,3 +240,74 @@ def test_merge_only_touches_the_batch_slices(spark):
         assert len(store.slices()) == len(days)
     finally:
         store.drop()
+
+
+def test_pipeline_maintains_sketch_store_at_ingest(spark, tmp_path):
+    """sketch_specs: the ingest pipeline register-merges each batch's
+    route slice into an HllStore — distinct producers per day
+    maintained AT INGEST, exactly-once via the batch ledger, replay-
+    safe via register idempotence."""
+    import os
+
+    from conftest import billing_record
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sources.stream import (
+        billing_stream_source,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.streaming.pipeline import (
+        BillingPipeline,
+    )
+
+    _drop(spark, "hll_ingest")
+    input_dir, wh, ck = (str(tmp_path / d) for d in ("in", "wh", "ck"))
+    os.makedirs(input_dir)
+    recs = [
+        billing_record("transfer", date="2024-03-01T10:00:00.000+0000", cellName="pool-a"),
+        billing_record("transfer", date="2024-03-01T11:00:00.000+0000", cellName="pool-b"),
+        billing_record("transfer", date="2024-03-02T10:00:00.000+0000", cellName="pool-a"),
+        billing_record("request", date="2024-03-01T10:00:00.000+0000", cellName="pool-z"),
+    ]
+    with open(os.path.join(input_dir, "a.json"), "w") as f:
+        f.write("\n".join(recs) + "\n")
+    spec = {"transfers": ("partition_date", "cellName", "hll_ingest")}
+
+    def pipe():
+        return BillingPipeline(
+            billing_stream_source(spark, "file", path=input_dir),
+            wh,
+            sketch_specs=spec,
+        )
+
+    pipe().run_available_now(ck)
+    store = HllStore(spark, "hll_ingest")
+    assert store.slices() == ["2024-03-01", "2024-03-02"]
+    assert store.estimate() == 2  # pool-a, pool-b (requests not sketched)
+    assert store.estimate("2024-03-02", "2024-03-02") == 1
+
+    # checkpoint replay: committed batch skipped entirely, store stable
+    pipe().run_available_now(ck)
+    assert store.estimate() == 2
+    # new producer on a new day: one slice merged, totals advance
+    with open(os.path.join(input_dir, "b.json"), "w") as f:
+        f.write(billing_record("transfer", date="2024-03-03T10:00:00.000+0000", cellName="pool-c") + "\n")
+    pipe().run_available_now(ck)
+    assert store.slices() == ["2024-03-01", "2024-03-02", "2024-03-03"]
+    assert store.estimate() == 3
+    store.drop()
+
+
+def test_pipeline_sketch_spec_names_unknown_route(spark, tmp_path):
+    import pytest as _pytest
+
+    from conftest import billing_record
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.streaming.pipeline import (
+        BillingPipeline,
+    )
+
+    wh = str(tmp_path / "wh")
+    pipe = BillingPipeline(
+        source=None, warehouse_dir=wh,
+        sketch_specs={"nonsense": ("partition_date", "cellName", "t")},
+    )
+    batch = spark.createDataFrame([(billing_record("transfer"),)], ["value"])
+    with _pytest.raises(ValueError, match="unknown route"):
+        pipe.process_batch(batch, 0)
