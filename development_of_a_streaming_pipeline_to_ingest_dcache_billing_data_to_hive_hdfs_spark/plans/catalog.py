@@ -8212,6 +8212,114 @@ def q_llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_llm_crawl_extract",
+    """
+    SELECT doc_id,
+           md5('Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+               || trim(regexp_replace(text || ' & more', '[ \t]+', ' ', 'g')))
+             AS text_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_llm_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED crawl path under one driver verdict: every document
+    becomes a WARC 'response' record whose payload is a full HTTP
+    message — transfer varied per doc (identity / Content-Encoding:
+    gzip / Transfer-Encoding: chunked, by doc_id % 3) — wrapping the
+    same decoy-laden HTML page as q_llm_html_extract, interleaved with
+    request decoys, per-record-gzipped into one .warc.gz. The Spark
+    side then runs the full distributed stack: read_warc (type filter)
+    → decode_response_html (envelope strip + de-chunk + gunzip) →
+    extract_text (tokenizer) — and every document's extracted text must
+    md5-match DuckDB composing the expectation from the raw text. One
+    wrong chunk boundary, one leaked HTTP header, one swallowed body
+    fails per-row."""
+    import gzip as _gzip
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..operators.html import extract_text
+    from ..sources.warc import decode_response_html, read_warc, write_warc_bytes
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = docs.collect()  # bounded: 500-5000 rows
+
+    def page(doc_id: int, text: str) -> bytes:
+        return (
+            '<html><head><title>skip</title><script>var f="<p>x</p>";'
+            f"</script></head><body><h1>Doc {doc_id}</h1><p>{text}"
+            " &amp; more</p></body></html>"
+        ).encode("utf-8")
+
+    def http_message(doc_id: int, body: bytes) -> bytes:
+        mode = doc_id % 3
+        if mode == 0:
+            return (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+            )
+        if mode == 1:
+            return (
+                b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+                + _gzip.compress(body)
+            )
+        # chunked: split the body into two chunks at an awkward point
+        cut = max(1, len(body) // 3)
+        a, b = body[:cut], body[cut:]
+        return (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            + f"{len(a):x}".encode() + b"\r\n" + a + b"\r\n"
+            + f"{len(b):x}".encode() + b"\r\n" + b + b"\r\n0\r\n\r\n"
+        )
+
+    members = []
+    for i, r in enumerate(sorted(rows, key=lambda r: r.doc_id)):
+        if i % 4 == 0:
+            members.append(
+                _gzip.compress(
+                    write_warc_bytes(
+                        [{"warc_type": "request", "content": b"GET /"}]
+                    )
+                )
+            )
+        members.append(
+            _gzip.compress(
+                write_warc_bytes(
+                    [
+                        {
+                            "warc_type": "response",
+                            "target_uri": f"urn:doc:{r.doc_id}",
+                            "content": http_message(
+                                r.doc_id, page(r.doc_id, r.text or "")
+                            ),
+                            "content_type": "application/http;msgtype=response",
+                        }
+                    ]
+                )
+            )
+        )
+    tmp = _tempfile.mkdtemp(prefix="crawl_gate_")
+    try:
+        with open(_os.path.join(tmp, "crawl.warc.gz"), "wb") as f:
+            f.write(b"".join(members))
+        recs = read_warc(spark, tmp, record_types=("response",))
+        extracted = extract_text(
+            decode_response_html(recs, "content", "html"), "html", "text"
+        )
+        out = extracted.select(
+            F.regexp_extract("target_uri", r"urn:doc:(\d+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.md5("text").alias("text_md5"),
+        ).orderBy("doc_id")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 _EMPTY_HLL_SKETCH_ORACLE = """
     SELECT CAST(NULL AS VARCHAR) AS reason,
            CAST(NULL AS BIGINT) AS detail
