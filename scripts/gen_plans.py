@@ -36,6 +36,7 @@ NOTES = {
  "q_llm_weighted_sample": "A-ES weighted sampling: the ln(u)/w key is a scan-stage md5 expression; TakeOrderedAndProject keeps per-partition heaps of k, so the corpus never globally sorts and only k rows reach the driver side of the plan.",
  "q_llm_warc_roundtrip": "WARC connector: binaryFile distributes segment files, the record walk is one mapInPandas generator per file — the natural parallel grain of a crawl; no shuffle anywhere in the read path.",
  "q_llm_html_extract": "HTML extraction: page construction is a scan-stage concat; the HTMLParser tokenizer runs per Arrow batch in the same mapInPandas boundary as the multimodal codecs — one scan, no shuffle.",
+ "q_llm_crawl_extract": "Composed crawl path: binaryFile distributes the segment file, and the record walk, HTTP envelope strip (de-chunk/gunzip), and tokenizer all run inside consecutive mapInPandas stages of ONE task chain — no shuffle until the presentation sort.",
  "q_rel_skew_join_salted": "Skew-stress treatment: the (content-hash + row-offset) salt spreads the hot key over 32 (key, salt) buckets before the shuffle; the dim side replicates once per salt value. Same answer as the plain join; ~10% slower at sf0.1 where AQE already handles the skew - the operator is the AQE-unavailable escape hatch, and the bench pair documents that honestly.",
  "q_llm_span_dedup": "Span-level dedup: per-doc window arrays build in the scan stage (transform over sequence, no Python), ONE explode streams token windows into ONE groupBy on the span; the map-side partial collapses spans seen once per partition before the exchange, so shuffle volume tracks distinct-span count. Top-50 via TakeOrderedAndProject.",
  "q_llm_bpe_pairs": "Tokenizer pair counts: corpus tokens collapse to a word-frequency table first (two-phase aggregate - the corpus->vocab reduction), then ONLY distinct words explode into character pairs for the weighted pair aggregate. Both shuffles are vocab-bounded; corpus size only affects the first map side.",
