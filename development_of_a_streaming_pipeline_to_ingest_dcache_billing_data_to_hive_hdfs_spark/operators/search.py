@@ -33,12 +33,12 @@ lookup reads bucket-locally.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .textops import tokens_col
 
-__all__ = ["build_postings", "bm25_search"]
+__all__ = ["build_postings", "bm25_search", "PostingsStore"]
 
 
 def build_postings(
@@ -104,13 +104,26 @@ def bm25_search(
     tf = postings.where(F.col("term").isin(terms)).select(
         "term", id_col, "tf", "dl"
     )
-
-    stats = F.broadcast(
-        docs.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.avg(F.size(tokens_col(text_col))).alias("avgdl"),
-        )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokens_col(text_col))).alias("avgdl"),
     )
+    return _bm25_rank(tf, stats, k, id_col=id_col, k1=k1, b=b)
+
+
+def _bm25_rank(
+    tf: DataFrame,
+    stats: DataFrame,
+    k: int,
+    *,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Scoring core shared by the scan path and the persisted store:
+    ``tf`` = matched postings (term, id, tf, dl), ``stats`` = 1 row
+    (n_docs, avgdl). Document frequencies and stats broadcast; top-k is
+    TakeOrderedAndProject on the rounded score with id tie-break."""
     df_tbl = F.broadcast(
         tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     )
@@ -126,7 +139,7 @@ def bm25_search(
     )
     scored = (
         tf.join(df_tbl, "term")
-        .crossJoin(stats)
+        .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
@@ -134,3 +147,121 @@ def bm25_search(
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+class PostingsStore:
+    """PERSISTED inverted index: the postings table BUCKETED on ``term``
+    plus a 1-row stats table — repeated queries never rescan the corpus,
+    and a term lookup never reads the whole index either:
+
+    - **Bucket pruning.** ``search()`` filters on literal query terms,
+      and Spark prunes a bucketed table's FILES by the filter's bucket
+      ids (``SelectedBucketsCount m (out of n)`` in the scan) — a
+      3-term query against a 64-bucket index opens ≤3 buckets' files.
+      That is the scale contract a flat parquet postings dump cannot
+      give (term min/max overlaps in every file); plan-asserted in
+      tests/test_search.py.
+    - **Appends keep the layout.** ``append(docs)`` writes new
+      documents' postings via ``insertInto``, which honors the table's
+      bucket spec (the dedup stores' idiom). Appended doc sets must be
+      DISJOINT from what's indexed (the same batch contract as every
+      corpus append here); replays of the same append double tf rows —
+      gate appends with the pipeline ledger like the other stores.
+    - **Stats ride along.** ``(n_docs, sum_dl)`` persist in
+      ``<table>_stats`` and fold on append, so BM25's idf/avgdl need no
+      corpus or index scan at query time. Zero-token documents never
+      enter the postings, so they are counted here, not there.
+    """
+
+    def __init__(self, spark: SparkSession, table: str, n_buckets: int = 64):
+        self.spark = spark
+        self.table = table
+        self.stats_table = f"{table}_stats"
+        self.n_buckets = n_buckets
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.table)
+
+    def _doc_stats(self, docs: DataFrame, id_col: str, text_col: str):
+        row = docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(
+                F.sum(F.size(tokens_col(text_col))), F.lit(0)
+            ).alias("sum_dl"),
+        ).collect()[0]
+        return int(row.n_docs), int(row.sum_dl)
+
+    def build(
+        self,
+        docs: DataFrame,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        """(Re)build the index from scratch — overwrite both tables."""
+        from ..sink import write_bucketed_table
+
+        postings = build_postings(docs, id_col=id_col, text_col=text_col)
+        write_bucketed_table(
+            postings,
+            self.table,
+            ["term"],
+            n_buckets=self.n_buckets,
+            sort_cols=["term"],
+        )
+        n, s = self._doc_stats(docs, id_col, text_col)
+        self.spark.createDataFrame(
+            [(n, s)], "n_docs bigint, sum_dl bigint"
+        ).write.mode("overwrite").saveAsTable(self.stats_table)
+
+    def append(
+        self,
+        docs: DataFrame,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        """Index NEW (disjoint) documents: postings append bucket-true
+        via insertInto; the stats row folds the increment."""
+        if not self.exists():
+            self.build(docs, id_col=id_col, text_col=text_col)
+            return
+        cols = [f.name for f in self.spark.table(self.table).schema]
+        build_postings(docs, id_col=id_col, text_col=text_col).select(
+            *cols
+        ).write.insertInto(self.table)
+        n, s = self._doc_stats(docs, id_col, text_col)
+        prev = self.spark.table(self.stats_table).collect()[0]
+        self.spark.createDataFrame(
+            [(prev.n_docs + n, prev.sum_dl + s)],
+            "n_docs bigint, sum_dl bigint",
+        ).write.mode("overwrite").saveAsTable(self.stats_table)
+
+    def search(
+        self,
+        query_terms: list[str],
+        k: int = 10,
+        *,
+        id_col: str = "doc_id",
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        terms = sorted(
+            {t for t in (s.strip().lower() for s in query_terms) if t}
+        )
+        if not terms:
+            raise ValueError("query_terms is empty after normalization")
+        if k <= 0:
+            raise ValueError(f"k must be positive: {k}")
+        tf = self.spark.table(self.table).where(
+            F.col("term").isin(terms)
+        )
+        stats = self.spark.table(self.stats_table).select(
+            "n_docs",
+            (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"),
+        )
+        return _bm25_rank(tf, stats, k, id_col=id_col, k1=k1, b=b)
+
+    def drop(self) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.stats_table}")

@@ -109,3 +109,82 @@ def test_plan_filters_in_scan_and_take_ordered(spark):
     # physical plans print top-down: the scan-stage filter must sit
     # BELOW (after) the exchange line it feeds
     assert filter_line > first_exchange, plan
+
+
+def test_postings_store_matches_scan_path_and_appends(spark):
+    """Store-backed search equals the one-shot scan path; appends fold
+    stats and postings so post-append scores equal a full rebuild."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.search import (
+        PostingsStore,
+    )
+
+    docs = _docs(spark)
+    store = PostingsStore(spark, "bm25_idx_a", n_buckets=8)
+    try:
+        store.build(docs)
+        direct = bm25_search(docs, ["apple", "cherry"], k=10).collect()
+        via = store.search(["apple", "cherry"], k=10).collect()
+        assert [(r.doc_id, r.score) for r in direct] == [
+            (r.doc_id, r.score) for r in via
+        ]
+        # append a new (disjoint) doc; compare against a full rebuild
+        extra = spark.createDataFrame([(9, "cherry apple cherry")], SCHEMA)
+        store.append(extra)
+        rebuilt = PostingsStore(spark, "bm25_idx_b", n_buckets=8)
+        try:
+            rebuilt.build(docs.unionByName(extra))
+            a = store.search(["cherry"], k=10).collect()
+            b = rebuilt.search(["cherry"], k=10).collect()
+            assert [(r.doc_id, r.score) for r in a] == [
+                (r.doc_id, r.score) for r in b
+            ]
+            assert any(r.doc_id == 9 for r in a)
+        finally:
+            rebuilt.drop()
+    finally:
+        store.drop()
+
+
+def test_postings_store_lookup_prunes_buckets(spark):
+    """The term filter must prune the bucketed index's FILES
+    (SelectedBucketsCount < total) — the scale contract a flat parquet
+    postings dump cannot give."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.search import (
+        PostingsStore,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    store = PostingsStore(spark, "bm25_idx_prune", n_buckets=16)
+    try:
+        store.build(docs)
+        plan = (
+            store.search(["merge", "window"], k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        assert int(m.group(1)) <= 2 < int(m.group(2)) == 16, m.groups()
+    finally:
+        store.drop()
+
+
+def test_postings_store_stats_count_zero_token_docs(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.search import (
+        PostingsStore,
+    )
+
+    docs = _docs(spark).unionByName(
+        spark.createDataFrame([(99, "   ")], SCHEMA)
+    )
+    store = PostingsStore(spark, "bm25_idx_z", n_buckets=4)
+    try:
+        store.build(docs)
+        stats = spark.table("bm25_idx_z_stats").collect()[0]
+        assert stats.n_docs == 5  # the zero-token doc counts in N
+        assert stats.sum_dl == 9  # ...but adds no length mass
+    finally:
+        store.drop()
