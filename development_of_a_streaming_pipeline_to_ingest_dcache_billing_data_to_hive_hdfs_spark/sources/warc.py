@@ -56,8 +56,15 @@ def _gunzip_members(data: bytes) -> bytes:
     out = []
     while data:
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data))
-        out.append(d.flush())
+        try:
+            out.append(d.decompress(data))
+            out.append(d.flush())
+        except zlib.error as exc:
+            # keep the module's single failure type: damaged gzip is
+            # malformed input, not an internal error
+            raise ValueError(f"malformed gzip member: {exc}") from None
+        if d.unused_data == data:
+            raise ValueError("malformed gzip member: no progress")
         data = d.unused_data
     return b"".join(out)
 
@@ -112,6 +119,13 @@ def parse_warc_bytes(data: bytes, origin: str = "<bytes>") -> Iterator[dict]:
                 f"malformed WARC ({origin}): non-numeric Content-Length "
                 f"{headers['content-length']!r} at byte {pos}"
             ) from None
+        if clen < 0:
+            # a negative length would walk `pos` BACKWARD — on crafted
+            # input that re-parses the same region forever
+            raise ValueError(
+                f"malformed WARC ({origin}): negative Content-Length "
+                f"{clen} at byte {pos}"
+            )
         body_start = hdr_end + 4
         if body_start + clen > n:
             raise ValueError(

@@ -113,3 +113,33 @@ def test_html_to_text_idempotent_and_normalized(paras):
     for line in out.split("\n") if out else []:
         assert line == line.strip() and line != ""
         assert "  " not in line and "\t" not in line
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=512))
+def test_parse_warc_total_failure_contract(data):
+    """Arbitrary bytes either parse to records or raise ValueError —
+    never another exception type, never a hang (the negative
+    Content-Length backward walk and zlib.error leaks are pinned
+    here)."""
+    try:
+        list(parse_warc_bytes(data, origin="fuzz"))
+    except ValueError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=256))
+def test_parse_warc_gzip_prefixed_garbage(data):
+    try:
+        list(parse_warc_bytes(b"\x1f\x8b" + data, origin="fuzz"))
+    except ValueError:
+        pass
+
+
+def test_negative_content_length_rejected():
+    import pytest as _pytest
+
+    rec = b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: -4\r\n\r\nabcd\r\n\r\n"
+    with _pytest.raises(ValueError, match="negative Content-Length"):
+        list(parse_warc_bytes(rec, origin="unit"))
