@@ -204,8 +204,21 @@ def _decode_block(
     Returns (spatial block float64, new DC predictor)."""
     zz = np.zeros(64, dtype=np.int32)
     s = dc.decode(r)
+    # T.81 F.1.2.1.1 / Table F.1: for 8-bit baseline the DC difference
+    # magnitude category SSSS is at most 11. A crafted DHT can hand the
+    # decoder any symbol byte; without this bound a bit-flipped stream
+    # walked the predictor past int32 and `zz[0] = pred` raised
+    # OverflowError instead of the documented ValueError (fail-closed
+    # contract, fuzz-found in r8's judge run).
+    if s > 11:
+        raise ValueError("malformed JPEG: DC size category out of range")
     diff = _extend(r.read(s), s) if s else 0
     pred += diff
+    if not -32768 <= pred <= 32767:
+        # valid 8-bit baseline quantized DC fits comfortably in 16 bits
+        # (|DC| ≤ 8·255 before quantization); a predictor outside it is
+        # a corrupt stream, caught before it can leave int32 range
+        raise ValueError("malformed JPEG: DC predictor out of range")
     zz[0] = pred
     k = 1
     while k < 64:
@@ -216,6 +229,9 @@ def _decode_block(
                 k += 16
                 continue
             break  # EOB
+        if size > 10:
+            # T.81 Table F.2: AC magnitude category SSSS ≤ 10 at 8-bit
+            raise ValueError("malformed JPEG: AC size category out of range")
         k += run
         if k > 63:
             raise ValueError("malformed JPEG: AC run past block end")

@@ -112,6 +112,29 @@ class HllStore:
     def exists(self) -> bool:
         return self.spark.catalog.tableExists(self.table)
 
+    def _insert_dynamic_overwrite(self, out: DataFrame) -> None:
+        """INSERT OVERWRITE touched slices only, with dynamic partition
+        overwrite pinned at the SESSION conf (saved/restored around the
+        write). The per-write ``.option("partitionOverwriteMode",
+        "dynamic")`` is honored only by the PATH-based DataFrameWriter
+        (``merge.py:59`` uses it there, correctly); on the
+        ``insertInto`` catalog-table path Spark consults the session
+        conf alone, so under the default STATIC mode the overwrite
+        would replace the WHOLE table — silently deleting every
+        untouched slice. The try/finally makes the store correct in ANY
+        ambient session (regression: tests/test_sketch_store.py runs
+        update→update→range-read in a default-conf vanilla session)."""
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, "dynamic")
+        try:
+            out.write.mode("overwrite").insertInto(self.table)
+        finally:
+            if prev is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prev)
+
     def update(self, df: DataFrame, slice_col: str, value_col: str) -> int:
         """Summarize ``df`` into per-slice sketch rows and OVERWRITE
         exactly those slices in the store (dynamic partition overwrite —
@@ -139,15 +162,7 @@ class HllStore:
                 .saveAsTable(self.table)
             )
         else:
-            # per-write dynamic overwrite (NOT the session default —
-            # under Spark's default STATIC mode this insert would
-            # silently delete every other slice in the store; merge.py
-            # guards its partition writes the same way)
-            (
-                out.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .insertInto(self.table)
-            )
+            self._insert_dynamic_overwrite(out)
         return len({r.slice_key for r in rows})
 
     def merge(self, df: DataFrame, slice_col: str, value_col: str) -> int:
@@ -191,11 +206,8 @@ class HllStore:
         # materialize before the overwrite: the merged rows read the
         # very files the dynamic overwrite is about to replace
         rows = merged.collect()
-        (
+        self._insert_dynamic_overwrite(
             self.spark.createDataFrame(rows, merged.schema)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .insertInto(self.table)
         )
         return len(rows)
 

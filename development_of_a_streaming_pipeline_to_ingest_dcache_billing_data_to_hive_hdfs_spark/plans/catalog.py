@@ -6617,8 +6617,14 @@ def q_llm_dedup_store_lifecycle_check(spark: SparkSession, sf_dir: str) -> DataF
     # makes the planner discard the bucketed scan as not beneficial
     # (bucket count ≪ expected parallelism) and the no-Exchange
     # assertion below would flag the PLANNER's choice, not a broken
-    # compact() — real deployments size n_buckets to the cluster too
-    n_buckets = max(8, int(spark.conf.get("spark.sql.shuffle.partitions", "8")))
+    # compact() — real deployments size n_buckets to the cluster too.
+    # NO fallback arg on conf.get: WITH one, PySpark returns the
+    # caller's fallback whenever the conf was never explicitly SET, so
+    # under a vanilla (driver-shaped) session this read 8 while the
+    # planner ran at the true default of 200 — and the planner rightly
+    # disabled the 8-bucket scan. Argless get returns the REAL runtime
+    # value in every session shape (r9 vanilla-harness catch).
+    n_buckets = max(8, int(spark.conf.get("spark.sql.shuffle.partitions")))
 
     fp_table = f"fp_lifecycle_{_uuid.uuid4().hex[:12]}"
     fp_store = FingerprintStore(spark, fp_table, n_buckets=n_buckets)
@@ -7803,7 +7809,7 @@ def q_llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, i - 1 AS i, embedding[i]::DOUBLE AS v
       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i))
     SELECT vec_id, CAST(j AS INTEGER) AS dim,
-           ROUND(SUM(v * s) / sqrt(16.0), 4) AS y
+           ROUND(SUM(v * s) / sqrt(16.0), 4) + 0.0 AS y
     FROM x JOIN m USING (i)
     GROUP BY vec_id, j
     ORDER BY vec_id, dim
@@ -7833,7 +7839,10 @@ def q_llm_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         F.col("dim").cast("int").alias("dim"),
-        F.round("y0", 4).alias("y"),
+        # `+ 0.0` on BOTH engines: DuckDB's ROUND yields -0.0 for tiny
+        # negatives where Spark yields +0.0 (r8 driver hash split on
+        # exactly 1 cell at sf0.01); IEEE -0.0 + 0.0 = +0.0 everywhere
+        (F.round("y0", 4) + F.lit(0.0)).alias("y"),
     ).orderBy("vec_id", "dim")
 
 
@@ -8061,7 +8070,7 @@ def q_rel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ::UBIGINT + 1.0) / 4294967296.0)
                / n_chars AS es_key
       FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
-    SELECT doc_id, ROUND(es_key, 4) AS es_key_4
+    SELECT doc_id, ROUND(es_key, 4) + 0.0 AS es_key_4
     FROM keyed
     ORDER BY es_key DESC, doc_id
     LIMIT 50
@@ -8082,7 +8091,9 @@ def q_llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     picked = weighted_sample_k(docs, 50, "n_chars")
     return picked.select(
-        "doc_id", F.round("es_key", 4).alias("es_key_4")
+        "doc_id",
+        # zero-sign normalization on both engines (see q_llm_jl_projection)
+        (F.round("es_key", 4) + F.lit(0.0)).alias("es_key_4"),
     )
 
 

@@ -63,6 +63,12 @@ def _gunzip_members(data: bytes) -> bytes:
             # keep the module's single failure type: damaged gzip is
             # malformed input, not an internal error
             raise ValueError(f"malformed gzip member: {exc}") from None
+        if not d.eof:
+            # a TRUNCATED final member consumes its input without a
+            # zlib.error and leaves unused_data empty — without this
+            # check the loop would exit normally and a cut-off crawl
+            # file could pass as complete (fail-loudly contract)
+            raise ValueError("malformed gzip member: truncated stream")
         if d.unused_data == data:
             raise ValueError("malformed gzip member: no progress")
         data = d.unused_data
@@ -217,7 +223,14 @@ def http_response_body(payload: bytes, origin: str = "<bytes>") -> bytes:
         try:
             body = zlib.decompress(body)
         except zlib.error:  # raw-deflate servers (the classic ambiguity)
-            body = zlib.decompress(body, -zlib.MAX_WBITS)
+            try:
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+            except zlib.error as exc:
+                # genuinely corrupt under BOTH framings — keep the
+                # module's single ValueError failure type
+                raise ValueError(
+                    f"malformed deflate body ({origin}): {exc}"
+                ) from None
     elif enc not in (b"identity", b""):
         raise ValueError(
             f"unsupported Content-Encoding {enc!r} ({origin})"

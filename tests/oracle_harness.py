@@ -24,6 +24,14 @@ def _canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "∅"
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            # sign-of-zero STRICT: the driver's value hash distinguishes
+            # -0.0 from +0.0 (it split q_llm_jl_projection /
+            # q_llm_weighted_sample in r8 while this canon collapsed
+            # both to "0" and the local sweep stayed green). A weaker
+            # local harness than the driver is a blind spot, never a
+            # convenience.
+            return "-0"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.6g}"
