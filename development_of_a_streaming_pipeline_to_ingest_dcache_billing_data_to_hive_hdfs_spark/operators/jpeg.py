@@ -31,11 +31,44 @@ signature without touching the Spark plumbing.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
 
 __all__ = ["is_jpeg", "decode_jpeg", "jpeg_info"]
+
+
+def _fail_closed(fn):
+    """Module-boundary enforcement of the documented error contract:
+    malformed bytes raise ValueError (or NotImplementedError for the
+    honestly-gated variants) — never IndexError / KeyError /
+    struct.error / OverflowError.
+
+    The parser also guards every structural read with explicit
+    per-marker minimum-length checks (see ``_parse``), so in practice
+    this catch should not fire; it exists because fuzzing found — two
+    rounds running — that guarding *instances* of short-read bugs
+    (r8: DC size category; r9: an empty SOF segment reaching
+    ``seg[0]``) leaves the *class* open. A crafted length field can
+    shrink any segment under any field read; the boundary catch makes
+    the single-failure-type contract hold for the whole class, while
+    the explicit checks keep error messages precise for the common
+    shapes. ``from exc`` preserves the underlying traceback for
+    debugging."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (ValueError, NotImplementedError):
+            raise
+        except (IndexError, KeyError, struct.error, OverflowError) as exc:
+            raise ValueError(
+                f"malformed JPEG: {type(exc).__name__} during decode"
+            ) from exc
+
+    return wrapper
 
 # spec Figure A.6 zig-zag index order: zigzag position -> raster index
 ZIGZAG = np.array([
@@ -243,6 +276,7 @@ def _decode_block(
     return block, pred
 
 
+@_fail_closed
 def jpeg_info(payload: bytes) -> dict:
     """Header probe without entropy decode: dimensions, component
     count, sampling factors, progressive flag."""
@@ -253,6 +287,29 @@ def jpeg_info(payload: bytes) -> dict:
         "n_components": len(info["components"]),
         "sampling": [(c["h"], c["v"]) for c in info["components"]],
         "progressive": info["progressive"],
+    }
+
+
+def _parse_sof(seg: bytes) -> dict:
+    """Frame-header fields from a SOF segment body, with the B.2.2
+    minimum-length check (Lf = 8 + 3·Nf → body is 6 + 3·Nf) enforced
+    BEFORE any field read — a bit-flipped length field can shrink the
+    slice to anything, including empty (fuzz-found: ``seg[0]`` on an
+    empty segment raised IndexError past the fail-closed contract)."""
+    if len(seg) < 6 or len(seg) < 6 + 3 * seg[5]:
+        raise ValueError("malformed JPEG: short SOF segment")
+    precision = seg[0]
+    height, width = struct.unpack(">HH", seg[1:5])
+    ncomp = seg[5]
+    comps = []
+    for c in range(ncomp):
+        cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+        comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+    return {
+        "width": width,
+        "height": height,
+        "components": comps,
+        "precision": precision,
     }
 
 
@@ -312,6 +369,8 @@ def _parse(data: bytes, header_only: bool = False) -> dict:
             while i < len(seg):
                 cls, tid = seg[i] >> 4, seg[i] & 0x0F
                 counts = list(seg[i + 1 : i + 17])
+                if len(counts) != 16:
+                    raise ValueError("malformed JPEG: short DHT")
                 n = sum(counts)
                 symbols = seg[i + 17 : i + 17 + n]
                 if len(symbols) != n:
@@ -319,20 +378,12 @@ def _parse(data: bytes, header_only: bool = False) -> dict:
                 (huff_ac if cls else huff_dc)[tid] = _Huffman(counts, symbols)
                 i += 17 + n
         elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
-            precision = seg[0]
+            frame = _parse_sof(seg)
+            precision = frame.pop("precision")
             if precision != 8:
                 raise NotImplementedError(
                     f"JPEG precision {precision} not supported (baseline is 8-bit)"
                 )
-            height, width = struct.unpack(">HH", seg[1:5])
-            ncomp = seg[5]
-            comps = []
-            for c in range(ncomp):
-                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
-                )
-            frame = {"width": width, "height": height, "components": comps}
         elif marker == 0xC2:
             progressive = True
             if not header_only:
@@ -342,24 +393,22 @@ def _parse(data: bytes, header_only: bool = False) -> dict:
                     "approximation), honestly gated like the other "
                     "absent codecs"
                 )
-            height, width = struct.unpack(">HH", seg[1:5])
-            ncomp = seg[5]
-            comps = []
-            for c in range(ncomp):
-                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
-                )
-            frame = {"width": width, "height": height, "components": comps}
+            frame = _parse_sof(seg)
+            frame.pop("precision")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF marker 0x{marker:02x} (non-baseline coding) not supported"
             )
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("malformed JPEG: short DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("malformed JPEG: SOS before SOF")
+            # B.2.3: Ls = 6 + 2·Ns → segment body (Ls-2) is 4 + 2·Ns
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0]:
+                raise ValueError("malformed JPEG: short SOS segment")
             ns = seg[0]
             scan = []
             for c in range(ns):
@@ -410,6 +459,7 @@ def _entropy_segments(data: bytes, start: int) -> list[bytes]:
     return [bytes(s) for s in segments]
 
 
+@_fail_closed
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG bytes → uint8 array of shape (height, width, 1)
     for grayscale or (height, width, 3) RGB.

@@ -411,3 +411,50 @@ def test_fuzzed_payloads_fail_closed():
 
     _garbage()
     _bitflip()
+
+
+def test_fuzz_counterexamples_pinned():
+    """Exact counterexamples that previously ESCAPED the fail-closed
+    contract, pinned so they can never regress silently:
+
+    - r9 judge run: ``pos=632, val=2`` shrinks a marker segment's
+      length field so the SOF segment body is empty, and the
+      (then-unguarded) ``seg[0]`` precision read raised IndexError.
+      Now caught by the B.2.2 minimum-length check in
+      ``jpeg._parse_sof`` (and, class-wide, by the ``_fail_closed``
+      module boundary).
+    - r8 judge run: a bit-flipped entropy stream walked the DC
+      predictor past int32 (OverflowError); the Table F.1/F.2 size-
+      category bounds in ``_decode_block`` catch it — exercised here
+      via a DHT whose symbol bytes exceed the legal SSSS range.
+    """
+    good = write_avi_ref(_flat_frames([90, 150]), 16, 16)
+
+    # r9 escape: empty SOF segment
+    mutated = bytearray(good)
+    mutated[632] = 2
+    with pytest.raises((ValueError, NotImplementedError)):
+        for fr in iter_video_frames(bytes(mutated)):
+            decode_avi_frame(fr)
+
+    # r8 escape class: DC size category out of T.81 range. Build a
+    # JPEG whose DC table maps the shortest code to symbol 13 (> 11).
+    bad_dc = _seg(
+        0xC4,
+        bytes([0x00, 1] + [0] * 15) + bytes([13]),
+    )
+    payload = (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + bad_dc
+        + _seg(
+            0xC4,
+            bytes([0x10]) + bytes(K3_AC_LUMA_COUNTS) + bytes(K3_AC_LUMA_VALS),
+        )
+        + _seg(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + b"\x00\x00"  # entropy bits: shortest DC code -> symbol 13
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="DC size category"):
+        decode_jpeg(payload)
