@@ -122,8 +122,17 @@ class HllStore:
         conf alone, so under the default STATIC mode the overwrite
         would replace the WHOLE table — silently deleting every
         untouched slice. The try/finally makes the store correct in ANY
-        ambient session (regression: tests/test_sketch_store.py runs
-        update→update→range-read in a default-conf vanilla session)."""
+        ambient session (regression: the update→update→range-read shape
+        runs in a genuinely default-conf session via
+        scripts/run_vanilla_gates.py, subprocess-run by
+        tests/test_vanilla_session.py).
+
+        Concurrency caveat: the pinned conf is SESSION-global for the
+        duration of the write — a concurrent write on another thread of
+        the same SparkSession would run under dynamic mode (or race the
+        restore). Safe here because every store-mutating CLI serializes
+        under the warehouse lock (cli/locking.py); a multi-threaded
+        embedder must provide its own per-session write lock."""
         key = "spark.sql.sources.partitionOverwriteMode"
         prev = self.spark.conf.get(key, None)
         self.spark.conf.set(key, "dynamic")

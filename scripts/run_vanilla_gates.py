@@ -126,11 +126,15 @@ def main() -> None:
         .appName("vanilla-gates")
         .getOrCreate()
     )
-    # prove the session really is driver-shaped for the conf that bit r8
-    assert (
+    # prove the session really is driver-shaped for the conf that bit
+    # r8 — an explicit raise, not `assert`, so the guard survives -O
+    if (
         spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper()
-        == "STATIC"
-    ), "session is not vanilla — the harness would be testing nothing"
+        != "STATIC"
+    ):
+        raise SystemExit(
+            "session is not vanilla — the harness would be testing nothing"
+        )
 
     from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans import (
         QUERIES,
