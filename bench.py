@@ -257,6 +257,11 @@ SCALE_PROBE_OPS = {
     "q_llm_pq_topk": "embeddings",
     "q_rel_table_profile": "lineitem",
     "q_rel_table_profile_approx": "lineitem",
+    # the two priciest plans in the suite (bench #1/#2 by wall time) —
+    # both single codegen'd scan-stage projections, in the probe so the
+    # "heavy constant x linear scan" claim is measured, not asserted
+    "q_llm_gopher_repetition": "documents",
+    "q_llm_char_entropy": "documents",
 }
 
 
@@ -620,6 +625,39 @@ def main() -> None:
             errors["_plans_md_stale"] = stale
     except Exception:  # noqa: BLE001 — advisory only
         pass
+    # vanilla-session gate sweep (scripts/run_vanilla_gates.py, also
+    # subprocess-run by tests/test_vanilla_session.py): the r8 failure
+    # class was factory-conf-masked bugs, so a round whose *_check gates
+    # never ran in a default-conf session at current code is flagged
+    try:
+        van = json.loads((Path(__file__).resolve().parent / "VANILLA_GATES.json").read_text())
+        payload["vanilla_gates"] = {
+            "n": van.get("n"), "fail": van.get("fail"),
+            "git": van.get("git_head"), "artifact": "VANILLA_GATES.json",
+        }
+        head = _git_head()
+        if van.get("fail"):
+            errors["_vanilla_gates_red"] = (
+                f"VANILLA_GATES.json records {van['fail']} failing gate(s)"
+            )
+        elif (
+            head
+            and van.get("git_head")
+            and head != van.get("git_head")
+            and _code_changed_since(van["git_head"])
+        ):
+            errors["_vanilla_gates_stale"] = (
+                f"VANILLA_GATES.json is from {van.get('git_head')}, "
+                f"package code changed since — re-run "
+                f"scripts/run_vanilla_gates.py"
+            )
+    except OSError:
+        errors["_vanilla_gates_missing"] = (
+            "VANILLA_GATES.json absent — run scripts/run_vanilla_gates.py "
+            "(or pytest tests/test_vanilla_session.py)"
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["_vanilla_gates"] = _err_head(exc)
     if errors:
         payload["errors"] = errors
     if count_errors:

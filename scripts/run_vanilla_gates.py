@@ -149,17 +149,29 @@ def main() -> None:
     spark.stop()
 
     failures = {n: r for n, r in results.items() if not r.get("ok")}
-    print(
-        json.dumps(
-            {
-                "n": len(results),
-                "fail": len(failures),
-                "sf_dir": sf_dir,
-                "elapsed_sec": elapsed,
-                "failures": failures,
-            }
-        )
-    )
+    summary = {
+        "n": len(results),
+        "fail": len(failures),
+        "sf_dir": sf_dir,
+        "elapsed_sec": elapsed,
+        "failures": failures,
+    }
+    # persist the verdict (+ the HEAD it ran at) so bench.py's
+    # stale-guard family can flag a round whose *_check gates never ran
+    # outside the factory session at current code — same pattern as
+    # PARITY_SF01.json
+    try:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10, cwd=str(REPO),
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001 — no git in some sandboxes
+        head = None
+    artifact = dict(summary, git_head=head)
+    (REPO / "VANILLA_GATES.json").write_text(json.dumps(artifact, indent=1))
+    print(json.dumps(summary))
     if failures:
         sys.exit(1)
 
