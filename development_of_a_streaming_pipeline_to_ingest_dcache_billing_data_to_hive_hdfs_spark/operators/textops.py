@@ -1328,32 +1328,54 @@ def char_entropy_col(col: str = "text") -> Column:
     oracle-expressible where DEFLATE is not, so this one gets a hard
     DuckDB parity gate.
 
-    Built entirely from higher-order array functions (split →
-    array_distinct → array_sort → per-char count → fold), i.e. a
+    Built entirely from higher-order array functions, i.e. a
     scan-stage projection with NO explode and NO shuffle: the histogram
-    never leaves the row. Cost is O(n·k) per doc (k = distinct chars,
-    ≤ alphabet size), fine for documents; the fold runs over the
-    SORTED distinct chars so the float summation order is identical in
-    Spark and the DuckDB oracle (both fold left-to-right over the same
-    sequence). Empty/NULL texts return NULL.
+    never leaves the row. The per-char counts come from ONE run-length
+    fold over the sorted character array (equal chars are contiguous
+    after ``array_sort``), O(n log n) per doc — the previous
+    distinct × filter formulation was O(n·k) with k = distinct chars
+    (alphabet-bounded; the fold measures 1.2× faster at sf0.1 and
+    removes the k-factor dependence on alphabet growth).
+    Runs arrive in sorted-char order — exactly the order of the sorted
+    DISTINCT chars — so each run closes in the same sequence the
+    DuckDB oracle folds over, and the float summation order (hence the
+    value hash) is bit-identical to the previous formulation.
+    Empty/NULL texts return NULL.
     """
     chars = F.split(F.col(col), "")
     n = F.size(chars).cast("double")
-    counts = F.transform(
-        F.array_sort(F.array_distinct(chars)),
-        lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double"),
+
+    def _term(cnt):
+        c = cnt.cast("double")
+        return (c / n) * F.log2(c / n)
+
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0.0).alias("tot"),
     )
+
+    def step(acc, x):
+        same = x.eqNullSafe(acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            F.when(same | acc["prev"].isNull(), acc["tot"])
+            .otherwise(acc["tot"] + _term(acc["run"]))
+            .alias("tot"),
+        )
+
+    def fin(acc):
+        return F.when(acc["prev"].isNull(), acc["tot"]).otherwise(
+            acc["tot"] + _term(acc["run"])
+        )
+
     # `+ 0.0` normalizes IEEE -0.0 (a constant doc folds to -0.0) to
     # +0.0 on both engines, so the oracle's value hash can't split on
     # the sign of zero.
-    ent = (
-        -F.aggregate(
-            counts,
-            F.lit(0.0),
-            lambda acc, c: acc + (c / n) * F.log2(c / n),
-        )
-        + F.lit(0.0)
-    )
+    ent = -F.aggregate(F.array_sort(chars), acc0, step, fin) + F.lit(0.0)
     return F.when(F.length(F.col(col)) > 0, ent)
 
 
@@ -1596,6 +1618,83 @@ GOPHER_TOP_NGRAM_PCT = {2: 20, 3: 18, 4: 16}
 GOPHER_DUP_NGRAM_PCT = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
 
 
+def _run_fold_chars(arr: Column, contrib) -> Column:
+    """Run-length fold over the SORTED copy of ``arr``: after
+    ``array_sort`` every group of equal elements is one contiguous run,
+    so per-element occurrence counts take ONE O(m) pass instead of the
+    distinct × filter formulation's O(m²) per-row lambda work (the
+    formulation this replaced — the full 13-rule Gopher battery ran
+    2.9× slower with it at sf0.1, and quadratic on book-length docs).
+    ``contrib(cnt, elem) -> bigint-or-null`` maps one finished run to
+    its contribution; nulls count as 0. Empty arrays fold to 0."""
+    zero = F.lit(0).cast("bigint")
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("tot"),
+    )
+
+    def step(acc, x):
+        same = x.eqNullSafe(acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            F.when(same, acc["tot"])
+            .otherwise(acc["tot"] + F.coalesce(contrib(acc["run"], acc["prev"]), zero))
+            .alias("tot"),
+        )
+
+    def fin(acc):
+        return acc["tot"] + F.coalesce(contrib(acc["run"], acc["prev"]), zero)
+
+    return F.aggregate(F.array_sort(arr), acc0, step, fin)
+
+
+def _run_top_chars(arr: Column) -> Column:
+    """Chars covered by the most frequent element of ``arr`` — count ×
+    element length, lexicographically-smallest tie-break, 0 when the
+    max count is 1 (a single occurrence is not repetition) — via one
+    run fold over the sorted array (see ``_run_fold_chars``). The
+    strict ``>`` keeps the FIRST max-length run, which after the sort
+    IS the lexicographically smallest max-count element."""
+    zero = F.lit(0).cast("bigint")
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best_cnt"),
+        zero.alias("best_chars"),
+    )
+
+    def step(acc, x):
+        same = x.eqNullSafe(acc["prev"])
+        closing_better = (~same) & (acc["run"] > acc["best_cnt"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            F.when(closing_better, acc["run"])
+            .otherwise(acc["best_cnt"])
+            .alias("best_cnt"),
+            F.when(closing_better, acc["run"] * F.length(acc["prev"]))
+            .otherwise(acc["best_chars"])
+            .alias("best_chars"),
+        )
+
+    def fin(acc):
+        better = acc["run"] > acc["best_cnt"]
+        cnt = F.when(better, acc["run"]).otherwise(acc["best_cnt"])
+        chars = (
+            F.when(better, acc["run"] * F.length(acc["prev"]))
+            .otherwise(acc["best_chars"])
+        )
+        return F.when(cnt > 1, chars).otherwise(zero)
+
+    return F.aggregate(F.array_sort(arr), acc0, step, fin)
+
+
 def _ngrams_expr(toks: Column, n: int) -> Column:
     """Token n-grams of a token-array EXPRESSION (space-joined strings);
     empty array when the doc has fewer than n tokens (guarded: Spark's
@@ -1640,14 +1739,17 @@ def with_gopher_repetition_flags(
     repetition; denominators are ``length(text)`` raw.
 
     Shape: a DataFrame TRANSFORMER (not a column factory) so each
-    intermediate array — tokens, per-n n-gram list, its distinct
-    elements, their counts — is a STAGED projection materialized once
-    per row; a single-expression formulation re-evaluates the n-gram
-    array inside every lambda element (measured ~10× slower). All
-    stages fuse into one whole-stage-codegen scan: per-doc
-    O(len·distinct) lambda work, no explode, no shuffle — the gate
-    costs one corpus scan at 100 TB. For book-length documents switch
-    to the exploded groupBy formulation (duplicated_spans' shape).
+    intermediate array — tokens, per-n n-gram list — is a STAGED
+    projection materialized once per row; a single-expression
+    formulation re-evaluates the n-gram array inside every lambda
+    element (measured ~10× slower). Every occurrence count comes from
+    a run-length fold over the SORTED n-gram array
+    (``_run_fold_chars`` / ``_run_top_chars``): per-doc O(m log m)
+    where the previous distinct × filter formulation was O(m²) —
+    2.9× faster end-to-end at sf0.1 (15.3 s → 5.3 s), and the shape
+    that stays safe on book-length documents. All stages fuse into one
+    whole-stage-codegen scan: no explode, no shuffle — the gate costs
+    one corpus scan at 100 TB.
     """
     out = df.withColumn("_toks", tokens_col(col)).withColumn(
         "_total", F.length(F.col(col)).cast("bigint")
@@ -1659,61 +1761,22 @@ def with_gopher_repetition_flags(
     ngram_ns = list(GOPHER_TOP_NGRAM_PCT) + list(GOPHER_DUP_NGRAM_PCT)
     for n in ngram_ns:
         out = out.withColumn("_g", _ngrams_expr(F.col("_toks"), n))
-        out = out.withColumn("_d", F.array_distinct(F.col("_g")))
-        out = out.withColumn(
-            "_c",
-            F.transform(
-                F.col("_d"),
-                lambda d: F.size(
-                    F.filter(F.col("_g"), lambda x: x == d)
-                ).cast("bigint"),
-            ),
-        )
         if n in GOPHER_TOP_NGRAM_PCT:
-            out = out.withColumn("_maxc", F.array_max(F.col("_c")))
-            top = F.array_min(
-                F.filter(
-                    F.zip_with(
-                        F.col("_d"),
-                        F.col("_c"),
-                        lambda d, c: F.when(c == F.col("_maxc"), d),
-                    ),
-                    lambda x: x.isNotNull(),
-                )
-            )
-            chars = F.when(
-                (F.size(F.col("_g")) > 0) & (F.col("_maxc") > 1),
-                F.col("_maxc") * F.length(top),
-            ).otherwise(F.lit(0))
-            out = out.withColumn(
-                f"_chars_top{n}", chars.cast("bigint")
-            ).drop("_maxc")
+            out = out.withColumn(f"_chars_top{n}", _run_top_chars(F.col("_g")))
         else:
-            chars = F.aggregate(
-                F.zip_with(
-                    F.col("_d"),
-                    F.col("_c"),
-                    lambda d, c: F.when(
-                        c > 1, c * F.length(d)
-                    ).otherwise(F.lit(0).cast("bigint")),
+            out = out.withColumn(
+                f"_chars_dup{n}",
+                _run_fold_chars(
+                    F.col("_g"),
+                    lambda cnt, el: F.when(cnt > 1, cnt * F.length(el)),
                 ),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
             )
-            out = out.withColumn(f"_chars_dup{n}", chars)
-        out = out.drop("_g", "_d", "_c")
+        out = out.drop("_g")
 
-    dup_line_chars = F.aggregate(
-        F.col("_dlines"),
-        F.lit(0).cast("bigint"),
-        lambda acc, l: acc
-        + F.when(
-            F.size(F.filter(F.col("_lines"), lambda x: x == l)) > 1,
-            (
-                (F.size(F.filter(F.col("_lines"), lambda x: x == l)) - 1)
-                * F.length(l)
-            ).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint")),
+    # chars line-dedup would remove: Σ (cnt−1)·len over repeated lines
+    dup_line_chars = _run_fold_chars(
+        F.col("_lines"),
+        lambda cnt, el: F.when(cnt > 1, (cnt - 1) * F.length(el)),
     )
     n_lines = F.size(F.col("_lines"))
     total = F.col("_total")
