@@ -19,6 +19,8 @@ import wave
 
 import numpy as np
 
+from .codec_guard import fail_closed
+
 # samples analyzed per payload for the spectral features — bounds the
 # FFT cost per row regardless of clip length (~1.5 s at 44.1 kHz)
 MAX_ANALYSIS_SAMPLES = 1 << 16
@@ -35,6 +37,7 @@ def is_wav(payload: bytes | None) -> bool:
     )
 
 
+@fail_closed("WAV")
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes → (float samples in [-1, 1] of shape (n, channels),
     sample_rate). Integer PCM only; raises ValueError on anything else
@@ -48,8 +51,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             rate = w.getframerate()
             n_frames = w.getnframes()
             raw = w.readframes(n_frames)
-    except wave.Error as e:
-        raise ValueError(f"unsupported WAV: {e}") from e
+    except (wave.Error, EOFError, RuntimeError) as e:
+        # the stdlib wave/chunk modules raise bare EOFError (truncated
+        # chunk) and RuntimeError (chunk-relative seek past a corrupt
+        # size field) on malformed containers — fuzz-found; both are
+        # "malformed bytes" here, and the catch is scoped to the
+        # wave.open block so a real RuntimeError elsewhere still raises
+        raise ValueError(f"unsupported WAV: {type(e).__name__} {e}") from e
     if width not in _PCM_DTYPES:
         raise ValueError(f"unsupported WAV sample width {width} bytes")
     data = np.frombuffer(raw, dtype=_PCM_DTYPES[width])

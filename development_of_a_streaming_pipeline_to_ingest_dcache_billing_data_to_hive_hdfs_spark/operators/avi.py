@@ -32,6 +32,8 @@ import struct
 
 import numpy as np
 
+from .codec_guard import fail_closed
+
 __all__ = [
     "is_avi",
     "avi_info",
@@ -69,6 +71,7 @@ def _walk(data: bytes, start: int, end: int):
         pos = body + size + (size & 1)  # chunks are word-aligned
 
 
+@fail_closed("AVI")
 def avi_info(payload: bytes) -> dict:
     """Main-header probe: dimensions, frame period, stream table."""
     data = bytes(payload)
@@ -104,6 +107,7 @@ def avi_info(payload: bytes) -> dict:
     return info
 
 
+@fail_closed("AVI")
 def iter_video_frames(payload: bytes) -> list[bytes]:
     """The compressed frame payloads ('##dc'/'##db' chunks) of the
     FIRST video stream, in container order. Pure metadata walk — no
@@ -136,6 +140,7 @@ def iter_video_frames(payload: bytes) -> list[bytes]:
     return frames
 
 
+@fail_closed("AVI")
 def decode_avi_frame(frame: bytes) -> np.ndarray:
     """One MJPEG frame → pixels. MJPEG frames are baseline JPEGs
     (possibly DHT-less — jpeg.py supplies the Annex K.3 tables)."""
@@ -149,6 +154,7 @@ def decode_avi_frame(frame: bytes) -> np.ndarray:
     return decode_jpeg(frame)
 
 
+@fail_closed("AVI")
 def decode_avi(payload: bytes, frame_index: int = 0) -> np.ndarray:
     """Decode one frame of an MJPEG AVI by index."""
     frames = iter_video_frames(payload)

@@ -32,6 +32,8 @@ import struct
 
 import numpy as np
 
+from .codec_guard import fail_closed
+
 __all__ = ["is_gif", "decode_gif", "gif_info"]
 
 _HEADERS = (b"GIF87a", b"GIF89a")
@@ -192,6 +194,7 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
     return out
 
 
+@fail_closed("GIF")
 def gif_info(payload: bytes) -> dict:
     """Header-only metadata probe (no LZW work): logical screen size,
     version, global-palette presence — the cheap path for metadata
@@ -211,6 +214,7 @@ def gif_info(payload: bytes) -> dict:
     }
 
 
+@fail_closed("GIF")
 def decode_gif(payload: bytes) -> np.ndarray:
     """First frame of a GIF payload → ``(H, W, 3)`` uint8 RGB array.
 

@@ -31,44 +31,21 @@ signature without touching the Spark plumbing.
 
 from __future__ import annotations
 
-import functools
 import struct
 
 import numpy as np
 
+from .codec_guard import fail_closed
+
 __all__ = ["is_jpeg", "decode_jpeg", "jpeg_info"]
 
-
-def _fail_closed(fn):
-    """Module-boundary enforcement of the documented error contract:
-    malformed bytes raise ValueError (or NotImplementedError for the
-    honestly-gated variants) — never IndexError / KeyError /
-    struct.error / OverflowError.
-
-    The parser also guards every structural read with explicit
-    per-marker minimum-length checks (see ``_parse``), so in practice
-    this catch should not fire; it exists because fuzzing found — two
-    rounds running — that guarding *instances* of short-read bugs
-    (r8: DC size category; r9: an empty SOF segment reaching
-    ``seg[0]``) leaves the *class* open. A crafted length field can
-    shrink any segment under any field read; the boundary catch makes
-    the single-failure-type contract hold for the whole class, while
-    the explicit checks keep error messages precise for the common
-    shapes. ``from exc`` preserves the underlying traceback for
-    debugging."""
-
-    @functools.wraps(fn)
-    def wrapper(*args, **kwargs):
-        try:
-            return fn(*args, **kwargs)
-        except (ValueError, NotImplementedError):
-            raise
-        except (IndexError, KeyError, struct.error, OverflowError) as exc:
-            raise ValueError(
-                f"malformed JPEG: {type(exc).__name__} during decode"
-            ) from exc
-
-    return wrapper
+# Module-boundary enforcement of the documented error contract (see
+# codec_guard.fail_closed). The parser also guards structural reads
+# with explicit per-marker minimum-length checks (see ``_parse``), so
+# in practice the boundary catch should not fire — the explicit checks
+# keep error messages precise for the common shapes, the boundary
+# closes the class.
+_fail_closed = fail_closed("JPEG")
 
 # spec Figure A.6 zig-zag index order: zigzag position -> raster index
 ZIGZAG = np.array([

@@ -23,6 +23,8 @@ import zlib
 
 import numpy as np
 
+from .codec_guard import fail_closed
+
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 # color type → samples per pixel (type 3 = palette is unsupported)
@@ -42,6 +44,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+@fail_closed("PNG")
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes → uint8 pixel array of shape (height, width, channels).
 
