@@ -96,3 +96,65 @@ def test_passthrough_columns_and_plan(spark):
     assert len(out.columns) == 3 + n_flags
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_run_fold_helpers_match_python_reference(spark):
+    """Direct property check of the sorted run-length folds that
+    replaced the O(m²) distinct×filter counts: on random string
+    arrays, ``_run_fold_chars`` (dup-chars contribution) and
+    ``_run_top_chars`` must equal a plain-Python Counter reference —
+    including the lexicographic tie-break, the cnt>1 gates, and
+    empty/singleton arrays."""
+    import random
+    from collections import Counter
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        _run_fold_chars,
+        _run_top_chars,
+    )
+
+    rng = random.Random(42)
+    vocab = ["a", "bb", "ccc", "dd x", "e", "ff", "über", ""]
+    arrays = [[]] + [
+        [rng.choice(vocab) for _ in range(rng.randrange(1, 30))]
+        for _ in range(40)
+    ]
+
+    def ref_dup(arr):
+        return sum(c * len(el) for el, c in Counter(arr).items() if c > 1)
+
+    def ref_extra(arr):
+        return sum((c - 1) * len(el) for el, c in Counter(arr).items() if c > 1)
+
+    def ref_top(arr):
+        if not arr:
+            return 0
+        cnt = Counter(arr)
+        maxc = max(cnt.values())
+        if maxc <= 1:
+            return 0
+        top = min(el for el, c in cnt.items() if c == maxc)
+        return maxc * len(top)
+
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)],
+        "id long, arr array<string>",
+    )
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            _run_fold_chars(
+                F.col("arr"), lambda c, el: F.when(c > 1, c * F.length(el))
+            ).alias("dup"),
+            _run_fold_chars(
+                F.col("arr"),
+                lambda c, el: F.when(c > 1, (c - 1) * F.length(el)),
+            ).alias("extra"),
+            _run_top_chars(F.col("arr")).alias("top"),
+        ).collect()
+    }
+    for i, arr in enumerate(arrays):
+        assert got[i]["dup"] == ref_dup(arr), (i, arr)
+        assert got[i]["extra"] == ref_extra(arr), (i, arr)
+        assert got[i]["top"] == ref_top(arr), (i, arr)
