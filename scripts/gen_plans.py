@@ -56,6 +56,7 @@ NOTES = {
  "q_llm_dedup_store_lifecycle_check": "Dedup-store lifecycle gate (expected empty): screening decisions before/after compact() reclaim, retention horizons, re-admission past the horizon. The lifecycle runs EAGERLY inside the check (store writes/rewrites are separate executions), so the audited plan here is only the driver-built verdict frame; the property that matters at scale — the BUCKETED store side of every screening join stays Exchange-free, including after the compact() rewrite-swap — is plan-walk-asserted INSIDE the gate itself (any Exchange on the store side emits a violation row) and in tests/test_near_dup_store.py.",
  "q_llm_gopher_repetition": "Gopher repetition battery: the 13-rule fraction battery fuses into ONE whole-stage-codegen corpus scan — line/word/n-gram arrays materialize once per row as staged projections, every occurrence count is a run-length fold over the SORTED n-gram array (O(m log m)/doc; the distinct x filter form it replaced was O(m^2) and 2.9x slower at sf0.1: 15.3 s -> 5.3 s), every threshold is an integer cross-multiplication, and the only Exchange is the per-source map-side-combined failure-count aggregate (rows = sources, not docs). Embarrassingly parallel, no pairwise work anywhere.",
  "q_llm_char_entropy": "Character entropy: one run-length fold over the sorted character array inside one codegen'd scan stage (runs close in sorted-char order, so the float summation order — and the value hash — is identical to folding over sorted distinct chars, the DuckDB oracle's order); the per-doc histogram never leaves its row, so the operator adds ZERO shuffles to a corpus scan; the only Exchange is the 4-row per-source stats aggregate.",
+ "q_llm_bigram_nll": "Bigram-NLL perplexity proxy: one explode feeds the (w1,w2) pair stream; the bigram and unigram models are two model-sized two-phase groupBys (map-side partials — shuffle tracks VOCAB, not corpus), the 1-row vocab count broadcasts, and both model joins key on the pair/word columns before the per-doc mean aggregate (at sf0.1 AQE turns them into broadcasts — the measured 3 broadcasts; past the threshold they fall back to shuffle-hash on the model key). Nothing corpus-sized shuffles twice; model size bounds the join build sides.",
  "q_llm_multimodal_check": "Multimodal gate (expected empty): five real-codec legs (PNG/GIF/JPEG/MJPEG-AVI + fake-codec plumbing) all run as Arrow mapInPandas over localCheckpointed media — the only Exchanges are the explicit partition-invariance repartitions and the full-outer comparison joins on media_id; decode work never shuffles.",
 }
 
