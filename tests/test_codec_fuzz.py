@@ -109,3 +109,30 @@ def test_gif_fuzz_fails_closed():
 
 def test_wav_fuzz_fails_closed():
     _fuzz_one("wav")
+
+
+def test_html_to_text_total_on_arbitrary_text():
+    """The HTML extractor's contract is TOTALITY, not fail-closed: any
+    string (crawled pages are arbitrarily malformed) must come back as
+    extracted text — no exception of any kind, no hang. Fuzz with raw
+    text, tag-soup fragments, and truncated entities/script blocks."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.html import (
+        html_to_text,
+    )
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.text(max_size=300))
+    def _any_text(s):
+        for payload in (
+            s,
+            "<html><body>" + s,
+            "<script>" + s,
+            "<!--" + s,
+            "&#" + s,
+            "<a href='" + s + "'>x</a></p></div>",
+        ):
+            out = html_to_text(payload)
+            assert out is None or isinstance(out, str)
+
+    _any_text()
+    assert html_to_text(None) is None
