@@ -19,7 +19,30 @@ import functools
 import struct
 import zlib
 
-__all__ = ["fail_closed"]
+__all__ = ["MAX_PIXELS", "fail_closed"]
+
+# Resource cap shared by the image decoders: a crafted header can claim
+# 65535×65535 (JPEG/GIF) or 2³²-ish (PNG) dimensions with a 100-byte
+# payload, forcing a multi-GB plane allocation (MemoryError — outside
+# the error contract) or an hours-long pure-Python decode loop before
+# any contract violation surfaces. 64 Mpx (8K×8K) is far above any
+# corpus image these pure-stdlib decoders are the right tool for;
+# production swaps in libjpeg-turbo/Pillow behind the same signatures
+# and sets its own limits (Pillow ships the same guard as
+# Image.MAX_IMAGE_PIXELS).
+MAX_PIXELS = 1 << 26
+
+
+def check_pixel_count(fmt: str, width: int, height: int) -> None:
+    """Reject zero or implausibly large header-claimed dimensions
+    BEFORE any pixel-plane allocation sized by them."""
+    if width == 0 or height == 0:
+        raise ValueError(f"malformed {fmt}: zero dimension")
+    if width * height > MAX_PIXELS:
+        raise ValueError(
+            f"{fmt} dimensions {width}x{height} exceed the "
+            f"{MAX_PIXELS}-pixel decoder cap"
+        )
 
 
 def fail_closed(fmt: str):

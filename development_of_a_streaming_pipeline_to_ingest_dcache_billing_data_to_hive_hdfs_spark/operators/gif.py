@@ -32,7 +32,7 @@ import struct
 
 import numpy as np
 
-from .codec_guard import fail_closed
+from .codec_guard import check_pixel_count, fail_closed
 
 __all__ = ["is_gif", "decode_gif", "gif_info"]
 
@@ -230,8 +230,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
     if len(data) < 13:
         raise ValueError("malformed GIF: truncated logical screen descriptor")
     sw, sh, packed, bg_index, _aspect = struct.unpack("<HHBBB", data[6:13])
-    if sw == 0 or sh == 0:
-        raise ValueError("malformed GIF: zero-sized logical screen")
+    check_pixel_count("GIF", sw, sh)
     pos = 13
     global_table = None
     if packed & 0x80:

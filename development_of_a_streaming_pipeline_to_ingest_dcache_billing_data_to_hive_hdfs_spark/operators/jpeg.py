@@ -35,7 +35,7 @@ import struct
 
 import numpy as np
 
-from .codec_guard import fail_closed
+from .codec_guard import check_pixel_count, fail_closed
 
 __all__ = ["is_jpeg", "decode_jpeg", "jpeg_info"]
 
@@ -447,8 +447,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     info = _parse(data)
     width, height = info["width"], info["height"]
     comps = info["components"]
-    if width == 0 or height == 0:
-        raise ValueError("malformed JPEG: zero dimension")
+    check_pixel_count("JPEG", width, height)
     if len(comps) not in (1, 3):
         raise NotImplementedError(
             f"{len(comps)}-component JPEG (CMYK/unknown) not supported"

@@ -23,7 +23,7 @@ import zlib
 
 import numpy as np
 
-from .codec_guard import fail_closed
+from .codec_guard import check_pixel_count, fail_closed
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
@@ -85,6 +85,9 @@ def decode_png(payload: bytes) -> np.ndarray:
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard compression/filter method")
             channels = _CHANNELS[color]
+            # PNG dims are 32-bit: reject implausible claims BEFORE
+            # they size the inflate bound or the pixel array
+            check_pixel_count("PNG", width, height)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -92,9 +95,16 @@ def decode_png(payload: bytes) -> np.ndarray:
     if width is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
 
-    raw = zlib.decompress(b"".join(idat))
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bounded inflate: a deflate bomb in IDAT must not materialize more
+    # than the header-claimed (capped) pixel bytes — max_length stops
+    # decompression at `expected`, leaving any excess in unconsumed_tail
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected)
+    if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
+        raise ValueError("PNG pixel data length mismatch")
+    if len(raw) != expected:
         raise ValueError("PNG pixel data length mismatch")
 
     # Unfilter scanlines. bpp = bytes per complete pixel (spec: the

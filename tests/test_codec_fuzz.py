@@ -21,6 +21,7 @@ decode correctness (that's test_png_codec.py's round-trip job).
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -136,3 +137,86 @@ def test_html_to_text_total_on_arbitrary_text():
 
     _any_text()
     assert html_to_text(None) is None
+
+
+def test_header_claimed_dimensions_are_capped():
+    """A crafted header claiming huge dimensions with a tiny payload
+    must raise ValueError BEFORE sizing any pixel allocation by it —
+    previously a 65535x65535 claim forced a multi-GB numpy plane
+    (MemoryError, outside the contract) or an hours-long decode loop.
+    Shared cap: operators.codec_guard.MAX_PIXELS."""
+    import struct
+    import zlib
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.gif import (
+        decode_gif,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.jpeg import (
+        decode_jpeg,
+    )
+    from test_jpeg_codec import _seg
+
+    # JPEG: SOF0 claims 65535x65535
+    jpg = (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + _seg(0xC0, bytes([8]) + struct.pack(">HH", 65535, 65535) + bytes([1, 1, 0x11, 0]))
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + b"\x00\x00\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="pixel"):
+        decode_jpeg(jpg)
+
+    # GIF: logical screen claims 65535x65535 (no global palette)
+    gif = b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0) + b"\x3b"
+    with pytest.raises(ValueError, match="pixel"):
+        decode_gif(gif)
+
+    # PNG: IHDR claims 30000x30000 (> MAX_PIXELS)
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 30000, 30000, 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="pixel"):
+        decode_png(png)
+
+
+def test_png_inflate_is_bounded_against_deflate_bombs():
+    """An IDAT stream that decompresses to far more than the
+    header-claimed pixel bytes must fail with the length-mismatch
+    ValueError WITHOUT materializing the excess (bounded
+    decompressobj, not a whole-stream zlib.decompress)."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # header claims 10x10 gray (expected 110 raw bytes); IDAT inflates
+    # to 10 MB
+    ihdr = struct.pack(">IIBBBBB", 10, 10, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (10 * 1024 * 1024), 9)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="mismatch"):
+        decode_png(png)
