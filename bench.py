@@ -458,13 +458,34 @@ def _code_changed_since(ref: str) -> bool:
 
 
 def _plans_md_stale() -> str | None:
-    """Flag a PLANS.md older than the newest package commit — a stale
+    """Flag a PLANS.md that predates the current package code — a stale
     committed plan audit claims plan shapes the current code may not
-    produce. Standing round step: ``python scripts/gen_plans.py``."""
+    produce. Standing round step: ``python scripts/gen_plans.py``.
+
+    Preferred signal: the ``Generated at commit <head>`` stamp
+    gen_plans.py writes into the header, checked with the same
+    code-changed-since logic as the parity/vanilla artifacts (the
+    commit-timestamp fallback below can false-positive when a
+    regeneration is byte-identical — the measured lines are
+    deterministic SQLMetrics — and therefore never needs a commit)."""
+    import re
     import subprocess
 
     repo = Path(__file__).resolve().parent
     pkg = "development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark"
+    try:
+        with open(repo / "PLANS.md", encoding="utf-8") as f:
+            head_block = f.read(500)
+        m = re.search(r"Generated at commit ([0-9a-f]{6,40})\b", head_block)
+    except OSError:
+        m = None
+    if m:
+        if _code_changed_since(m.group(1)):
+            return (
+                f"PLANS.md generated at {m.group(1)}, package code changed "
+                "since — regenerate with scripts/gen_plans.py"
+            )
+        return None
     try:
         t_pkg = subprocess.run(
             ["git", "log", "-1", "--format=%ct", "--", pkg],

@@ -60,8 +60,21 @@ NOTES = {
  "q_llm_multimodal_check": "Multimodal gate (expected empty): five real-codec legs (PNG/GIF/JPEG/MJPEG-AVI + fake-codec plumbing) all run as Arrow mapInPandas over localCheckpointed media — the only Exchanges are the explicit partition-invariance repartitions and the full-outer comparison joins on media_id; decode work never shuffles.",
 }
 
-hdr = """# PLANS — physical-plan audit of headline queries (sf0.1, AQE final plans)
+def _head() -> str:
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
 
+
+hdr = f"""# PLANS — physical-plan audit of headline queries (sf0.1, AQE final plans)
+
+Generated at commit {_head()}.
 Regenerate with: `python scripts/gen_plans.py`.
 Each plan is captured AFTER execution so AQE's final plan (with codegen
 span annotations) is shown, not the pre-execution placeholder. The

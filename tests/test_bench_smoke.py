@@ -41,3 +41,19 @@ def test_bench_ingest_probe_runs(spark):
     out = bench_ingest(spark, n_records=500)
     assert out["rows"] == 500
     assert out["rows_per_sec"] > 0
+
+
+def test_plans_md_stale_guard_uses_generation_stamp(tmp_path, monkeypatch):
+    """The stale guard must key on the 'Generated at commit <head>'
+    stamp (code-changed-since semantics, like the parity artifact),
+    not on commit timestamps — a byte-identical regeneration never
+    needs a commit and was false-flagging."""
+    import bench
+
+    # stamped at current HEAD -> not stale
+    assert bench._plans_md_stale() is None
+
+    # stamped at an ancient ref with package changes since -> stale
+    monkeypatch.setattr(bench, "_code_changed_since", lambda ref: True)
+    msg = bench._plans_md_stale()
+    assert msg and "regenerate" in msg
