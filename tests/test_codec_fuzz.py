@@ -220,3 +220,39 @@ def test_png_inflate_is_bounded_against_deflate_bombs():
     )
     with pytest.raises(ValueError, match="mismatch"):
         decode_png(png)
+
+
+def test_jpeg_direct_fuzz_fails_closed():
+    """Direct JPEG bit-flip fuzz on richer seeds than the AVI-wrapped
+    run (test_avi_codec.py uses flat grayscale 4:4:4 frames): a 4:2:0
+    chroma-subsampled RGB image and a restart-interval (DRI/RSTn)
+    stream exercise the SOF sampling factors, the chroma quant/Huffman
+    table paths, and the restart-segment machinery under mutation."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.jpeg import (
+        decode_jpeg,
+        jpeg_info,
+    )
+    from test_jpeg_codec import encode_jpeg_ref
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    seeds = [
+        encode_jpeg_ref(rgb, subsample=True),
+        encode_jpeg_ref(rgb, restart_interval=2),
+    ]
+
+    for seed in seeds:
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.integers(0, len(seed) - 1), st.integers(0, 255))
+        def _bitflip(pos, val):
+            mutated = bytearray(seed)
+            mutated[pos] = val
+            payload = bytes(mutated)
+            try:
+                jpeg_info(payload)
+                decode_jpeg(payload)
+            except _OK:
+                pass
+
+        _bitflip()
