@@ -174,12 +174,21 @@ GROWTH_NOTES = {
         " so the time ratio IS the claim — near the factor means the"
         " per-row constant holds and nothing pairwise crept in; the"
         " shuffle staying at KB scale means the arrays never leave"
-        " their row."
+        " their row. The 1x wall number is SINGLE-TASK-bound: sf0.1"
+        " documents is one ~2 MB parquet row group, and parquet"
+        " assigns rows at row-group granularity however many splits"
+        " the scan requests — at 10x (more row groups) the probe"
+        " spreads across cores and time is near-flat. The constant is"
+        " per-core char throughput of the interpreted HOF lambdas,"
+        " parallelized by row-group count at real corpus sizes — not"
+        " a scale risk."
     ),
     "q_llm_char_entropy": (
         "expected linear time, ~flat shuffle: same scan-stage shape as"
-        " the repetition battery with a smaller constant; any shuffle"
-        " growth would mean the per-doc histogram escaped the row."
+        " the repetition battery with a smaller constant, and the same"
+        " single-row-group 1x parallelism bound (see above); any"
+        " shuffle growth would mean the per-doc histogram escaped the"
+        " row."
     ),
 }
 
