@@ -42,26 +42,43 @@ from test_gif_codec import encode_gif_ref
 _OK = (ValueError, NotImplementedError)
 
 
-def _png_seed() -> bytes:
+def _png_seeds() -> list[bytes]:
+    # one seed per color-type path: RGB, grayscale, RGBA
     rng = np.random.default_rng(7)
-    return encode_png(rng.integers(0, 256, (12, 10, 3), dtype=np.uint8))
+    return [
+        encode_png(rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)),
+        encode_png(rng.integers(0, 256, (12, 10), dtype=np.uint8)),
+        encode_png(rng.integers(0, 256, (12, 10, 4), dtype=np.uint8)),
+    ]
 
 
-def _gif_seed() -> bytes:
+def _gif_seeds() -> list[bytes]:
+    # plain global-palette, interlaced, local-palette + transparency —
+    # each a distinct parser path under mutation
     rng = np.random.default_rng(7)
     idx = rng.integers(0, 8, (12, 10), dtype=np.uint8)
     pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
-    return encode_gif_ref(idx, pal)
+    return [
+        encode_gif_ref(idx, pal),
+        encode_gif_ref(idx, pal, interlace=True),
+        encode_gif_ref(idx, pal, local_palette=True, transparent_index=2),
+    ]
 
 
-def _wav_seed() -> bytes:
-    return make_wav(sine(440.0, seconds=0.02))
+def _wav_seeds() -> list[bytes]:
+    # 16-bit mono, 8-bit mono, 32-bit stereo — the three PCM dtype paths
+    s = sine(440.0, seconds=0.02)
+    return [
+        make_wav(s),
+        make_wav(s, width=1),
+        make_wav(np.stack([s, -s], axis=1), width=4),
+    ]
 
 
 _SEEDS = {
-    "png": (_png_seed(), [b"\x89PNG\r\n\x1a\n"]),
-    "gif": (_gif_seed(), [b"GIF89a", b"GIF87a"]),
-    "wav": (_wav_seed(), [b"RIFF", b"RIFF\x24\x00\x00\x00WAVE"]),
+    "png": (_png_seeds(), [b"\x89PNG\r\n\x1a\n"]),
+    "gif": (_gif_seeds(), [b"GIF89a", b"GIF87a"]),
+    "wav": (_wav_seeds(), [b"RIFF", b"RIFF\x24\x00\x00\x00WAVE"]),
 }
 
 _DECODERS = {
@@ -80,7 +97,7 @@ def _try_all(kind: str, payload: bytes) -> None:
 
 
 def _fuzz_one(kind: str) -> None:
-    seed, prefixes = _SEEDS[kind]
+    seeds, prefixes = _SEEDS[kind]
 
     @settings(max_examples=200, deadline=None)
     @given(st.binary(min_size=0, max_size=400))
@@ -89,15 +106,17 @@ def _fuzz_one(kind: str) -> None:
         for p in prefixes:
             _try_all(kind, p + data)
 
-    @settings(max_examples=300, deadline=None)
-    @given(st.integers(0, len(seed) - 1), st.integers(0, 255))
-    def _bitflip(pos, val):
-        mutated = bytearray(seed)
-        mutated[pos] = val
-        _try_all(kind, bytes(mutated))
-
     _garbage()
-    _bitflip()
+    for seed in seeds:
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.integers(0, len(seed) - 1), st.integers(0, 255))
+        def _bitflip(pos, val):
+            mutated = bytearray(seed)
+            mutated[pos] = val
+            _try_all(kind, bytes(mutated))
+
+        _bitflip()
 
 
 def test_png_fuzz_fails_closed():
