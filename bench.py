@@ -594,6 +594,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "consumer": "noop-write (full evaluation of every output column)",
+        # legibility: the r10 verdict mis-read the per-query numbers as
+        # single-shot; the loop has been min-of-N timed passes since r8
+        "timing": "min over 3 timed passes per query, after a full warm-up pass",
         "count_consumer_total": round(sum(count_timings.values()), 3),
         "count_consumer_queries": count_timings,
     }
@@ -620,7 +623,14 @@ def main() -> None:
             "git": par.get("git_head"), "artifact": "PARITY_SF01.json",
         }
         head = _git_head()
-        if (
+        if par.get("dirty"):
+            # a sweep over uncommitted package code claims a commit it
+            # didn't test — same staleness class as code-moved-since
+            errors["_sf01_parity_dirty"] = (
+                "PARITY_SF01.json was generated with uncommitted package "
+                "changes — commit, then re-run scripts/run_sf01_parity.py"
+            )
+        elif (
             head
             and par.get("git_head")
             and head != par.get("git_head")
@@ -661,6 +671,11 @@ def main() -> None:
             errors["_vanilla_gates_red"] = (
                 f"VANILLA_GATES.json records {van['fail']} failing gate(s)"
             )
+        elif van.get("dirty"):
+            errors["_vanilla_gates_dirty"] = (
+                "VANILLA_GATES.json was generated with uncommitted package "
+                "changes — commit, then re-run scripts/run_vanilla_gates.py"
+            )
         elif (
             head
             and van.get("git_head")
@@ -679,6 +694,42 @@ def main() -> None:
         )
     except Exception as exc:  # noqa: BLE001
         errors["_vanilla_gates"] = _err_head(exc)
+    # plan-edit-aware rotation guard: QUERY_HASHES.json must match the
+    # live catalog content hashes. Drift is self-correcting (drifted
+    # queries rank as unverified and lead every window until re-greened)
+    # but wastes driver slots re-checking the same names round after
+    # round — so a round that ends without regenerating the snapshot is
+    # flagged the same way as a stale parity sweep.
+    try:
+        qh = json.loads((Path(__file__).resolve().parent / "QUERY_HASHES.json").read_text())
+        recorded = {
+            q: v.get("hash") for q, v in (qh.get("hashes") or {}).items()
+        }
+        from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (  # noqa: E501
+            _QUERY_HASHES,
+        )
+        drift = sorted(
+            q for q, h in _QUERY_HASHES.items() if recorded.get(q) != h
+        )
+        payload["query_hashes"] = {
+            "n": len(recorded),
+            "drift": len(drift),
+            "git": qh.get("git_head"),
+            "artifact": "QUERY_HASHES.json",
+        }
+        if drift:
+            errors["_query_hashes_stale"] = (
+                f"{len(drift)} quer{'y' if len(drift) == 1 else 'ies'} "
+                f"edited since QUERY_HASHES.json ({', '.join(drift[:8])}"
+                f"{', …' if len(drift) > 8 else ''}) — re-run "
+                f"scripts/gen_query_hashes.py"
+            )
+    except OSError:
+        errors["_query_hashes_missing"] = (
+            "QUERY_HASHES.json absent — run scripts/gen_query_hashes.py"
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["_query_hashes"] = _err_head(exc)
     if errors:
         payload["errors"] = errors
     if count_errors:

@@ -8480,8 +8480,72 @@ def _computed_driver_priority() -> list[str]:
     test_no_query_goes_stale derives the SAME K from the live catalog
     size, so the tripwire self-tightens at N ≤ 150 (2-round bound) and
     relaxes honestly (3 rounds at N ≤ 200, …) as coverage grows instead
-    of becoming arithmetically unsatisfiable."""
-    return _rank_window(_recorded_last_green(), list(QUERIES))
+    of becoming arithmetically unsatisfiable.
+
+    Round-11 addition — PLAN-EDIT AWARENESS (closes the r10 verdict's
+    one real hole): a green verdict only counts if it was earned on the
+    query's CURRENT content. Each query's content hash
+    (plans/contenthash.py — builder + same-module helpers + oracle SQL
+    + transitive cross-module file hashes) is compared against
+    QUERY_HASHES.json (regenerated each round by
+    scripts/gen_query_hashes.py, which stamps edited queries with the
+    upcoming round as ``since_round``). A query whose live hash drifted
+    from the recorded one, or whose last green verdict predates its
+    recorded ``since_round``, is ranked as never-verified and leads the
+    window — so e.g. the r10 run-length-fold rewrites re-queue for a
+    hard driver verdict the round the edit lands, not up to K rounds
+    later."""
+    return _rank_window(_effective_last_green(), list(QUERIES))
+
+
+def _effective_last_green() -> dict[str, int]:
+    """Last green round per query, DISCOUNTED to 0 for queries whose
+    content changed since that verdict (see _computed_driver_priority).
+    Falls back to the raw verdict history if QUERY_HASHES.json is
+    absent or unreadable — losing the artifact must degrade to the
+    legacy oldest-green rotation, never break query registration."""
+    last_green = _recorded_last_green()
+    recorded = _recorded_query_hashes()
+    if not recorded:
+        return last_green
+    return _discount_edited(last_green, recorded, _QUERY_HASHES)
+
+
+def _discount_edited(
+    last_green: dict[str, int],
+    recorded: dict[str, dict],
+    live: dict[str, str],
+) -> dict[str, int]:
+    """Pure core (separated so the rotation tests can simulate edits):
+    a query counts as verified at its last green round iff the recorded
+    hash matches the live content AND the green verdict is not older
+    than the round the recorded content took effect."""
+    eff: dict[str, int] = {}
+    for q, lg in last_green.items():
+        rec = recorded.get(q)
+        if (
+            rec is None
+            or rec.get("hash") != live.get(q)
+            or lg < int(rec.get("since_round", 0))
+        ):
+            continue  # unrecorded / edited / green-predates-edit -> rank 0
+        eff[q] = lg
+    return eff
+
+
+def _recorded_query_hashes() -> dict[str, dict]:
+    """{query: {hash, since_round}} from QUERY_HASHES.json at the repo
+    root (written by scripts/gen_query_hashes.py each round)."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    f = _Path(__file__).resolve().parents[2] / "QUERY_HASHES.json"
+    try:
+        data = _json.loads(f.read_text())
+    except (OSError, ValueError):
+        return {}
+    hashes = data.get("hashes")
+    return hashes if isinstance(hashes, dict) else {}
 
 
 def _recorded_last_green() -> dict[str, int]:
@@ -8522,7 +8586,24 @@ def _rank_window(last_green: dict[str, int], names: list[str]) -> list[str]:
     return ranked[:_WINDOW]
 
 
+def _live_query_hashes() -> dict[str, str]:
+    """Content hash of every registered query at import time — the
+    live side of the plan-edit-aware rotation (and the source the
+    gen_query_hashes.py artifact snapshots)."""
+    from .contenthash import query_content_hash
+
+    return {q: query_content_hash(fn, ORACLES.get(q)) for q, fn in QUERIES.items()}
+
+
+_QUERY_HASHES = _live_query_hashes()
+
 _DRIVER_PRIORITY = _computed_driver_priority()
+
+# Names the hash gate re-queued this round (live content unverified at
+# its last green round) — exposed for tests and bench introspection.
+_REQUEUED = sorted(
+    set(_recorded_last_green()) - set(_effective_last_green())
+) if _recorded_query_hashes() else []
 
 
 def _reorder_queries() -> None:

@@ -56,14 +56,25 @@ def main() -> None:
             ["git", "-C", str(REPO), "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, check=True,
         ).stdout.strip()
+        # dirty-package flag: a sweep over uncommitted package code must
+        # not claim a clean commit — bench.py treats dirty artifacts as
+        # stale (ADVICE r10)
+        dirty = bool(
+            subprocess.run(
+                ["git", "-C", str(REPO), "status", "--porcelain", "--",
+                 "development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark"],
+                capture_output=True, text=True, check=True,
+            ).stdout.strip()
+        )
     except Exception:  # noqa: BLE001 — artifact must still be written
-        head = None
+        head, dirty = None, False
     artifact = {
         "n": len(results),
         "fail": len(failures),
         "sf_dir": sf_dir,
         "elapsed_sec": elapsed,
         "git_head": head,
+        "dirty": dirty,
         "run_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         # full per-query detail only for failures — the green case is a
         # two-number verdict, the red case is a diagnosable one

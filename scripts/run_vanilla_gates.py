@@ -42,6 +42,9 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+PKG_DIR_NAME = (
+    "development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark"
+)
 
 
 def _hll_store_regression(spark, sf_dir: str) -> dict:
@@ -167,9 +170,18 @@ def main() -> None:
             ["git", "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, timeout=10, cwd=str(REPO),
         ).stdout.strip() or None
+        # a sweep run against UNCOMMITTED package changes must not
+        # masquerade as a verdict for the recorded commit — bench.py
+        # treats dirty artifacts as stale (ADVICE r10)
+        dirty = bool(
+            subprocess.run(
+                ["git", "status", "--porcelain", "--", PKG_DIR_NAME],
+                capture_output=True, text=True, timeout=10, cwd=str(REPO),
+            ).stdout.strip()
+        )
     except Exception:  # noqa: BLE001 — no git in some sandboxes
-        head = None
-    artifact = dict(summary, git_head=head)
+        head, dirty = None, False
+    artifact = dict(summary, git_head=head, dirty=dirty)
     (REPO / "VANILLA_GATES.json").write_text(json.dumps(artifact, indent=1))
     print(json.dumps(summary))
     if failures:

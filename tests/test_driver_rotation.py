@@ -15,6 +15,11 @@ from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_h
 )
 from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
     _DRIVER_PRIORITY,
+    _QUERY_HASHES,
+    _REQUEUED,
+    _discount_edited,
+    _rank_window,
+    _recorded_query_hashes,
 )
 
 REPO = Path(__file__).resolve().parent.parent
@@ -77,15 +82,96 @@ def test_no_query_goes_stale():
 
 def test_never_verified_queries_lead_the_window():
     """Queries with NO driver verdict at all (newly registered) must be
-    at the FRONT of the window — they are the coverage debt."""
+    at the FRONT of the window — they are the coverage debt. Requeued
+    (plan-edited) queries share rank 0 with them, so the front region
+    is sized to hold both."""
     _latest, last_green = _verdicts()
     never = [q for q in QUERIES if q not in last_green]
     for q in never:
         assert q in _DRIVER_PRIORITY, f"never-verified {q} not in window"
-        assert _DRIVER_PRIORITY.index(q) < len(never) + 4, (
+        assert _DRIVER_PRIORITY.index(q) < len(never) + len(_REQUEUED) + 4, (
             f"never-verified {q} is buried at slot "
             f"{_DRIVER_PRIORITY.index(q)} — front-load it"
         )
+
+
+# ---------------------------------------------------------------------------
+# Plan-edit awareness (round 11): a green verdict only counts if it was
+# earned on the query's CURRENT content (plans/contenthash.py +
+# QUERY_HASHES.json). These tests pin the r10 verdict's "done" criteria:
+# an edited old-green query leads the next window, mechanically.
+# ---------------------------------------------------------------------------
+
+
+def test_edited_query_leads_next_window():
+    """Simulate the exact r10 failure mode: a query greened long ago is
+    edited (live hash drifts from the recorded one) — the recomputed
+    window must put it at the very front, ahead of every oldest-green
+    backfill."""
+    latest, last_green = _verdicts()
+    names = list(QUERIES)
+    # pick the MOST RECENTLY greened query — the one the pure
+    # oldest-green ranking would bury deepest
+    victim = max(last_green, key=lambda q: (last_green[q], -names.index(q)))
+    recorded = {
+        q: {"hash": f"h-{q}", "since_round": 0} for q in names
+    }
+    live = {q: f"h-{q}" for q in names}
+    live[victim] = "h-EDITED"
+    eff = _discount_edited(last_green, recorded, live)
+    assert victim not in eff, "edited query must lose its green rank"
+    window = _rank_window(eff, names)
+    assert window[0] == victim, (
+        f"edited {victim} should LEAD the window, got {window[:3]}"
+    )
+
+
+def test_green_predating_since_round_requeues():
+    """A recorded hash newer than the query's last green verdict means
+    the verdict was earned on old content — the query must requeue even
+    though live and recorded hashes agree (the gen-script-stamped case,
+    e.g. the r10 run-length-fold rewrites)."""
+    last_green = {"qa": 7, "qb": 9}
+    recorded = {
+        "qa": {"hash": "ha", "since_round": 10},  # edited in r10, green r7
+        "qb": {"hash": "hb", "since_round": 0},
+    }
+    live = {"qa": "ha", "qb": "hb"}
+    eff = _discount_edited(last_green, recorded, live)
+    assert "qa" not in eff and eff["qb"] == 9
+    assert _rank_window(eff, ["qb", "qa"])[0] == "qa"
+
+
+def test_requeued_queries_are_in_the_live_window():
+    """Whatever the hash gate requeued from the REAL repo state must be
+    queued in the upcoming window's front region — this is the live
+    check that an edit landing in round N earns a hard driver verdict
+    in round N, not up to K rounds later."""
+    for q in _REQUEUED:
+        assert q in _DRIVER_PRIORITY, f"requeued {q} missing from window"
+        assert _DRIVER_PRIORITY.index(q) < len(_REQUEUED) + 4, (
+            f"requeued {q} buried at slot {_DRIVER_PRIORITY.index(q)}"
+        )
+
+
+def test_query_hashes_artifact_fresh():
+    """Standing-round enforcement (same convention as the PLANS.md and
+    vanilla-gates guards): QUERY_HASHES.json must record every catalog
+    query at its LIVE content hash. Red here means a package edit
+    landed without re-running scripts/gen_query_hashes.py — drifted
+    queries would burn driver window slots every round until regenerated."""
+    recorded = _recorded_query_hashes()
+    assert recorded, "QUERY_HASHES.json absent — run scripts/gen_query_hashes.py"
+    drifted = [
+        q for q, h in _QUERY_HASHES.items()
+        if recorded.get(q, {}).get("hash") != h
+    ]
+    assert not drifted, (
+        f"{len(drifted)} queries drifted from QUERY_HASHES.json "
+        f"({drifted[:8]}) — re-run scripts/gen_query_hashes.py"
+    )
+    orphans = sorted(set(recorded) - set(_QUERY_HASHES))
+    assert not orphans, f"QUERY_HASHES.json records dropped queries: {orphans}"
 
 
 def test_window_is_computed_and_contains_all_stale():
