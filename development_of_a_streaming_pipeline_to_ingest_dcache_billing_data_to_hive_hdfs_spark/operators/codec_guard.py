@@ -19,7 +19,7 @@ import functools
 import struct
 import zlib
 
-__all__ = ["MAX_PIXELS", "fail_closed"]
+__all__ = ["MAX_PIXELS", "check_pixel_count", "fail_closed"]
 
 # Resource cap shared by the image decoders: a crafted header can claim
 # 65535×65535 (JPEG/GIF) or 2³²-ish (PNG) dimensions with a 100-byte

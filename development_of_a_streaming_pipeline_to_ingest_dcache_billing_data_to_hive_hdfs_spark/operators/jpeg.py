@@ -384,7 +384,10 @@ def _parse(data: bytes, header_only: bool = False) -> dict:
             if frame is None:
                 raise ValueError("malformed JPEG: SOS before SOF")
             # B.2.3: Ls = 6 + 2·Ns → segment body (Ls-2) is 4 + 2·Ns
-            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0]:
+            # (component entries plus the trailing Ss/Se/Ah-Al bytes;
+            # enforcing the full spec minimum even though the trailing
+            # bytes are never read by the baseline decoder)
+            if len(seg) < 1 or len(seg) < 4 + 2 * seg[0]:
                 raise ValueError("malformed JPEG: short SOS segment")
             ns = seg[0]
             scan = []

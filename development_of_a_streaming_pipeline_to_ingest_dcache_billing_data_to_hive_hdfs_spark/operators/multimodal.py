@@ -139,14 +139,36 @@ def _decode_any(payload: bytes, kind: str, fake: bool) -> np.ndarray:
     return decode_image(payload)
 
 
-def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def extract_features(
+    media: DataFrame, fake: bool = True, on_error: str = "null"
+) -> DataFrame:
     """media frame → per-item feature vectors via Arrow-batched
-    mapInPandas. No shuffle; each partition streams pandas batches."""
+    mapInPandas. No shuffle; each partition streams pandas batches.
+
+    Executor-side error policy (``on_error``): the codecs' documented
+    contract is ValueError for malformed bytes and NotImplementedError
+    for honestly-gated variants (operators/codec_guard.py). At corpus
+    scale one crafted byte must never kill a 100 TB stage, so the
+    default ``"null"`` converts exactly those two contract errors to a
+    ``features IS NULL`` row — distinguishable from a NULL payload by
+    ``n_bytes > 0`` — while anything OUTSIDE the contract (a decoder
+    bug) still fails the task loudly. ``"raise"`` propagates contract
+    errors too, for callers that want strict decoding."""
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"on_error must be 'null' or 'raise', got {on_error!r}")
+
+    def decode_or_null(p: bytes, k: str):
+        try:
+            return _decode_any(p, k, fake).tolist()
+        except (ValueError, NotImplementedError):
+            if on_error == "raise":
+                raise
+            return None
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode_any(p, k, fake).tolist() if p is not None else None
+                decode_or_null(p, k) if p is not None else None
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(

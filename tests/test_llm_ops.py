@@ -2179,3 +2179,87 @@ def test_gopher_rules_flags_plan_is_scan_stage(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_extract_features_fuzz_corpus_fails_soft(spark):
+    """Composes the codec fuzz with the Spark path (VERDICT r10 task 4):
+    a media frame carrying valid seeds, bit-flipped mutants, truncations,
+    and signature-bearing garbage for all five codecs goes through ONE
+    live ``extract_features(fake=False)`` mapInPandas pass. The contract
+    under test is the executor-side error policy: malformed payloads
+    must become ``features IS NULL`` rows — never a task failure — while
+    valid payloads on the SAME partitions still decode. A future
+    executor-side wrapper change that lets a codec contract error
+    escape the row boundary fails this test, not a 100 TB stage."""
+    from test_audio_codec import make_wav, sine
+    from test_avi_codec import write_avi_ref
+    from test_codec_fuzz import _gif_seeds, _png_seeds, _wav_seeds
+    from test_jpeg_codec import encode_jpeg_ref
+
+    rng = np.random.default_rng(1106)
+    rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    jpeg_seed = encode_jpeg_ref(rgb)
+    seeds = (
+        [("image", s) for s in _png_seeds() + _gif_seeds()]
+        + [("image", jpeg_seed), ("image", encode_jpeg_ref(rgb, subsample=True))]
+        + [("audio", s) for s in _wav_seeds()]
+        + [("video", write_avi_ref([jpeg_seed, jpeg_seed], 16, 16))]
+    )
+
+    corpus: list[tuple[int, str, bytes]] = []  # (media_id, kind, payload)
+    valid_ids = []
+    mid = 0
+    for kind, seed in seeds:
+        valid_ids.append(mid)
+        corpus.append((mid, kind, seed))
+        mid += 1
+        for pos in rng.integers(0, len(seed), 25):  # single-byte mutants
+            mutated = bytearray(seed)
+            mutated[pos] = int(rng.integers(0, 256))
+            corpus.append((mid, kind, bytes(mutated)))
+            mid += 1
+        for cut in rng.integers(1, len(seed), 6):  # truncations
+            corpus.append((mid, kind, seed[: int(cut)]))
+            mid += 1
+    # signature-bearing garbage + format confusion (payload of one codec
+    # under another kind's dispatch) + unsupported-format gates
+    for kind, sig in [
+        ("image", b"\x89PNG\r\n\x1a\n"), ("image", b"GIF89a"),
+        ("image", b"\xff\xd8\xff"), ("audio", b"RIFF"),
+        ("video", b"RIFF\x20\x00\x00\x00AVI "),
+    ]:
+        for _ in range(8):
+            corpus.append((mid, kind, sig + bytes(rng.integers(0, 256, 64, dtype=np.uint8))))
+            mid += 1
+    corpus.append((mid, "audio", seeds[0][1])); mid += 1      # png bytes as audio
+    corpus.append((mid, "video", _wav_seeds()[0])); mid += 1  # wav bytes as video
+    corpus.append((mid, "image", b"BM" + b"\x00" * 60)); mid += 1  # BMP -> gated
+    corpus.append((mid, "image", None)); mid += 1             # null payload
+
+    media = spark.createDataFrame(
+        [(i, k, p if p is None else bytearray(p)) for i, k, p in corpus],
+        "media_id long, kind string, payload binary",
+    ).repartition(8)
+    rows = extract_features(media, fake=False).collect()  # must not DNF
+    assert len(rows) == len(corpus)
+    by_id = {r.media_id: r for r in rows}
+    # every row is either a full feature vector or a documented null
+    for r in rows:
+        assert r.features is None or len(r.features) == FEATURE_DIM
+    # the valid seeds sharing partitions with the mutants still decode
+    for i in valid_ids:
+        assert by_id[i].features is not None, f"valid seed {i} nulled"
+        assert by_id[i].n_bytes > 0
+    # malformed-vs-null-payload rows are distinguishable: n_bytes > 0
+    nulled = [r for r in rows if r.features is None and r.media_id != mid - 1]
+    assert nulled, "corpus produced no malformed rows — fuzz lost its teeth"
+    assert all(r.n_bytes > 0 for r in nulled)
+    assert by_id[mid - 1].n_bytes == 0  # the null-payload row
+
+    # strict mode propagates the contract error instead of nulling
+    bad = spark.createDataFrame(
+        [(0, "image", bytearray(b"\x89PNG\r\n\x1a\n garbage"))],
+        "media_id long, kind string, payload binary",
+    )
+    with pytest.raises(Exception, match="malformed|truncated|PNG"):
+        extract_features(bad, fake=False, on_error="raise").collect()
