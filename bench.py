@@ -324,14 +324,24 @@ def bench_scale_probe(spark, sf_dir: str, factor: int = 10) -> dict:
                         id_col, F.col(id_col) + F.lit(k * offset)
                     )
                     if k and table == "documents":
+                        # compose letter(26) x digit(10) rotations: the
+                        # substitution stays bijective per replica, but
+                        # replica classes now repeat at lcm(26,10)=130
+                        # instead of 26 — at factor=100 a pure Caesar
+                        # rotation made replicas 26 apart EXACT copies,
+                        # and the measured "growth" was the k-squared
+                        # duplicate-pair explosion of artificial
+                        # duplication, not data scaling
                         lower = "abcdefghijklmnopqrstuvwxyz"
-                        rot = lower[k:] + lower[:k]
+                        digits = "0123456789"
+                        rot = lower[k % 26 :] + lower[: k % 26]
+                        rotd = digits[k % 10 :] + digits[: k % 10]
                         r = r.withColumn(
                             "text",
                             F.translate(
                                 "text",
-                                lower + lower.upper(),
-                                rot + rot.upper(),
+                                lower + lower.upper() + digits,
+                                rot + rot.upper() + rotd,
                             ),
                         )
                     if k and table == "embeddings":
@@ -382,10 +392,137 @@ def bench_scale_probe(spark, sf_dir: str, factor: int = 10) -> dict:
                 out[op] = row
             except Exception as exc:  # noqa: BLE001 — isolate per op
                 out[op] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+        try:
+            out["q_llm_crawl_extract"] = _crawl_probe_row(
+                spark, sf_dir, tmp, factor
+            )
+        except Exception as exc:  # noqa: BLE001 — isolate per op
+            out["q_llm_crawl_extract"] = {
+                "error": f"{type(exc).__name__}: {exc}"[:200]
+            }
         out["_factor"] = factor
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _crawl_probe_row(spark, sf_dir: str, tmp: str, factor: int) -> dict:
+    """Scale row for the crawl path (read_warc → HTTP envelope decode →
+    HTML extract) — the heaviest per-row Python work in the repo. Its
+    parallel grain is FILE count (binaryFile assigns one task per
+    .warc.gz), not row groups, so the generic table-replication probe
+    above measures the wrong thing for it: 10× docs in ONE archive is
+    one 10×-longer task. The claim to verify is that wall time grows by
+    task WAVES — ceil(files / cores) — while per-file cost stays flat:
+    1× = 8 archives (a quarter of the 32 local cores), factor× = 8·factor
+    archives, so the ideal wall ratio at 10× is ceil(80/32) = 3, far
+    below the 10× data growth. Archives are byte-identical replicas:
+    extraction is per-record with no cross-record interaction, so
+    duplication cannot distort the measurement the way it would for the
+    dedup/similarity ops above (their replication is content-perturbed
+    for exactly that reason)."""
+    import gzip
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.html import (
+        extract_text,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.metrics import (
+        collect_plan_metrics,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sources.tables import (
+        load_table,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sources.warc import (
+        decode_response_html,
+        read_warc,
+        write_warc_bytes,
+    )
+    from pyspark.sql import functions as F
+
+    docs = sorted(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").collect(),
+        key=lambda r: r.doc_id,
+    )
+
+    def envelope(doc_id: int, body: bytes) -> bytes:
+        # same transfer-mode rotation as the q_llm_crawl_extract gate,
+        # so the probe times the real decode mix (gunzip + de-chunk)
+        mode = doc_id % 3
+        if mode == 0:
+            return b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        if mode == 1:
+            return (
+                b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+                + gzip.compress(body)
+            )
+        cut = max(1, len(body) // 3)
+        a, b = body[:cut], body[cut:]
+        return (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            + f"{len(a):x}".encode() + b"\r\n" + a + b"\r\n"
+            + f"{len(b):x}".encode() + b"\r\n" + b + b"\r\n0\r\n\r\n"
+        )
+
+    n_base = 8
+    shards: list[list[bytes]] = [[] for _ in range(n_base)]
+    for i, r in enumerate(docs):
+        body = (
+            f"<html><head><title>skip</title></head><body><h1>Doc "
+            f"{r.doc_id}</h1><p>{r.text or ''} &amp; more</p></body></html>"
+        ).encode("utf-8")
+        shards[i % n_base].append(
+            gzip.compress(
+                write_warc_bytes(
+                    [
+                        {
+                            "warc_type": "response",
+                            "target_uri": f"urn:doc:{r.doc_id}",
+                            "content": envelope(r.doc_id, body),
+                            "content_type": "application/http;msgtype=response",
+                        }
+                    ]
+                )
+            )
+        )
+    shard_bytes = [b"".join(s) for s in shards]
+
+    dirs = {1: os.path.join(tmp, "crawl_x1"), factor: os.path.join(tmp, "crawl_xN")}
+    for mult, d in dirs.items():
+        os.makedirs(d)
+        for rep in range(mult):
+            for i, payload in enumerate(shard_bytes):
+                with open(
+                    os.path.join(d, f"crawl-{rep:02d}-{i:02d}.warc.gz"), "wb"
+                ) as f:
+                    f.write(payload)
+
+    row: dict[str, float] = {}
+    for mult, d in dirs.items():
+        best, metrics = float("inf"), {}
+        for _rep in range(2):
+            recs = read_warc(spark, d, record_types=("response",))
+            extracted = extract_text(
+                decode_response_html(recs, "content", "html"), "html", "text"
+            )
+            df = extracted.agg(
+                F.count("*").alias("n"),
+                F.sum(F.length("text")).alias("chars"),
+            )
+            t0 = time.perf_counter()
+            df._jdf.queryExecution().toRdd().count()
+            dt = time.perf_counter() - t0
+            if dt < best:
+                best = dt
+                metrics = collect_plan_metrics(df)
+        tag = "1" if mult == 1 else str(mult)
+        row[f"t{tag}"] = round(best, 3)
+        row[f"shuffle{tag}"] = metrics.get("shuffle_bytes_written", 0)
+        row[f"files{tag}"] = n_base * mult
+    if row.get("t1"):
+        row["t_ratio"] = round(row[f"t{factor}"] / row["t1"], 2)
+    if row.get("shuffle1"):
+        row["shuffle_ratio"] = round(row[f"shuffle{factor}"] / row["shuffle1"], 2)
+    return row
 
 
 def calibrate(spark) -> float:

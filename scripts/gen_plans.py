@@ -60,11 +60,11 @@ NOTES = {
  "q_llm_multimodal_check": "Multimodal gate (expected empty): five real-codec legs (PNG/GIF/JPEG/MJPEG-AVI + fake-codec plumbing) all run as Arrow mapInPandas over localCheckpointed media — the only Exchanges are the explicit partition-invariance repartitions and the full-outer comparison joins on media_id; decode work never shuffles.",
 }
 
-def _head() -> str:
+def _git(*args: str) -> str:
     import subprocess
     try:
         return subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
+            ["git", *args],
             capture_output=True, text=True, timeout=10,
             cwd=str(__import__("pathlib").Path(__file__).resolve().parents[1]),
         ).stdout.strip() or "unknown"
@@ -72,9 +72,26 @@ def _head() -> str:
         return "unknown"
 
 
+def _head() -> str:
+    return _git("rev-parse", "--short", "HEAD")
+
+
+def _pkg_head() -> str:
+    # the commit this audit is actually ABOUT: the newest one touching
+    # package source. Emitted so a reader can see at a glance that a
+    # later HEAD stamp with an unchanged pkg head means artifact-only
+    # commits — the same reasoning bench.py's stale guard applies.
+    return _git(
+        "log", "-1", "--format=%h", "--",
+        "development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark",
+    )
+
+
 hdr = f"""# PLANS — physical-plan audit of headline queries (sf0.1, AQE final plans)
 
-Generated at commit {_head()}.
+Generated at commit {_head()}; package code audited as of commit {_pkg_head()}
+(its newest package-source commit — a later generation stamp with the same
+package commit means only artifacts/docs/tests moved).
 Regenerate with: `python scripts/gen_plans.py`.
 Each plan is captured AFTER execution so AQE's final plan (with codegen
 span annotations) is shown, not the pre-execution placeholder. The
@@ -127,9 +144,21 @@ for name, note in NOTES.items():
 GROWTH_NOTES = {
     "q_llm_span_dedup": (
         "expected ~linear: the counting exchange carries one (fp, doc_id)"
-        " long pair per token window, so shuffle tracks corpus tokens."
-        " Super-linearity here would mean span text leaked back into the"
-        " exchange."
+        " long pair per token window, so shuffle tracks corpus tokens —"
+        " span TEXT leaking back into the exchange would break the"
+        " envelope. Third point (r11 one-off at factor=100, 48g heap,"
+        " perturbation classes widened to 130 so 100 replicas stay"
+        " pairwise distinct): wall 12.6x, shuffle 406 MB = 17.2 B per"
+        " raw token window — i.e. the 100x point sits ON the raw"
+        " fingerprint-pair envelope (16-byte pairs + framing), confirming"
+        " volume linear in tokens. The headline shuffle_ratio (910x)"
+        " overstates growth: the 1x baseline writes only 1.9 B/window"
+        " because the whole corpus fits one scan task whose map-side"
+        " partial collapses/compresses before the exchange; past the"
+        " partial-agg memory budget (~1M-entry maps) the exchange streams"
+        " raw pairs, which is the bounded design point a 100 TB run"
+        " lives at. The collapse is a small-scale bonus, the envelope is"
+        " the claim."
     ),
     "q_llm_minhash_pairs": (
         "expected ~linear in shuffle (8 banded rows per doc into the"
@@ -142,7 +171,20 @@ GROWTH_NOTES = {
         " band, and a k-member cluster moves k^2/2 pairs at once — the"
         " ratio can sit visibly off the factor in either direction"
         " without being super-linear growth); in-bucket O(k^2) stays"
-        " bounded by max_bucket_size regardless."
+        " bounded by max_bucket_size regardless. Third point (r11"
+        " one-off, factor=100, 130 perturbation classes): wall 34.5x —"
+        " strongly sub-linear against 100x data — with shuffle 1.77 GB"
+        " (209x). The 2x excess over linear is the LSH background"
+        " random-collision term: for a fixed band/row setting, chance"
+        " band agreement contributes ~s^r * C(n,2) candidate pairs —"
+        " quadratic with a tiny constant that first becomes visible"
+        " around 500k docs. That term is inherent to LSH at fixed"
+        " threshold, is the knob band tuning exists for (raise r /"
+        " re-tune bands per corpus size), and stays bounded in-bucket"
+        " by max_bucket_size; the first 100x driver heap OOM was the"
+        " PROBE's own perturbation (26 Caesar classes made replicas 26"
+        " apart exact copies — k^2 duplication, not data growth), fixed"
+        " by the 130-class substitution now in bench_scale_probe."
     ),
     "q_llm_kmeans": (
         "expected flat shuffle (ZERO exchanges — partials aggregate"
@@ -189,6 +231,24 @@ GROWTH_NOTES = {
         " single-row-group 1x parallelism bound (see above); any"
         " shuffle growth would mean the per-doc histogram escaped the"
         " row."
+    ),
+    "q_llm_crawl_extract": (
+        "expected wall growth = task WAVES, not data: the crawl path's"
+        " parallel grain is FILE count (binaryFile hands whole .warc.gz"
+        " archives to tasks; the record walk, HTTP envelope strip and"
+        " HTML tokenizer are consecutive mapInPandas stages of one task"
+        " chain), so this row uses its own file-grain probe — 8 archives"
+        " at 1x vs 80 at 10x on 32 cores, ideal wall ratio"
+        " ceil(80/32)=3. A measured t_ratio near 3 with KB-scale shuffle"
+        " (the 2-number agg) is the heaviest per-row Python work in the"
+        " repo scaling by adding files — on a real crawl (thousands of"
+        " segment files per dump) the grain saturates any cluster; a"
+        " ratio trending toward the data factor would mean per-file"
+        " work stopped parallelizing. Third point (r11 one-off,"
+        " factor=100 = 800 archives): wall 8.2x at 100x data — better"
+        " than the naive ceil(800/32)=25-wave bound because binaryFile"
+        " packs small archives per task, so task count tracks bytes,"
+        " not file count; shuffle stays at KB scale (the 2-number agg)."
     ),
 }
 

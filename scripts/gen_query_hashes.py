@@ -66,6 +66,25 @@ def git_state() -> tuple[str | None, bool]:
         return None, False
 
 
+def merge_hashes(
+    old: dict[str, dict], live: dict[str, str], default_since: int
+) -> tuple[dict[str, dict], list[str]]:
+    """Pure merge core (unit-tested in tests/test_driver_rotation.py):
+    unchanged hashes keep their since_round; changed or new queries are
+    stamped ``default_since``; queries no longer registered drop out."""
+    hashes: dict[str, dict] = {}
+    changed: list[str] = []
+    for q in sorted(live):
+        h = live[q]
+        prev = old.get(q)
+        if prev and prev.get("hash") == h:
+            hashes[q] = {"hash": h, "since_round": int(prev["since_round"])}
+        else:
+            hashes[q] = {"hash": h, "since_round": default_since}
+            changed.append(q)
+    return hashes, changed
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--bootstrap-since", type=int, default=None, metavar="N")
@@ -87,17 +106,8 @@ def main() -> int:
         default_since = args.bootstrap_since
 
     live = catalog._QUERY_HASHES
-    hashes: dict[str, dict] = {}
-    changed, kept = [], 0
-    for q in sorted(live):
-        h = live[q]
-        prev = old.get(q)
-        if prev and prev.get("hash") == h:
-            hashes[q] = {"hash": h, "since_round": int(prev["since_round"])}
-            kept += 1
-        else:
-            hashes[q] = {"hash": h, "since_round": default_since}
-            changed.append(q)
+    hashes, changed = merge_hashes(old, live, default_since)
+    kept = len(hashes) - len(changed)
 
     head, dirty = git_state()
     out_path.write_text(

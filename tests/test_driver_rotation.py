@@ -240,3 +240,36 @@ def test_window_requeues_failures_first():
     assert victim in rewindow[: len(names) - 2 * WINDOW + 1 + 5], (
         "failed query should lead the recomputed window"
     )
+
+
+def test_gen_query_hashes_merge_semantics():
+    """The snapshot script's merge core: unchanged hashes KEEP their
+    since_round (a re-run must not reset verification history), changed
+    or new queries are stamped with the upcoming round, dropped queries
+    disappear — the exact lifecycle the since_round discount relies on."""
+    import importlib.util
+    import sys
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_query_hashes",
+        Path(__file__).resolve().parent.parent / "scripts" / "gen_query_hashes.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    old = {
+        "kept": {"hash": "h1", "since_round": 3},
+        "edited": {"hash": "h2-old", "since_round": 5},
+        "dropped": {"hash": "h3", "since_round": 1},
+    }
+    live = {"kept": "h1", "edited": "h2-new", "brand_new": "h4"}
+    hashes, changed = mod.merge_hashes(old, live, default_since=11)
+    assert hashes["kept"] == {"hash": "h1", "since_round": 3}
+    assert hashes["edited"] == {"hash": "h2-new", "since_round": 11}
+    assert hashes["brand_new"] == {"hash": "h4", "since_round": 11}
+    assert "dropped" not in hashes
+    assert changed == ["brand_new", "edited"]
+    # idempotence: a second run over its own output changes nothing
+    again, changed2 = mod.merge_hashes(hashes, live, default_since=12)
+    assert again == hashes and changed2 == []
