@@ -238,17 +238,17 @@ GROWTH_NOTES = {
         " archives to tasks; the record walk, HTTP envelope strip and"
         " HTML tokenizer are consecutive mapInPandas stages of one task"
         " chain), so this row uses its own file-grain probe — 8 archives"
-        " at 1x vs 80 at 10x on 32 cores, ideal wall ratio"
-        " ceil(80/32)=3. A measured t_ratio near 3 with KB-scale shuffle"
-        " (the 2-number agg) is the heaviest per-row Python work in the"
-        " repo scaling by adding files — on a real crawl (thousands of"
-        " segment files per dump) the grain saturates any cluster; a"
-        " ratio trending toward the data factor would mean per-file"
-        " work stopped parallelizing. Third point (r11 one-off,"
-        " factor=100 = 800 archives): wall 8.2x at 100x data — better"
-        " than the naive ceil(800/32)=25-wave bound because binaryFile"
-        " packs small archives per task, so task count tracks bytes,"
-        " not file count; shuffle stays at KB scale (the 2-number agg)."
+        " at 1x vs 80 at 10x on 32 cores. The task-wave floor is"
+        " ceil(80/32)=3; measured 10x ratios move between ~3 and ~7"
+        " run-to-run with binaryFile's small-file packing and the"
+        " sub-second 1x denominator — the claim is that they stay WELL"
+        " below the data factor, with shuffle flat at KB scale (the"
+        " 2-number agg). The decisive point is 100x (SCALE100_r11.json):"
+        " 800 archives run at 8.2x wall for 100x data — the heaviest"
+        " per-row Python work in the repo scales by adding files, which"
+        " is exactly what a real crawl (thousands of segment files per"
+        " dump) provides; a ratio trending toward the data factor would"
+        " mean per-file work stopped parallelizing."
     ),
 }
 
