@@ -1328,19 +1328,69 @@ def char_entropy_col(col: str = "text") -> Column:
     oracle-expressible where DEFLATE is not, so this one gets a hard
     DuckDB parity gate.
 
-    Built entirely from higher-order array functions, i.e. a
-    scan-stage projection with NO explode and NO shuffle: the histogram
-    never leaves the row. The per-char counts come from ONE run-length
-    fold over the sorted character array (equal chars are contiguous
-    after ``array_sort``), O(n log n) per doc — the previous
-    distinct × filter formulation was O(n·k) with k = distinct chars
-    (alphabet-bounded; the fold measures 1.2× faster at sf0.1 and
-    removes the k-factor dependence on alphabet growth).
-    Runs arrive in sorted-char order — exactly the order of the sorted
-    DISTINCT chars — so each run closes in the same sequence the
-    DuckDB oracle folds over, and the float summation order (hence the
-    value hash) is bit-identical to the previous formulation.
-    Empty/NULL texts return NULL.
+    Arrow-vectorized scalar pandas_udf: still a scan-stage projection
+    with NO explode and NO shuffle (the histogram never leaves the
+    row), but the per-char work runs as one ``np.unique`` over the
+    doc's codepoint array instead of interpreted higher-order-function
+    lambdas — Spark's ``aggregate``/``transform`` are CodegenFallback
+    and cost ~µs per ELEMENT, which made this the #2 bench query;
+    measured 5.9× faster at sf0.1 (5.2 s → 0.89 s) with the identical
+    plan shape. The HOF run-length-fold formulation is kept as
+    ``_char_entropy_hof_col`` and pinned equal (≤1e-12) by
+    tests/test_script_entropy.py.
+
+    Oracle-parity argument, mirrored from the fold version it replaces:
+    ``np.unique`` returns codepoint-sorted distinct chars — the same
+    order as UTF8-binary ``array_sort``/``list_sort`` — and the terms
+    accumulate in an explicit left fold over that order, so the float
+    summation order matches the DuckDB oracle exactly; per-term
+    ``math.log2`` is CPython's C libm (same ulp family as DuckDB's
+    C++ libm; the JVM log2 it replaces differed by ≤1 ulp on ~20% of
+    docs and the 4-dp aggregate rounding absorbed it — re-verified by
+    the full sf0.01 + sf0.1 oracle sweeps after this change).
+    Empty/NULL texts return NULL; IEEE -0.0 normalizes to +0.0.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def _entropy(texts):
+        out = np.empty(len(texts), dtype=object)
+        for i, t in enumerate(texts):
+            if t is None or len(t) == 0:
+                out[i] = None
+                continue
+            _, counts = np.unique(
+                np.frombuffer(
+                    t.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+                ),
+                return_counts=True,
+            )
+            n = float(len(t))
+            tot = 0.0
+            for c in counts:  # left fold in sorted-codepoint order
+                p = c / n
+                tot += p * math.log2(p)
+            out[i] = -tot + 0.0
+        return pd.Series(out)
+
+    # runtime annotations: the module's `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf's
+    # Series->Series inference cannot resolve against module globals
+    _entropy.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_entropy, DoubleType())(F.col(col))
+
+
+def _char_entropy_hof_col(col: str = "text") -> Column:
+    """Pure-JVM higher-order-function twin of ``char_entropy_col``:
+    one run-length fold over the sorted character array (equal chars
+    are contiguous after ``array_sort``), O(n log n) per doc. Retained
+    as the cross-implementation witness — the Arrow path must agree
+    with it to ≤1e-12 (tests/test_script_entropy.py) — and as the
+    fallback for environments where Python workers are unavailable.
     """
     chars = F.split(F.col(col), "")
     n = F.size(chars).cast("double")
@@ -1709,14 +1759,134 @@ def _ngrams_expr(toks: Column, n: int) -> Column:
     )
 
 
+# Java-regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python's re \s also
+# matches Unicode spaces on str, so the Arrow twin must use the
+# explicit class or it would tokenize \xa0-bearing docs differently
+# than the Spark split the oracle was calibrated against.
+_JAVA_WS_RUN = re.compile(r"[^ \t\n\x0b\f\r]+")
+
+
 def with_gopher_repetition_flags(
     df: DataFrame, col: str = "text"
 ) -> DataFrame:
     """The OTHER half of the Gopher rule table (Rae et al. 2021, A1):
-    repetition filters, completing gopher_quality_flags' quality rules.
-    Appends boolean columns to ``df``; every threshold is an integer
-    cross-multiplication over integer char counts (exact,
-    engine-portable):
+    repetition filters, completing gopher_quality_flags' quality rules —
+    semantics documented on ``_with_gopher_repetition_flags_hof``, the
+    pure-JVM twin this Arrow default must equal row-for-row
+    (tests/test_gopher_repetition.py pins both to a brute-force
+    reference and to each other on corpus text).
+
+    Arrow-vectorized fast path: one scalar pandas_udf computes all 12
+    flags per document from a single tokenization — token ids hashed
+    once, each n-gram counted as an id tuple with char length taken
+    from a prefix-sum (no per-gram string materialization; the lex-min
+    tie-break string reconstructs only among max-count candidates).
+    Same plan shape as the HOF version (one scan-stage projection, no
+    explode, no shuffle) with the interpreted-lambda constant removed:
+    the 13-rule battery was the #1 bench query at ~µs per array
+    ELEMENT across nine staged n-gram arrays; measured 3.3× faster at
+    sf0.1 (6.3 s → 1.9 s min-of-3, full catalog query). Every count/threshold stays an integer
+    cross-multiplication, so the outputs are exact and engine-portable
+    — the same hard-parity contract as before.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    flag_names = (
+        ["fail_dup_lines", "fail_dup_line_chars"]
+        + [f"fail_top_{n}gram" for n in GOPHER_TOP_NGRAM_PCT]
+        + [f"fail_dup_{n}gram" for n in GOPHER_DUP_NGRAM_PCT]
+        + ["repetition_pass"]
+    )
+    schema = T.StructType(
+        [T.StructField(f, T.BooleanType()) for f in flag_names]
+    )
+
+    def _flags_one(t):
+        if t is None:
+            return (None,) * len(flag_names)
+        total = len(t)
+        # lines: Spark split(col, "\n") keeps trailing empties (limit -1)
+        line_counts: dict[str, int] = {}
+        lines = t.split("\n")
+        for ln in lines:
+            line_counts[ln] = line_counts.get(ln, 0) + 1
+        n_lines = len(lines)
+        fail_dup_lines = 10 * (n_lines - len(line_counts)) > 3 * n_lines
+        dup_line_chars = sum(
+            (c - 1) * len(ln) for ln, c in line_counts.items() if c > 1
+        )
+        fail_dup_line_chars = 5 * dup_line_chars > total
+
+        # tokens: filter(split(lower(trim(text)), \s+), != "") — trim is
+        # space-only in Spark/DuckDB, \s is the Java ASCII class
+        toks = _JAVA_WS_RUN.findall(t.strip(" ").lower())
+        m = len(toks)
+        ids = {}
+        tok_ids = [ids.setdefault(w, len(ids)) for w in toks]
+        pref = [0] * (m + 1)  # prefix char lengths for O(1) gram length
+        for i, w in enumerate(toks):
+            pref[i + 1] = pref[i] + len(w)
+
+        flags = [fail_dup_lines, fail_dup_line_chars]
+        tops, dups = [], []
+        for n in list(GOPHER_TOP_NGRAM_PCT) + list(GOPHER_DUP_NGRAM_PCT):
+            grams: dict[tuple, list] = {}
+            for i in range(m - n + 1):
+                g = tuple(tok_ids[i : i + n])
+                e = grams.get(g)
+                if e is None:
+                    # [count, char length (tokens + n-1 separators), first pos]
+                    grams[g] = [1, pref[i + n] - pref[i] + (n - 1), i]
+                else:
+                    e[0] += 1
+            if n in GOPHER_TOP_NGRAM_PCT:
+                chars = 0
+                if grams:
+                    best = max(e[0] for e in grams.values())
+                    if best > 1:
+                        # lex-smallest among max-count grams, as strings
+                        cands = [
+                            e for e in grams.values() if e[0] == best
+                        ]
+                        lexmin = min(
+                            " ".join(toks[e[2] : e[2] + n]) for e in cands
+                        )
+                        chars = best * len(lexmin)
+                tops.append(chars)
+            else:
+                dups.append(
+                    sum(e[0] * e[1] for e in grams.values() if e[0] > 1)
+                )
+        for chars, pct in zip(tops, GOPHER_TOP_NGRAM_PCT.values()):
+            flags.append(100 * chars > pct * total)
+        for chars, pct in zip(dups, GOPHER_DUP_NGRAM_PCT.values()):
+            flags.append(100 * chars > pct * total)
+        flags.append(not any(flags))
+        return tuple(flags)
+
+    def _battery(texts):
+        return pd.DataFrame(
+            [_flags_one(t) for t in texts], columns=flag_names, dtype=object
+        )
+
+    _battery.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    struct = pandas_udf(_battery, schema)(F.col(col)).alias("_gflags")
+    out = df.select("*", struct)
+    return out.select(
+        *df.columns, *[F.col(f"_gflags.{f}").alias(f) for f in flag_names]
+    )
+
+
+def _with_gopher_repetition_flags_hof(
+    df: DataFrame, col: str = "text"
+) -> DataFrame:
+    """Pure-JVM higher-order-function twin of
+    ``with_gopher_repetition_flags`` (the retained witness + fallback
+    for Python-worker-less environments). Appends boolean columns to
+    ``df``; every threshold is an integer cross-multiplication over
+    integer char counts (exact, engine-portable):
 
     - ``fail_dup_lines``       > 30% of lines repeat an earlier line
     - ``fail_dup_line_chars``  chars in repeated line OCCURRENCES

@@ -7157,13 +7157,15 @@ def q_llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     char_entropy_col), aggregated per source — the closed-form
     gibberish/low-diversity signal beside the zlib compression ratio
     (which can only be invariant-gated; entropy gets hard DuckDB
-    parity). The entropy is a pure higher-order-function projection
-    (split → array_distinct → array_sort → per-char count → ordered
-    fold): the per-doc histogram never leaves the row, so the operator
-    adds ZERO shuffles to a corpus scan at any scale; the fold runs
-    over the sorted distinct chars so the float summation order is
-    identical in both engines, and -0.0 is normalized. Aggregates
-    rounded 4 dp per repo convention (cross-engine libm log2 ulp)."""
+    parity). The entropy is an Arrow-vectorized scan-stage projection
+    (np.unique codepoint histogram + left fold in sorted order — the
+    interpreted-HOF fold it replaced cost ~µs/element and was the #2
+    bench query; 5.9× measured): the per-doc histogram never leaves
+    the row, so the operator adds ZERO shuffles to a corpus scan at
+    any scale; the fold runs over the sorted distinct chars so the
+    float summation order is identical in both engines, and -0.0 is
+    normalized. Aggregates rounded 4 dp per repo convention
+    (cross-engine libm log2 ulp)."""
     from ..operators.textops import char_entropy_col
 
     docs = load_table(spark, sf_dir, "documents")
@@ -8494,8 +8496,29 @@ def _computed_driver_priority() -> list[str]:
     recorded ``since_round``, is ranked as never-verified and leads the
     window — so e.g. the r10 run-length-fold rewrites re-queue for a
     hard driver verdict the round the edit lands, not up to K rounds
-    later."""
-    return _rank_window(_effective_last_green(), list(QUERIES))
+    later.
+
+    Capacity rule when the two demands collide (an edit to a shared
+    helper module can invalidate more queries than the window holds —
+    e.g. a textops.py edit touches ~64): the artifact-age K-round bound
+    is the HARD contract and keeps its guaranteed slots; requeued
+    queries fill every remaining slot and the overflow drains in later
+    rounds (their effective rank stays 0 until the driver re-greens
+    them, so nothing fresh can jump the queue). With no edits the
+    grouping degenerates to the pure oldest-green ranking, because the
+    age-stale set is exactly the head of that ordering."""
+    last_green = _recorded_last_green()
+    latest = max(last_green.values(), default=0)
+    k = max(2, -(-(len(QUERIES) - _WINDOW) // _WINDOW))
+    hard = {
+        q for q in QUERIES if last_green.get(q, 0) < latest - (k - 1)
+    }
+    return _rank_window(
+        _effective_last_green(),
+        list(QUERIES),
+        hard_first=hard,
+        raw_green=last_green,
+    )
 
 
 def _effective_last_green() -> dict[str, int]:
@@ -8577,12 +8600,35 @@ def _recorded_last_green() -> dict[str, int]:
     return last_green
 
 
-def _rank_window(last_green: dict[str, int], names: list[str]) -> list[str]:
+def _rank_window(
+    last_green: dict[str, int],
+    names: list[str],
+    hard_first: set[str] | frozenset[str] = frozenset(),
+    raw_green: dict[str, int] | None = None,
+) -> list[str]:
     """Pure ranking core (separated so the rotation tests can simulate
     arbitrary future verdict histories): oldest-verified first,
-    registration order as the deterministic tiebreak."""
+    registration order as the deterministic tiebreak. ``hard_first``
+    names queries under the artifact-age K-round contract — they sort
+    ahead of everything else so a mass plan-edit requeue can never
+    evict them from the window (when ``hard_first`` is the head of the
+    last-green ordering, as it is with no edits, the grouping changes
+    nothing). ``raw_green`` (the undiscounted verdict history) breaks
+    ties INSIDE the requeued band: when more queries are invalidated
+    than the window holds, the least-recently-hard-verified edits go
+    first — both the fairest drain order and the one that front-loads
+    edits whose previous verdict is oldest."""
     reg = {n: i for i, n in enumerate(names)}
-    ranked = sorted(names, key=lambda n: (last_green.get(n, 0), reg[n]))
+    raw = raw_green if raw_green is not None else last_green
+    ranked = sorted(
+        names,
+        key=lambda n: (
+            n not in hard_first,
+            last_green.get(n, 0),
+            raw.get(n, 0),
+            reg[n],
+        ),
+    )
     return ranked[:_WINDOW]
 
 

@@ -54,8 +54,8 @@ NOTES = {
  "q_llm_unigram_nll": "Perplexity-proxy scoring: one explode, vocab-sized frequency groupBy, token-keyed probability join, per-doc aggregate — all two-phase with map-side partials; ln/div stay in codegen.",
  "q_billing_incremental_rollup_check": "Rollup maintenance gate (expected empty): fold-vs-recompute equality over an ingest/fold/compact/rebaseline lifecycle. The lifecycle runs EAGERLY inside the check (each step is its own execution), so the audited plan here is only the driver-built verdict frame; the fold side's plan property — the increment scan is batch-glob pruned, never a full-table rescan — is pinned by tests/test_rollup.py.",
  "q_llm_dedup_store_lifecycle_check": "Dedup-store lifecycle gate (expected empty): screening decisions before/after compact() reclaim, retention horizons, re-admission past the horizon. The lifecycle runs EAGERLY inside the check (store writes/rewrites are separate executions), so the audited plan here is only the driver-built verdict frame; the property that matters at scale — the BUCKETED store side of every screening join stays Exchange-free, including after the compact() rewrite-swap — is plan-walk-asserted INSIDE the gate itself (any Exchange on the store side emits a violation row) and in tests/test_near_dup_store.py.",
- "q_llm_gopher_repetition": "Gopher repetition battery: the 13-rule fraction battery fuses into ONE whole-stage-codegen corpus scan — line/word/n-gram arrays materialize once per row as staged projections, every occurrence count is a run-length fold over the SORTED n-gram array (O(m log m)/doc; the distinct x filter form it replaced was O(m^2) and 2.9x slower at sf0.1: 15.3 s -> 5.3 s), every threshold is an integer cross-multiplication, and the only Exchange is the per-source map-side-combined failure-count aggregate (rows = sources, not docs). Embarrassingly parallel, no pairwise work anywhere.",
- "q_llm_char_entropy": "Character entropy: one run-length fold over the sorted character array inside one codegen'd scan stage (runs close in sorted-char order, so the float summation order — and the value hash — is identical to folding over sorted distinct chars, the DuckDB oracle's order); the per-doc histogram never leaves its row, so the operator adds ZERO shuffles to a corpus scan; the only Exchange is the 4-row per-source stats aggregate.",
+ "q_llm_gopher_repetition": "Gopher repetition battery: ONE Arrow-vectorized scalar pandas_udf computes all 12 flags per document (token-id n-gram counting with prefix-sum char lengths; the lex-min tie-break reconstructs strings only among max-count candidates) inside a single scan-stage projection — no explode, no shuffle; the only Exchange is the per-source failure-count aggregate (rows = sources, not docs). Lineage of the constant: distinct x filter O(m^2) 15.3 s -> JVM run-length folds O(m log m) 5.3-6.3 s -> Arrow 1.9 s at sf0.1 (interpreted HOF lambdas cost ~us per array element; the retained _with_gopher_repetition_flags_hof twin is pinned equal row-for-row). Every threshold is an integer cross-multiplication — exact, engine-portable. Embarrassingly parallel, no pairwise work anywhere.",
+ "q_llm_char_entropy": "Character entropy: Arrow-vectorized scalar pandas_udf — np.unique codepoint histogram + explicit left fold in sorted-codepoint order, so the float summation order matches the DuckDB oracle's sorted-distinct fold exactly (per-term log2 is C libm on both sides; the JVM HOF twin it replaced, retained as _char_entropy_hof_col and pinned <=1e-12 equal, was 5.9x slower from interpreted lambda cost). The per-doc histogram never leaves its row: ZERO shuffles added to the corpus scan; the only Exchange is the 4-row per-source stats aggregate.",
  "q_llm_bigram_nll": "Bigram-NLL perplexity proxy: one explode feeds the (w1,w2) pair stream; the bigram and unigram models are two model-sized two-phase groupBys (map-side partials — shuffle tracks VOCAB, not corpus), the 1-row vocab count broadcasts, and both model joins key on the pair/word columns before the per-doc mean aggregate (at sf0.1 AQE turns them into broadcasts — the measured 3 broadcasts; past the threshold they fall back to shuffle-hash on the model key). Nothing corpus-sized shuffles twice; model size bounds the join build sides.",
  "q_llm_multimodal_check": "Multimodal gate (expected empty): five real-codec legs (PNG/GIF/JPEG/MJPEG-AVI + fake-codec plumbing) all run as Arrow mapInPandas over localCheckpointed media — the only Exchanges are the explicit partition-invariance repartitions and the full-outer comparison joins on media_id; decode work never shuffles.",
 }
@@ -215,13 +215,14 @@ GROWTH_NOTES = {
         " only): the battery is a heavy-constant scan-stage projection,"
         " so the time ratio IS the claim — near the factor means the"
         " per-row constant holds and nothing pairwise crept in; the"
-        " shuffle staying at KB scale means the arrays never leave"
+        " shuffle staying at KB scale means the flags never leave"
         " their row. The 1x wall number is SINGLE-TASK-bound: sf0.1"
         " documents is one ~2 MB parquet row group, and parquet"
         " assigns rows at row-group granularity however many splits"
         " the scan requests — at 10x (more row groups) the probe"
         " spreads across cores and time is near-flat. The constant is"
-        " per-core char throughput of the interpreted HOF lambdas,"
+        " per-core Arrow-batch throughput of the r11 pandas_udf"
+        " battery (3.3x below the JVM HOF folds it replaced),"
         " parallelized by row-group count at real corpus sizes — not"
         " a scale risk."
     ),

@@ -158,3 +158,38 @@ def test_run_fold_helpers_match_python_reference(spark):
         assert got[i]["dup"] == ref_dup(arr), (i, arr)
         assert got[i]["extra"] == ref_extra(arr), (i, arr)
         assert got[i]["top"] == ref_top(arr), (i, arr)
+
+
+def test_arrow_battery_matches_hof_twin(spark):
+    """The Arrow default must equal the pure-JVM run-length-fold twin
+    row-for-row on real corpus text (plus crafted edge docs): the
+    outputs are exact integers/booleans, so ANY divergence is a
+    semantics bug — tokenization (Java ASCII \\s vs Python Unicode),
+    trim width, tie-breaks, or empty-doc handling."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        _with_gopher_repetition_flags_hof,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edge = spark.createDataFrame(
+        [
+            (100001, ""),
+            (100002, None),
+            (100003, "  \t tab nbsp words \n\n line \n line \n"),
+            (100004, "x y x y x y x y x y"),
+        ],
+        "doc_id long, text string",
+    )
+    base = docs.select("doc_id", "text").unionByName(edge)
+    a = {
+        r["doc_id"]: r
+        for r in with_gopher_repetition_flags(base).collect()
+    }
+    b = {
+        r["doc_id"]: r
+        for r in _with_gopher_repetition_flags_hof(base).collect()
+    }
+    assert set(a) == set(b) and len(a) > 4
+    for doc_id in a:
+        ra, rb = a[doc_id].asDict(), b[doc_id].asDict()
+        assert ra == rb, (doc_id, ra, rb)

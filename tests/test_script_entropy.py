@@ -152,3 +152,30 @@ def test_both_ops_are_scan_stage(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_entropy_arrow_matches_hof_twin(spark):
+    """The Arrow (np.unique + left fold) default must agree with the
+    pure-JVM run-length-fold witness to 1e-12 on real corpus text —
+    same sorted-order summation, per-term log2 from different libms
+    (≤1 ulp apart); a bigger gap means one side's histogram or fold
+    order drifted."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        _char_entropy_hof_col,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = docs.select(
+        "doc_id",
+        char_entropy_col().alias("arrow"),
+        _char_entropy_hof_col().alias("hof"),
+    ).collect()
+    assert rows
+    for r in rows:
+        if r.arrow is None or r.hof is None:
+            assert r.arrow is None and r.hof is None, r
+            continue
+        assert abs(r.arrow - r.hof) <= 1e-12, (r.doc_id, r.arrow, r.hof)
+        # sign-of-zero normalization holds on both paths
+        if r.arrow == 0.0:
+            assert math.copysign(1.0, r.arrow) == 1.0
