@@ -240,11 +240,12 @@ GROWTH_NOTES = {
         " HTML tokenizer are consecutive mapInPandas stages of one task"
         " chain), so this row uses its own file-grain probe — 8 archives"
         " at 1x vs 80 at 10x on 32 cores. The task-wave floor is"
-        " ceil(80/32)=3; measured 10x ratios move between ~3 and ~7"
-        " run-to-run with binaryFile's small-file packing and the"
-        " sub-second 1x denominator — the claim is that they stay WELL"
-        " below the data factor, with shuffle flat at KB scale (the"
-        " 2-number agg). The decisive point is 100x (SCALE100_r11.json):"
+        " ceil(80/32)=3, but the 10x row is NOISY by construction — a"
+        " sub-second 1x denominator (fixed Python-worker/scan overhead)"
+        " under binaryFile's small-file packing; observed 3.1x, 6.7x,"
+        " and 12.5x across three same-code runs, so read the shuffle"
+        " column (flat at KB scale, the 2-number agg), not the 10x"
+        " wall ratio. The decisive point is 100x (SCALE100_r11.json):"
         " 800 archives run at 8.2x wall for 100x data — the heaviest"
         " per-row Python work in the repo scales by adding files, which"
         " is exactly what a real crawl (thousands of segment files per"
