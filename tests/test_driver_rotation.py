@@ -289,3 +289,42 @@ def test_gen_query_hashes_merge_semantics():
     # idempotence: a second run over its own output changes nothing
     again, changed2 = mod.merge_hashes(hashes, live, default_since=12)
     assert again == hashes and changed2 == []
+
+
+def test_mass_requeue_drains_while_age_bound_holds():
+    """Simulate forward from the REAL repo state (a shared-helper edit
+    can invalidate more queries than the window holds — e.g. the r11
+    textops edit requeued 65): if each round's driver greens exactly
+    the computed window, the requeue backlog must drain within
+    ceil(|requeued| / WINDOW) + 1 rounds AND the artifact-age K-bound
+    must hold at every intermediate round — i.e. best-effort re-checks
+    never starve the hard contract, and vice versa."""
+    latest, last_green = _verdicts()
+    names = list(QUERIES)
+    k = max(2, -(-(len(names) - WINDOW) // WINDOW))
+    green = dict(last_green)
+    pending = set(_REQUEUED) or set(names[:65])  # non-trivial either way
+    deadline = -(-len(pending) // WINDOW) + 1
+    for step in range(1, 6):
+        future = max(green.values(), default=0) + 1
+        eff = {q: g for q, g in green.items() if q not in pending}
+        hard = {
+            q for q in names if green.get(q, 0) < (future - 1) - (k - 1)
+        }
+        window = _rank_window(eff, names, hard_first=hard, raw_green=green)
+        assert len(window) == WINDOW
+        # the hard contract holds THIS round: every query stale against
+        # the RECORDED history (artifacts exist through future-1, the
+        # same threshold production uses) is in the window
+        stale = [
+            q for q in names if green.get(q, 0) < (future - 1) - (k - 1)
+        ]
+        missing = [q for q in stale if q not in window]
+        assert not missing, f"step {step}: age-stale {missing[:5]} evicted"
+        for q in window:
+            green[q] = future
+        pending -= set(window)
+        if not pending and step >= 1:
+            break
+    assert not pending, f"requeue backlog failed to drain: {len(pending)} left"
+    assert step <= deadline, (step, deadline)
