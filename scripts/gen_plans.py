@@ -224,14 +224,18 @@ GROWTH_NOTES = {
         " per-core Arrow-batch throughput of the r11 pandas_udf"
         " battery (3.3x below the JVM HOF folds it replaced),"
         " parallelized by row-group count at real corpus sizes — not"
-        " a scale risk."
+        " a scale risk. Third point (r11 one-off, factor=100,"
+        " SCALE100_r11.json): 100x data in 4.73x wall with shuffle"
+        " still KB-scale — the Python-worker pool keeps pace once the"
+        " scan spreads across cores."
     ),
     "q_llm_char_entropy": (
         "expected linear time, ~flat shuffle: same scan-stage shape as"
         " the repetition battery with a smaller constant, and the same"
         " single-row-group 1x parallelism bound (see above); any"
         " shuffle growth would mean the per-doc histogram escaped the"
-        " row."
+        " row. Third point (r11 one-off, factor=100): 100x data in"
+        " 4.16x wall, shuffle KB-scale (SCALE100_r11.json)."
     ),
     "q_llm_crawl_extract": (
         "expected wall growth = task WAVES, not data: the crawl path's"
