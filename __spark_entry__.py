@@ -31,7 +31,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2, in driver
+    priority order (the correctness driver verifies the FIRST 50 — the
+    rotation is computed lazily, so trigger it before snapshotting)."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans import (
+        catalog,
+    )
+
+    catalog.ensure_driver_order()
     return dict(QUERIES)
 
 

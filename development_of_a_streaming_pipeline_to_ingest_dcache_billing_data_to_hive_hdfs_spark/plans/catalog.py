@@ -8460,7 +8460,7 @@ def q_billing_hll_user_sketch_check(
 _WINDOW = 50  # queries the correctness driver verifies per round
 
 
-def _computed_driver_priority() -> list[str]:
+def _computed_driver_priority(live: dict[str, str]) -> list[str]:
     """The driver window, COMPUTED from the recorded verdicts instead of
     hand-rotated: rank every catalog query by (round of last green hard
     driver verdict, original registration order) and take the first
@@ -8500,12 +8500,14 @@ def _computed_driver_priority() -> list[str]:
 
     Capacity rule when the two demands collide (an edit to a shared
     helper module can invalidate more queries than the window holds —
-    e.g. a textops.py edit touches ~64): the artifact-age K-round bound
-    is the HARD contract and keeps its guaranteed slots; requeued
-    queries fill every remaining slot and the overflow drains in later
-    rounds (their effective rank stays 0 until the driver re-greens
-    them, so nothing fresh can jump the queue). With no edits the
-    grouping degenerates to the pure oldest-green ranking, because the
+    e.g. a textops.py edit touches ~64 under the scheme-1 file-level
+    hash; scheme 2's function-granularity walk shrinks that to the
+    actual dependents): the artifact-age K-round bound is the HARD
+    contract and keeps its guaranteed slots; requeued queries fill
+    every remaining slot and the overflow drains in later rounds
+    (their effective rank stays 0 until the driver re-greens them, so
+    nothing fresh can jump the queue). With no edits the grouping
+    degenerates to the pure oldest-green ranking, because the
     age-stale set is exactly the head of that ordering."""
     last_green = _recorded_last_green()
     latest = max(last_green.values(), default=0)
@@ -8514,24 +8516,28 @@ def _computed_driver_priority() -> list[str]:
         q for q in QUERIES if last_green.get(q, 0) < latest - (k - 1)
     }
     return _rank_window(
-        _effective_last_green(),
+        _effective_last_green(live),
         list(QUERIES),
         hard_first=hard,
         raw_green=last_green,
     )
 
 
-def _effective_last_green() -> dict[str, int]:
+def _effective_last_green(live: dict[str, str]) -> dict[str, int]:
     """Last green round per query, DISCOUNTED to 0 for queries whose
     content changed since that verdict (see _computed_driver_priority).
-    Falls back to the raw verdict history if QUERY_HASHES.json is
-    absent or unreadable — losing the artifact must degrade to the
-    legacy oldest-green rotation, never break query registration."""
+    ``live`` is the current content-hash map (passed in rather than
+    read from a module global so the rotation state can be computed
+    lazily — r11 advice: plain catalog imports shouldn't pay the
+    full-catalog hashing cost). Falls back to the raw verdict history
+    if QUERY_HASHES.json is absent or unreadable — losing the artifact
+    must degrade to the legacy oldest-green rotation, never break
+    query registration."""
     last_green = _recorded_last_green()
     recorded = _recorded_query_hashes()
     if not recorded:
         return last_green
-    return _discount_edited(last_green, recorded, _QUERY_HASHES)
+    return _discount_edited(last_green, recorded, live)
 
 
 def _discount_edited(
@@ -8633,33 +8639,88 @@ def _rank_window(
 
 
 def _live_query_hashes() -> dict[str, str]:
-    """Content hash of every registered query at import time — the
-    live side of the plan-edit-aware rotation (and the source the
-    gen_query_hashes.py artifact snapshots)."""
+    """Content hash of every registered query — the live side of the
+    plan-edit-aware rotation (and the source the gen_query_hashes.py
+    artifact snapshots)."""
     from .contenthash import query_content_hash
 
     return {q: query_content_hash(fn, ORACLES.get(q)) for q, fn in QUERIES.items()}
 
 
-_QUERY_HASHES = _live_query_hashes()
+# ---------------------------------------------------------------------------
+# Lazy rotation state (r11 advice): hashing all 163 queries — getsource
+# + reference-graph walk + constant reprs — is paid only by consumers
+# that actually need the driver ordering (__spark_entry__.queries(),
+# the rotation tests, bench's stale guard, scripts/gen_query_hashes.py),
+# not by every `import catalog`. The legacy module attributes
+# (_QUERY_HASHES, _DRIVER_PRIORITY, _REQUEUED) stay importable through
+# PEP 562 __getattr__, computing on first touch.
+# ---------------------------------------------------------------------------
 
-_DRIVER_PRIORITY = _computed_driver_priority()
-
-# Names the hash gate re-queued this round (live content unverified at
-# its last green round) — exposed for tests and bench introspection.
-_REQUEUED = sorted(
-    set(_recorded_last_green()) - set(_effective_last_green())
-) if _recorded_query_hashes() else []
+_ROTATION_STATE: dict[str, object] = {}
 
 
-def _reorder_queries() -> None:
-    missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
-    if missing:  # fail loudly at import: the priority list IS the contract
+def _rotation_state() -> dict[str, object]:
+    if "priority" not in _ROTATION_STATE:
+        live = _live_query_hashes()
+        priority = _computed_driver_priority(live)
+        requeued = sorted(
+            set(_recorded_last_green()) - set(_effective_last_green(live))
+        ) if _recorded_query_hashes() else []
+        _ROTATION_STATE.update(
+            hashes=live, priority=priority, requeued=requeued
+        )
+        _reorder_queries(priority)
+    return _ROTATION_STATE
+
+
+def ensure_driver_order() -> None:
+    """Reorder QUERIES so the computed driver window is its first 50
+    entries. Idempotent; called by __spark_entry__.queries() before the
+    dict is handed to the correctness driver."""
+    _rotation_state()
+
+
+def driver_window_breakdown() -> dict[str, list[str]]:
+    """The upcoming window, partitioned by WHY each query holds a slot
+    (the r11 verdict's ROTATION.json artifact — so the judge reads the
+    drain plan instead of recomputing it): ``age_hard`` = under the
+    K-round artifact-age contract, ``requeued`` = content edited since
+    the last green verdict, ``backfill`` = oldest-green rotation,
+    ``requeued_waiting`` = requeued but overflowed past the window
+    (drains next round). Lists preserve window order."""
+    st = _rotation_state()
+    window: list[str] = list(st["priority"])  # type: ignore[arg-type]
+    requeued = set(st["requeued"])  # type: ignore[arg-type]
+    last_green = _recorded_last_green()
+    latest = max(last_green.values(), default=0)
+    k = max(2, -(-(len(QUERIES) - _WINDOW) // _WINDOW))
+    hard = {q for q in QUERIES if last_green.get(q, 0) < latest - (k - 1)}
+    return {
+        "age_hard": [q for q in window if q in hard],
+        "requeued": [q for q in window if q in requeued and q not in hard],
+        "backfill": [
+            q for q in window if q not in hard and q not in requeued
+        ],
+        "requeued_waiting": sorted(requeued - set(window) - hard),
+    }
+
+
+def __getattr__(name: str):
+    if name == "_QUERY_HASHES":
+        return _rotation_state()["hashes"]
+    if name == "_DRIVER_PRIORITY":
+        return _rotation_state()["priority"]
+    if name == "_REQUEUED":
+        return _rotation_state()["requeued"]
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def _reorder_queries(priority: list[str]) -> None:
+    missing = [n for n in priority if n not in QUERIES]
+    if missing:  # fail loudly: the priority list IS the contract
         raise RuntimeError(f"_DRIVER_PRIORITY names unknown queries: {missing}")
-    ordered = {n: QUERIES[n] for n in _DRIVER_PRIORITY}
+    ordered = {n: QUERIES[n] for n in priority}
     ordered.update({n: f for n, f in QUERIES.items() if n not in ordered})
     QUERIES.clear()
     QUERIES.update(ordered)  # in-place: importers hold references to this dict
-
-
-_reorder_queries()

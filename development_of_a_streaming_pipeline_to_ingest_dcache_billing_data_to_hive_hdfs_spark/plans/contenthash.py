@@ -16,35 +16,51 @@ live hash differs from the recorded one — or whose recorded hash is
 newer than its last green verdict — as never-verified, so it leads the
 next window.
 
-What the hash covers, and at what granularity:
+Scheme 2 (round 12) hashes at FUNCTION granularity across module
+boundaries. Scheme 1 hashed cross-module dependencies at FILE
+granularity, so one docstring edit in ``textops.py`` requeued every
+query that reaches into it (~64 — more than a full driver window; the
+r11 verdict's "edits starve the age-based backfill" critique). Scheme 2
+instead walks the reference graph:
 
-- the builder function's own source (``inspect.getsource``), plus the
-  sources of every same-module function it references (transitively
-  within the module) — so an edit to a shared catalog helper like
-  ``rev_dec`` re-queues its users without an edit to ``catalog.py``
-  re-queuing all 163 queries;
+- every package-internal FUNCTION the builder transitively references —
+  through its ``__globals__``, through ``from ..x import y`` statements
+  in its body (resolved by import to the actual object), through
+  wrappers (``functools``, ``lru_cache``, ``pandas_udf``-style ``.func``
+  / ``__wrapped__``), and through classes (class source plus every
+  method, plus internal bases) — contributes its own source;
+- package-internal plain-value globals a traversed function references
+  (threshold dicts, SQL fragments, precomputed tables) contribute a
+  deterministic ``_stable_repr`` — closing scheme 1's own-module
+  constant blind spot (r11 advice): sets/dicts are emitted in sorted
+  order so PYTHONHASHSEED cannot flap the hash between processes;
 - the oracle SQL string (the other half of the driver contract);
-- the md5 of the FILE of every package-internal module the builder
-  references — via module-level imports resolved through
-  ``fn.__globals__`` or via local ``from ..x import y`` statements in
-  the builder body — expanded to the transitive closure over the
-  module-level import graph (parsed with ``ast``, never executed).
-  File granularity is deliberately coarse: any edit inside
-  ``textops.py`` re-queues every query that reaches into it, which is
-  exactly the conservative behavior the rotation promise needs. The
-  builder's own module is excluded from the file-hash set (it is
-  covered at function granularity above).
+- FILE-granularity md5s survive only as the conservative fallback for
+  references the walk cannot resolve to an object: modules referenced
+  AS modules, bare ``import pkg.mod`` statements, and imports that fail
+  to resolve — expanded to the transitive closure over the module-level
+  import graph as before. The builder's own module is always excluded
+  from the file set (it is covered at function granularity).
 
-This is a change DETECTOR, not a soundness proof: a missed dependency
-only means an edited query waits for the standing K-round staleness
-bound (tests/test_driver_rotation.py) instead of leading the next
-window; a false positive only means one wasted re-verification slot.
+This is a change DETECTOR, not a soundness proof: dynamic dispatch
+(``getattr`` by computed name), monkeypatching, and data-file reads are
+invisible to the walk. A missed dependency only means an edited query
+waits for the standing K-round staleness bound
+(tests/test_driver_rotation.py) instead of leading the next window; a
+false positive only means one wasted re-verification slot.
+
+``query_content_hash_v1`` preserves the scheme-1 algorithm bit-for-bit:
+scripts/gen_query_hashes.py uses it once to migrate QUERY_HASHES.json
+(a recorded scheme-1 hash that still matches the live scheme-1 hash
+proves the content is unchanged, so the query keeps its ``since_round``
+instead of being mass-restamped by the algorithm change itself).
 """
 
 from __future__ import annotations
 
 import ast
 import hashlib
+import importlib
 import inspect
 import textwrap
 import types
@@ -54,7 +70,14 @@ from pathlib import Path
 _PKG_DIR = Path(__file__).resolve().parents[1]
 _PKG_NAME = _PKG_DIR.name
 
-__all__ = ["query_content_hash"]
+SCHEME = 2
+
+__all__ = [
+    "SCHEME",
+    "query_content_hash",
+    "query_content_parts",
+    "query_content_hash_v1",
+]
 
 
 def _module_file(mod: str) -> Path | None:
@@ -82,13 +105,12 @@ def _is_package(mod: str) -> bool:
     return bool(p) and p.name == "__init__.py"
 
 
-def _resolve_import_from(
+def _import_from_base(
     importer: str, importer_is_pkg: bool, node: ast.ImportFrom
-) -> set[str]:
-    """Package-internal modules referenced by one ``from X import Y``
-    (PEP 328 for relative imports). Each imported name may itself be a
-    submodule (``from . import textops``) — counted as a module iff a
-    file for it exists; otherwise the base module carries the edge."""
+) -> str | None:
+    """The absolute base module a ``from X import Y`` resolves to
+    (PEP 328 for relative imports), or None when it is not
+    package-internal."""
     if node.level == 0:
         base = node.module or ""
     else:
@@ -97,12 +119,25 @@ def _resolve_import_from(
             parts = parts[:-1]
         if node.level - 1 > 0:
             if node.level - 1 >= len(parts):
-                return set()
+                return None
             parts = parts[: len(parts) - (node.level - 1)]
         if node.module:
             parts = parts + node.module.split(".")
         base = ".".join(parts)
     if not base or (base != _PKG_NAME and not base.startswith(_PKG_NAME + ".")):
+        return None
+    return base
+
+
+def _resolve_import_from(
+    importer: str, importer_is_pkg: bool, node: ast.ImportFrom
+) -> set[str]:
+    """Package-internal modules referenced by one ``from X import Y``.
+    Each imported name may itself be a submodule (``from . import
+    textops``) — counted as a module iff a file for it exists;
+    otherwise the base module carries the edge."""
+    base = _import_from_base(importer, importer_is_pkg, node)
+    if base is None:
         return set()
     out: set[str] = set()
     for alias in node.names:
@@ -175,10 +210,238 @@ def _fn_source(fn) -> str:
                f"{getattr(fn, '__qualname__', '?')}>"
 
 
+# ---------------------------------------------------------------------------
+# Scheme 2: function-granularity reference walk
+# ---------------------------------------------------------------------------
+
+
+def _internal_module_of(obj) -> str:
+    """The package-internal defining module of an object, or ''."""
+    mod = getattr(obj, "__module__", None)
+    if isinstance(mod, str) and (
+        mod == _PKG_NAME or mod.startswith(_PKG_NAME + ".")
+    ):
+        return mod
+    return ""
+
+
+def _unwrap_callable(obj):
+    """Underlying plain FunctionType behind common wrappers —
+    ``functools.wraps``/``lru_cache`` (``__wrapped__``),
+    ``functools.partial`` / Spark ``UserDefinedFunction`` (``.func``),
+    static/class methods, properties — or None when there isn't one."""
+    for _ in range(8):
+        if obj is None:
+            return None
+        if isinstance(obj, types.FunctionType):
+            return obj
+        if isinstance(obj, (staticmethod, classmethod)):
+            obj = obj.__func__
+            continue
+        if isinstance(obj, property):
+            obj = obj.fget
+            continue
+        nxt = getattr(obj, "__wrapped__", None)
+        if nxt is None:
+            nxt = getattr(obj, "func", None)
+        if nxt is None or nxt is obj:
+            return None
+        obj = nxt
+    return None
+
+
+_REPR_CAP = 2048
+
+
+def _stable_repr(obj, depth: int = 0) -> str:
+    """Deterministic-across-processes repr for plain data values.
+    Sets and dicts are emitted in sorted order because string hash
+    randomization (PYTHONHASHSEED) makes their native iteration order
+    differ per process; anything whose repr embeds a memory address is
+    collapsed to a type marker (constant, so no false drift)."""
+    if depth > 4:
+        return "<depth>"
+    if isinstance(obj, (str, bytes, int, float, bool, type(None))):
+        return repr(obj)
+    if isinstance(obj, (list, tuple)):
+        inner = ",".join(_stable_repr(x, depth + 1) for x in obj[:256])
+        if len(obj) > 256:
+            inner += f",<+{len(obj) - 256}>"
+        return ("[%s]" if isinstance(obj, list) else "(%s)") % inner
+    if isinstance(obj, (set, frozenset)):
+        return "{%s}" % ",".join(
+            sorted(_stable_repr(x, depth + 1) for x in obj)
+        )
+    if isinstance(obj, dict):
+        items = sorted(
+            (_stable_repr(k, depth + 1), _stable_repr(v, depth + 1))
+            for k, v in obj.items()
+        )
+        return "{%s}" % ",".join(f"{k}:{v}" for k, v in items)
+    try:
+        r = repr(obj)
+    except Exception:  # noqa: BLE001 — a repr that raises is still constant
+        r = "<unreprable>"
+    if " at 0x" in r:
+        return f"<unstable {type(obj).__qualname__}>"
+    return r
+
+
+def _const_repr(obj) -> str:
+    r = _stable_repr(obj)
+    if len(r) > _REPR_CAP:
+        r = f"md5:{hashlib.md5(r.encode('utf-8', 'replace')).hexdigest()}"
+    return r
+
+
+def _local_imports(fn, src: str) -> list[tuple[str, str | None]]:
+    """Package-internal import statements INSIDE a function body, as
+    ``(base_module, imported_name_or_None)`` pairs. ``from ..x import
+    y`` yields ('pkg.x', 'y') so the walk can resolve ``y`` to the
+    actual object; bare ``import pkg.x`` yields ('pkg.x', None)."""
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return []
+    mod = getattr(fn, "__module__", "") or ""
+    out: list[tuple[str, str | None]] = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            out.extend(
+                (a.name, None)
+                for a in node.names
+                if a.name == _PKG_NAME or a.name.startswith(_PKG_NAME + ".")
+            )
+        elif isinstance(node, ast.ImportFrom):
+            base = _import_from_base(mod, False, node)
+            if base is not None:
+                out.extend((base, a.name) for a in node.names)
+    return out
+
+
+def query_content_parts(fn, oracle: str | None) -> dict:
+    """The scheme-2 hash inputs, separated for tests and tooling:
+    {'functions': {qualkey: source}, 'constants': {key: stable_repr},
+    'files': {module: md5}, 'oracle': str}. ``query_content_hash`` is a
+    deterministic digest of exactly this structure, so asserting on the
+    parts (e.g. "editing char_entropy_col requeues q_llm_char_entropy
+    but not q_llm_bm25_search") is asserting on the hash."""
+    own_module = getattr(fn, "__module__", "") or ""
+    functions: dict[str, str] = {}
+    constants: dict[str, str] = {}
+    file_mods: set[str] = set()
+    seen: set[str] = set()
+    stack = [fn]
+
+    def push_class(cls: type) -> None:
+        key = f"{getattr(cls, '__module__', '?')}.{getattr(cls, '__qualname__', '?')}"
+        if key in seen:
+            return
+        seen.add(key)
+        functions[key] = _fn_source(cls)
+        for v in vars(cls).values():
+            f = _unwrap_callable(v)
+            if f is not None and _internal_module_of(f):
+                stack.append(f)
+        for b in cls.__bases__:
+            if b is not object and _internal_module_of(b):
+                push_class(b)
+
+    def push_obj(key: str, obj) -> None:
+        if isinstance(obj, types.ModuleType):
+            m = getattr(obj, "__name__", "")
+            if m == _PKG_NAME or m.startswith(_PKG_NAME + "."):
+                file_mods.add(m)  # module-as-module: file-level fallback
+            return
+        f = _unwrap_callable(obj)
+        if f is not None:
+            if _internal_module_of(f):
+                stack.append(f)
+            return
+        if isinstance(obj, type):
+            if _internal_module_of(obj):
+                push_class(obj)
+            return
+        mod = _internal_module_of(obj)
+        if mod:
+            # module-level instance of an internal class (a singleton
+            # registry, say): its behavior is its class's code
+            push_class(type(obj))
+            return
+        constants[key] = _const_repr(obj)
+
+    while stack:
+        f = stack.pop()
+        key = f"{getattr(f, '__module__', '?')}.{getattr(f, '__qualname__', '?')}"
+        if key in seen:
+            continue
+        seen.add(key)
+        src = _fn_source(f)
+        functions[key] = src
+        for base, name in _local_imports(f, src):
+            if name is None:
+                file_mods.add(base)
+                continue
+            sub = f"{base}.{name}"
+            if _module_file(sub):
+                file_mods.add(sub)  # `from . import textops` style
+                continue
+            try:
+                obj = getattr(importlib.import_module(base), name)
+            except Exception:  # noqa: BLE001 — unresolvable: be coarse
+                file_mods.add(base)
+                continue
+            push_obj(f"{base}:{name}", obj)
+        code = getattr(f, "__code__", None)
+        g = getattr(f, "__globals__", None)
+        if code is None or g is None:
+            continue
+        fmod = getattr(f, "__module__", "") or ""
+        for name in sorted(_code_names(code)):
+            if name not in g:
+                continue  # builtin, local, or attribute name
+            push_obj(f"{fmod}:{name}", g[name])
+
+    closure: set[str] = set()
+    for m in file_mods:
+        closure |= _module_closure(m)
+    closure.discard(own_module)
+    return {
+        "functions": functions,
+        "constants": constants,
+        "files": {m: _module_file_hash(m) for m in sorted(closure)},
+        "oracle": oracle or "",
+    }
+
+
+def query_content_hash(fn, oracle: str | None) -> str:
+    """Stable md5 over everything that determines a registered query's
+    plan — scheme 2: transitive function sources (cross-module, at
+    function granularity), referenced plain-value constants, the oracle
+    SQL, and file-level md5s only for walk-unresolvable module
+    references."""
+    p = query_content_parts(fn, oracle)
+    buf = [f"# {k}\n{p['functions'][k]}" for k in sorted(p["functions"])]
+    buf.extend(
+        f"\x00const\x00{k}={p['constants'][k]}" for k in sorted(p["constants"])
+    )
+    buf.append("\x00oracle\x00" + p["oracle"])
+    buf.extend(f"{m}={h}" for m, h in sorted(p["files"].items()))
+    return hashlib.md5("\n".join(buf).encode("utf-8", "replace")).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Scheme 1 — retained bit-for-bit for QUERY_HASHES.json migration only
+# (see module docstring). Do not edit: its OUTPUT is the compatibility
+# contract, and tests/test_driver_rotation.py pins it against the r11
+# artifact's recorded values.
+# ---------------------------------------------------------------------------
+
+
 def _local_import_deps(fn, src: str) -> set[str]:
     """Modules referenced by import statements INSIDE the builder body
-    (builders conventionally do ``from ..operators.x import y`` locally;
-    those names are invisible to ``fn.__globals__``)."""
+    (scheme-1 resolution: every ``from X import Y`` charges module X or
+    submodule X.Y at file granularity)."""
     try:
         tree = ast.parse(textwrap.dedent(src))
     except SyntaxError:
@@ -197,10 +460,9 @@ def _local_import_deps(fn, src: str) -> set[str]:
     return deps
 
 
-def query_content_hash(fn, oracle: str | None) -> str:
-    """Stable md5 over everything that determines a registered query's
-    plan: builder + same-module helpers at function granularity, the
-    oracle SQL, and cross-module deps at file granularity."""
+def query_content_hash_v1(fn, oracle: str | None) -> str:
+    """Scheme 1: builder + same-module helpers at function granularity,
+    the oracle SQL, and cross-module deps at FILE granularity."""
     own_module = getattr(fn, "__module__", "") or ""
     sources: list[str] = []
     dep_mods: set[str] = set()

@@ -85,6 +85,35 @@ def merge_hashes(
     return hashes, changed
 
 
+def merge_hashes_migrated(
+    old: dict[str, dict],
+    live_new: dict[str, str],
+    live_old_scheme: dict[str, str],
+    default_since: int,
+) -> tuple[dict[str, dict], list[str]]:
+    """Scheme-migration merge (pure, unit-tested): when the hash
+    ALGORITHM changes, every new-scheme hash differs from the recorded
+    one by construction, and the plain merge would mass-restamp 163
+    queries as "edited" — discarding the whole verification history the
+    rotation exists to protect. Instead, a query whose recorded hash
+    still matches its live OLD-scheme hash is provably content-unchanged
+    (the old scheme is strictly coarser), so it keeps its since_round
+    and only its stored hash is rewritten to the new scheme."""
+    hashes: dict[str, dict] = {}
+    changed: list[str] = []
+    for q in sorted(live_new):
+        prev = old.get(q)
+        if prev and prev.get("hash") == live_old_scheme.get(q):
+            hashes[q] = {
+                "hash": live_new[q],
+                "since_round": int(prev["since_round"]),
+            }
+        else:
+            hashes[q] = {"hash": live_new[q], "since_round": default_since}
+            changed.append(q)
+    return hashes, changed
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--bootstrap-since", type=int, default=None, metavar="N")
@@ -93,12 +122,18 @@ def main() -> int:
     from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans import (  # noqa: E501
         catalog,
     )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.contenthash import (  # noqa: E501
+        SCHEME,
+        query_content_hash_v1,
+    )
 
     out_path = REPO / "QUERY_HASHES.json"
     try:
-        old = json.loads(out_path.read_text()).get("hashes", {})
+        old_data = json.loads(out_path.read_text())
     except (OSError, ValueError):
-        old = {}
+        old_data = {}
+    old = old_data.get("hashes", {})
+    old_scheme = int(old_data.get("scheme", 1))
 
     rnd = upcoming_round()
     default_since = rnd
@@ -106,7 +141,19 @@ def main() -> int:
         default_since = args.bootstrap_since
 
     live = catalog._QUERY_HASHES
-    hashes, changed = merge_hashes(old, live, default_since)
+    if old and old_scheme != SCHEME:
+        # hash-algorithm change: preserve since_round through the OLD
+        # scheme's judgment of "content unchanged" (see merge_hashes_migrated)
+        live_old = {
+            q: query_content_hash_v1(fn, catalog.ORACLES.get(q))
+            for q, fn in catalog.QUERIES.items()
+        }
+        hashes, changed = merge_hashes_migrated(
+            old, live, live_old, default_since
+        )
+        print(f"scheme migration: {old_scheme} -> {SCHEME}")
+    else:
+        hashes, changed = merge_hashes(old, live, default_since)
     kept = len(hashes) - len(changed)
 
     head, dirty = git_state()
@@ -115,6 +162,7 @@ def main() -> int:
             {
                 "git_head": head,
                 "dirty": dirty,
+                "scheme": SCHEME,
                 "upcoming_round": rnd,
                 "n": len(hashes),
                 "hashes": hashes,
@@ -132,6 +180,27 @@ def main() -> int:
     )
     if changed and old:
         print("  changed/new:", ", ".join(changed[:20]))
+
+    # ROTATION.json (r11 verdict task 6): the upcoming window's drain
+    # plan as an artifact — {age_hard, requeued, backfill} per slot plus
+    # any requeue overflow — recomputed against the JUST-WRITTEN
+    # QUERY_HASHES.json so it describes the window the driver will see.
+    catalog._ROTATION_STATE.clear()
+    breakdown = catalog.driver_window_breakdown()
+    rotation = {
+        "git_head": head,
+        "dirty": dirty,
+        "upcoming_round": rnd,
+        "counts": {k: len(v) for k, v in breakdown.items()},
+        **breakdown,
+    }
+    (REPO / "ROTATION.json").write_text(
+        json.dumps(rotation, indent=1, sort_keys=True) + "\n"
+    )
+    print(
+        "ROTATION.json: "
+        + ", ".join(f"{k}={len(v)}" for k, v in breakdown.items())
+    )
     return 0
 
 

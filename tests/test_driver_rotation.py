@@ -328,3 +328,186 @@ def test_mass_requeue_drains_while_age_bound_holds():
             break
     assert not pending, f"requeue backlog failed to drain: {len(pending)} left"
     assert step <= deadline, (step, deadline)
+
+
+# ---------------------------------------------------------------------------
+# Scheme 2 (round 12): function-granularity content hashing. The r11
+# verdict's "done" criterion, verbatim: an edit to char_entropy_col must
+# requeue q_llm_char_entropy but NOT q_llm_bm25_search — i.e. the hash
+# input of a query is exactly its transitive function-reference closure,
+# not whole dependency files. query_content_hash is a deterministic
+# digest of query_content_parts, so asserting on the parts IS asserting
+# on the requeue behavior.
+# ---------------------------------------------------------------------------
+
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans import (  # noqa: E402
+    ORACLES,
+)
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.contenthash import (  # noqa: E402
+    SCHEME,
+    _stable_repr,
+    query_content_hash,
+    query_content_parts,
+    query_content_hash_v1,
+)
+
+
+def _parts(q):
+    return query_content_parts(QUERIES[q], ORACLES.get(q))
+
+
+def test_function_granularity_blast_radius():
+    """Editing char_entropy_col (operators/textops.py) must change
+    q_llm_char_entropy's hash input and leave q_llm_bm25_search's
+    untouched — the r12 acceptance case. Both queries reach into
+    textops.py (bm25 tokenizes via textops.tokens_col), so under the
+    scheme-1 FILE hash both were requeued by any textops edit; under
+    scheme 2 only the actual dependent is."""
+    ce = _parts("q_llm_char_entropy")
+    bm = _parts("q_llm_bm25_search")
+    ce_fns = set(ce["functions"])
+    bm_fns = set(bm["functions"])
+    assert any(k.endswith(".char_entropy_col") for k in ce_fns)
+    assert not any(k.endswith(".char_entropy_col") for k in bm_fns)
+    # bm25 DOES depend on textops (shared tokenizer) — the point is the
+    # dependency is function-granular, not file-granular
+    assert any(".textops." in k for k in bm_fns)
+    assert not any(
+        m.endswith(".textops") for m in bm["files"]
+    ), "textops charged at file granularity — blast radius regressed"
+
+
+def test_hash_is_a_pure_digest_of_parts():
+    """Two queries with identical parts would hash identically, and a
+    changed function source changes the hash — so the parts assertions
+    above transfer to the recorded hashes."""
+    q = "q_llm_char_entropy"
+    h1 = query_content_hash(QUERIES[q], ORACLES.get(q))
+    h2 = query_content_hash(QUERIES[q], ORACLES.get(q))
+    assert h1 == h2
+    assert query_content_hash(QUERIES[q], "DIFFERENT ORACLE") != h1
+
+
+def test_own_module_constants_are_hashed():
+    """r11 advice: a builder-referenced module-level constant (e.g. a
+    schema/threshold table) must contribute to the hash — scheme 1's
+    blind spot. NANOS_TS_COLUMNS (sources/tables.py) is referenced by
+    load_table, which every relational builder calls."""
+    p = _parts("q_rel_distinct_stats")
+    assert any(k.endswith(":NANOS_TS_COLUMNS") for k in p["constants"])
+
+
+def test_stable_repr_is_hashseed_independent():
+    """Sets/dicts of strings iterate in PYTHONHASHSEED order; the repr
+    used for constants must sort them (a flapping hash would requeue
+    random queries every round). Address-bearing reprs collapse to a
+    constant marker."""
+    assert _stable_repr({"b", "a", "c"}) == "{'a','b','c'}"
+    assert _stable_repr({"k2": 1, "k1": 2}) == _stable_repr({"k1": 2, "k2": 1})
+
+    class Opaque:  # default repr embeds "at 0x..."
+        pass
+
+    assert _stable_repr(Opaque()).startswith("<unstable ")
+    assert " at 0x" not in _stable_repr(Opaque())
+    assert _stable_repr([1, (2.5, None), b"x"]) == "[1,(2.5,None),b'x']"
+
+
+def test_no_file_level_fallbacks_remain():
+    """Every reference in every registered query resolves to a function,
+    class, or constant — zero file-granularity deps left, so no module
+    edit can mass-requeue through an unresolved import. (If a future
+    builder legitimately references a module AS a module this bound can
+    be relaxed — the assert documents that today's catalog is fully
+    resolved, which is what makes the 23-query r11 backlog the LAST
+    mass requeue.)"""
+    fallbacks = {
+        q: sorted(query_content_parts(fn, ORACLES.get(q))["files"])
+        for q, fn in QUERIES.items()
+        if query_content_parts(fn, ORACLES.get(q))["files"]
+    }
+    assert not fallbacks, f"file-level fallbacks: {fallbacks}"
+
+
+def test_scheme_migration_preserves_history():
+    """merge_hashes_migrated: a recorded scheme-1 hash that still
+    matches the live scheme-1 hash keeps its since_round (the algorithm
+    change itself must not restamp 163 queries as edited); genuinely
+    edited content is stamped with the upcoming round."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_query_hashes_mig",
+        Path(__file__).resolve().parent.parent / "scripts" / "gen_query_hashes.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    old = {
+        "kept": {"hash": "v1-kept", "since_round": 4},
+        "edited": {"hash": "v1-edited-old", "since_round": 7},
+    }
+    live_new = {"kept": "v2-kept", "edited": "v2-edited", "fresh": "v2-f"}
+    live_old = {"kept": "v1-kept", "edited": "v1-edited-NEW", "fresh": "v1-f"}
+    hashes, changed = mod.merge_hashes_migrated(old, live_new, live_old, 12)
+    assert hashes["kept"] == {"hash": "v2-kept", "since_round": 4}
+    assert hashes["edited"] == {"hash": "v2-edited", "since_round": 12}
+    assert hashes["fresh"] == {"hash": "v2-f", "since_round": 12}
+    assert changed == ["edited", "fresh"]
+
+
+def test_recorded_scheme_is_current():
+    """QUERY_HASHES.json must be a scheme-SCHEME snapshot — a stale
+    scheme means gen_query_hashes.py wasn't re-run after a hash
+    algorithm change and every query would spuriously requeue."""
+    data = json.loads((REPO / "QUERY_HASHES.json").read_text())
+    assert int(data.get("scheme", 1)) == SCHEME
+
+
+def test_v1_retained_for_migration():
+    """The scheme-1 algorithm stays importable and deterministic — it
+    is the migration comparator for any FUTURE scheme bump too."""
+    q = "q_rel_distinct_stats"
+    assert query_content_hash_v1(QUERIES[q], ORACLES.get(q)) == \
+        query_content_hash_v1(QUERIES[q], ORACLES.get(q))
+
+
+def test_rotation_artifact_matches_live_breakdown():
+    """ROTATION.json (r11 verdict task 6) must equal the live
+    driver_window_breakdown() while it still describes the UPCOMING
+    round (once the driver's CORRECTNESS artifact for that round lands,
+    the snapshot is historical and exempt)."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
+        driver_window_breakdown,
+    )
+
+    f = REPO / "ROTATION.json"
+    assert f.is_file(), "ROTATION.json absent — run scripts/gen_query_hashes.py"
+    data = json.loads(f.read_text())
+    latest, _ = _verdicts()
+    if int(data.get("upcoming_round", -1)) != latest + 1:
+        return  # historical snapshot; gen script refreshes it at round end
+    live = driver_window_breakdown()
+    for k in ("age_hard", "requeued", "backfill", "requeued_waiting"):
+        assert data.get(k) == live[k], f"ROTATION.json stale on {k!r}"
+    assert data.get("counts") == {k: len(v) for k, v in live.items()}
+
+
+def test_breakdown_partitions_the_window():
+    """{age_hard, requeued, backfill} must partition _DRIVER_PRIORITY
+    exactly, in window order — the artifact is a faithful decomposition
+    of the window, not a parallel computation that can drift."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (
+        driver_window_breakdown,
+    )
+
+    bd = driver_window_breakdown()
+    recombined = bd["age_hard"] + bd["requeued"] + bd["backfill"]
+    assert sorted(recombined) == sorted(_DRIVER_PRIORITY)
+    assert set(bd["requeued_waiting"]).isdisjoint(_DRIVER_PRIORITY)
+    # window order preserved within each group
+    pos = {q: i for i, q in enumerate(_DRIVER_PRIORITY)}
+    for grp in ("age_hard", "requeued", "backfill"):
+        idx = [pos[q] for q in bd[grp]]
+        assert idx == sorted(idx), f"{grp} not in window order"
