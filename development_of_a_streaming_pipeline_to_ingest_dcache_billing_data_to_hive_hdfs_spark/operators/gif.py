@@ -75,8 +75,17 @@ def _lzw_decode(compressed: bytes, min_code_size: int, n_pixels: int) -> np.ndar
     resets the dictionary, EOI (CLEAR + 1) ends the stream; the width
     bumps when the NEXT code would not fit (dict size reaches
     ``1 << width``), capping at 12 bits (4096 entries) per the spec.
+
+    ``min_code_size`` is spec-bounded to 2..8: GIF pixels are color
+    table INDICES of at most 8 bits, so every root code is <= 255 and
+    the uint8 string tables below are exact. (An earlier 2..11
+    lenience let malformed headers put roots > 255 into those tables —
+    a NumPy out-of-bound int->uint8 store, deprecated today and a hard
+    OverflowError on NumPy 2.x enforcement; r11 verdict. Such payloads
+    are malformed GIFs and now fail closed like every other contract
+    violation.)
     """
-    if not 2 <= min_code_size <= 11:
+    if not 2 <= min_code_size <= 8:
         raise ValueError(f"malformed GIF: LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1

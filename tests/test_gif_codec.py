@@ -327,3 +327,47 @@ def test_decode_large_payload_is_linear_time():
     elapsed = time.monotonic() - t0
     np.testing.assert_array_equal(decoded, palette[indices])
     assert elapsed < 30, f"LZW decode took {elapsed:.1f}s — quadratic again?"
+
+
+# ---------------------------------------------------------------------
+# r11 verdict: NumPy out-of-bound int -> uint8 stores in the LZW string
+# tables (roots > 255 from a malformed min-code-size header) emitted
+# DeprecationWarnings today and become hard OverflowErrors under NumPy
+# 2.x enforcement. The fix bounds min_code_size to the spec's 2..8
+# (pixels are color-table indices of at most 8 bits), so such payloads
+# fail closed. These tests keep the class closed with warnings-as-errors.
+# ---------------------------------------------------------------------
+
+
+def test_lzw_min_code_size_over_8_fails_closed():
+    """mcs 9..12 means roots > 255 — structurally impossible for GIF
+    pixel data, so the decoder must raise ValueError BEFORE touching
+    the uint8 string tables (never a NumPy overflow store)."""
+    import warnings
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.gif import (
+        _lzw_decode,
+    )
+
+    for mcs in (9, 10, 11, 12, 0, 1):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any warning is a failure
+            with pytest.raises(ValueError, match="min code size"):
+                _lzw_decode(b"\x00\x00\x00\x00", mcs, 4)
+
+
+def test_decode_warning_free_across_all_legal_code_sizes():
+    """Decode a round-trip image at every legal palette depth (mcs
+    2..8) with ALL warnings promoted to errors — pins the codec battery
+    warning-free so the next out-of-bound-store regression fails in CI
+    instead of deprecating silently."""
+    import warnings
+
+    rng = np.random.default_rng(7)
+    for n_colors in (2, 4, 8, 16, 32, 64, 128, 256):
+        indices, palette = _rand_image(rng, 9, 11, n_colors)
+        payload = encode_gif_ref(indices, palette, compress=True)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            rgb = decode_gif(payload)
+        assert np.array_equal(rgb, palette[indices])
