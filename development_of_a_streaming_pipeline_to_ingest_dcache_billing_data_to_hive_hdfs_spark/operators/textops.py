@@ -1363,9 +1363,13 @@ def char_entropy_col(col: str = "text") -> Column:
             if t is None or len(t) == 0:
                 out[i] = None
                 continue
+            # explicit little-endian dtype: the bytes are utf-32-LE, so
+            # native-endian uint32 would byte-swap codepoints on a
+            # big-endian host and reorder np.unique's sorted fold,
+            # breaking the summation-order parity argument (r11 advice)
             _, counts = np.unique(
                 np.frombuffer(
-                    t.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+                    t.encode("utf-32-le", "surrogatepass"), dtype="<u4"
                 ),
                 return_counts=True,
             )
@@ -1788,6 +1792,18 @@ def with_gopher_repetition_flags(
     sf0.1 (6.3 s → 1.9 s min-of-3, full catalog query). Every count/threshold stays an integer
     cross-multiplication, so the outputs are exact and engine-portable
     — the same hard-parity contract as before.
+
+    Case-mapping assumption (r11 advice): this path lowercases with
+    Python ``str.lower()`` (locale-independent Unicode simple+special
+    mappings) while the JVM twin uses Spark ``lower()`` → Java
+    ``String.toLowerCase(Locale)``. The two agree on every mapping the
+    twin test exercises — including 'İ' → 'i̇' (U+0069 U+0307), final
+    sigma 'ΑΣ' → 'ας', titlecase digraphs, and 'ẞ' → 'ß' — PROVIDED
+    the JVM default locale is not Turkish/Azerbaijani (tr/az map 'I' →
+    'ı'); the repo's session factory pins UTC/en-style defaults and
+    tests/test_gopher_repetition.py exercises the non-ASCII mappings
+    row-for-row, so a locale-divergent deployment fails loudly there
+    rather than silently diverging from the oracle.
     """
     import pandas as pd
     from pyspark.sql import types as T

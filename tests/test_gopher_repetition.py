@@ -177,6 +177,16 @@ def test_arrow_battery_matches_hof_twin(spark):
             (100002, None),
             (100003, "  \t tab nbsp words \n\n line \n line \n"),
             (100004, "x y x y x y x y x y"),
+            # non-ASCII case mappings (r11 advice): the Arrow path
+            # lowercases with Python str.lower(), the twin with JVM
+            # String.toLowerCase — these rows fail loudly if the two
+            # ever diverge (e.g. a tr/az JVM default locale mapping
+            # 'I' -> 'ı', or a Unicode-version skew in case tables)
+            (100005, "İstanbul İSTANBUL istanbul I ı İ i̇"),
+            (100006, "ΑΣ ΟΔΟΣ ΑΣ ΟΔΟΣ ΣΙΓΜΑ ας οδος"),
+            (100007, "STRASSE ẞ ß strasse STRASSE ẞ"),
+            (100008, "ǅungla ǄUNGLA ǆungla ǅungla LJ lj Ǆǅǆ"),
+            (100009, "ⅫⅬ ⅻⅼ ⅫⅬ roman ﬁﬂ ﬁﬂ ligatures"),
         ],
         "doc_id long, text string",
     )
