@@ -439,8 +439,17 @@ def _crawl_probe_row(spark, sf_dir: str, tmp: str, factor: int) -> dict:
     )
     from pyspark.sql import functions as F
 
+    # bounded driver read (r11 advice): the probe's shard design is a
+    # fixed 8 archives regardless of corpus size, so cap the synthesis
+    # input instead of collecting an arbitrarily large documents table
+    # to the driver if the probe is ever pointed at a big sf_dir; the
+    # orderBy makes the cap deterministic (TakeOrdered, not first-N).
     docs = sorted(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text").collect(),
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(8192)
+        .collect(),
         key=lambda r: r.doc_id,
     )
 
@@ -496,27 +505,40 @@ def _crawl_probe_row(spark, sf_dir: str, tmp: str, factor: int) -> dict:
                 ) as f:
                     f.write(payload)
 
+    def run_once(d: str):
+        recs = read_warc(spark, d, record_types=("response",))
+        extracted = extract_text(
+            decode_response_html(recs, "content", "html"), "html", "text"
+        )
+        df = extracted.agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        t0 = time.perf_counter()
+        df._jdf.queryExecution().toRdd().count()
+        return time.perf_counter() - t0, df
+
+    # untimed warm-up over BOTH dirs: the first crawl pass pays
+    # Python-worker spawn + codec JIT, and the big point schedules ~3×
+    # more concurrent workers than the 1× point, so each needs its own
+    # warm pass. At a ~0.5 s denominator the cold start made same-code
+    # probe runs read 8.2× vs 15.0× (r11 verdict task: stabilize the
+    # probe); warmed + min-of-3 on both points, consecutive full probe
+    # runs measured within 1.3× on every crawl field.
+    run_once(dirs[factor])
+    run_once(dirs[1])
     row: dict[str, float] = {}
     for mult, d in dirs.items():
-        best, metrics = float("inf"), {}
-        for _rep in range(2):
-            recs = read_warc(spark, d, record_types=("response",))
-            extracted = extract_text(
-                decode_response_html(recs, "content", "html"), "html", "text"
-            )
-            df = extracted.agg(
-                F.count("*").alias("n"),
-                F.sum(F.length("text")).alias("chars"),
-            )
-            t0 = time.perf_counter()
-            df._jdf.queryExecution().toRdd().count()
-            dt = time.perf_counter() - t0
+        best, best_df = float("inf"), None
+        for _rep in range(3):
+            dt, df = run_once(d)
             if dt < best:
-                best = dt
-                metrics = collect_plan_metrics(df)
+                best, best_df = dt, df
         tag = "1" if mult == 1 else str(mult)
         row[f"t{tag}"] = round(best, 3)
-        row[f"shuffle{tag}"] = metrics.get("shuffle_bytes_written", 0)
+        row[f"shuffle{tag}"] = collect_plan_metrics(best_df).get(
+            "shuffle_bytes_written", 0
+        )
         row[f"files{tag}"] = n_base * mult
     if row.get("t1"):
         row["t_ratio"] = round(row[f"t{factor}"] / row["t1"], 2)
