@@ -1,0 +1,50 @@
+"""Warnings-budget policy guards (r11 verdict task 4).
+
+Two enforcement layers live elsewhere — pytest.ini promotes the
+package's own DeprecationWarnings to hard errors, and
+tests/conftest.py fails the session when total recorded warnings
+exceed WARNING_BUDGET. These tests pin both layers in place so a
+refactor can't silently drop them, and pin the budget itself so it
+can only ratchet DOWN (the "written floor" the policy promises).
+"""
+
+from __future__ import annotations
+
+import configparser
+from pathlib import Path
+
+import conftest
+
+REPO = Path(__file__).resolve().parent.parent
+PKG = "development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark"
+
+
+def test_own_code_deprecations_are_errors():
+    ini = configparser.ConfigParser()
+    ini.read(REPO / "pytest.ini")
+    filters = ini.get("pytest", "filterwarnings").strip().splitlines()
+    assert any(
+        f.strip().startswith("error::DeprecationWarning:" + PKG)
+        for f in filters
+    ), "pytest.ini lost the own-code DeprecationWarning->error filter"
+    assert any(
+        f.strip().startswith("error::DeprecationWarning:tests")
+        for f in filters
+    ), "pytest.ini lost the tests-tree DeprecationWarning->error filter"
+
+
+def test_budget_floor_only_ratchets_down():
+    # The budget is a ceiling on total suite warnings. 150 is the r12
+    # calibration (the full run recorded zero once the GIF LZW stores
+    # were bounded); raising it past this pin requires editing BOTH
+    # files with justification.
+    assert isinstance(conftest.WARNING_BUDGET, int)
+    assert 0 < conftest.WARNING_BUDGET <= 150, (
+        "WARNING_BUDGET regressed past the written floor — fix the new "
+        "warning source instead of raising the budget"
+    )
+
+
+def test_budget_hooks_are_wired():
+    assert callable(getattr(conftest, "pytest_warning_recorded", None))
+    assert callable(getattr(conftest, "pytest_sessionfinish", None))
