@@ -1,0 +1,94 @@
+"""One-off 100x scale-probe artifact (r11 verdict tasks 5/7 follow-up).
+
+Runs the crawl-path probe TWICE consecutively at factor 100 to record
+the stability the r11 verdict asked for ("two consecutive probe runs
+within 1.3x of each other on the crawl row" — the r11 artifact's 8.2x
+vs 15.0x spread came from a cold ~0.5 s 1x denominator, fixed in
+bench._crawl_probe_row by per-directory warm-up + min-of-3), plus a
+fresh single pass of the two Arrow scan batteries so the r12 artifact
+stands alone.
+
+Usage: python scripts/run_scale100.py   (writes SCALE100_r12.json)
+"""
+
+import json
+import os
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark import (
+    get_spark_session,
+)
+
+REPO = Path(__file__).resolve().parents[1]
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTOR = 100
+
+
+def main() -> None:
+    spark = get_spark_session(
+        app_name="scale100",
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={"spark.driver.memory": "48g"},
+    )
+
+    crawl_runs = []
+    for i in range(2):
+        with tempfile.TemporaryDirectory() as tmp:
+            crawl_runs.append(
+                bench._crawl_probe_row(spark, SF, tmp, FACTOR)
+            )
+    stability = {
+        k: round(
+            max(crawl_runs[0][k], crawl_runs[1][k])
+            / max(min(crawl_runs[0][k], crawl_runs[1][k]), 1e-9),
+            3,
+        )
+        for k in ("t1", f"t{FACTOR}", "t_ratio")
+    }
+
+    keep = {"q_llm_gopher_repetition", "q_llm_char_entropy"}
+    saved = dict(bench.SCALE_PROBE_OPS)
+    try:
+        for k in list(bench.SCALE_PROBE_OPS):
+            if k not in keep:
+                del bench.SCALE_PROBE_OPS[k]
+        batteries = bench.bench_scale_probe(spark, SF, factor=FACTOR)
+    finally:
+        bench.SCALE_PROBE_OPS.clear()
+        bench.SCALE_PROBE_OPS.update(saved)
+
+    out = {
+        "what": (
+            "r12 100x scale probe — crawl row run TWICE consecutively to "
+            "evidence the r11 stabilization fix (warm-up + min-of-3 on "
+            "both points; the r11 artifact's same-code runs read 8.2x vs "
+            "15.0x off a cold ~0.5 s denominator), plus fresh 100x points "
+            "for the two Arrow scan batteries"
+        ),
+        "how": (
+            f"bench._crawl_probe_row(spark, {SF!r}, tmp, {FACTOR}) x2; "
+            f"bench.bench_scale_probe(factor={FACTOR}) restricted to the "
+            "two batteries; local[32], driver 48g"
+        ),
+        "crawl_runs": crawl_runs,
+        "crawl_stability_max_over_min": stability,
+        "crawl_stable_within_1p3x": all(v <= 1.3 for v in stability.values()),
+        "batteries": {
+            k: v for k, v in batteries.items() if not k.startswith("_")
+        },
+    }
+    path = REPO / "SCALE100_r12.json"
+    path.write_text(json.dumps(out, indent=1) + "\n")
+    print(f"wrote {path}")
+    print(json.dumps(stability))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
