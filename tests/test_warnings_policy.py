@@ -48,3 +48,45 @@ def test_budget_floor_only_ratchets_down():
 def test_budget_hooks_are_wired():
     assert callable(getattr(conftest, "pytest_warning_recorded", None))
     assert callable(getattr(conftest, "pytest_sessionfinish", None))
+
+
+def test_over_budget_run_fails():
+    """End-to-end enforcement: a run whose tests emit more warnings
+    than WARNING_BUDGET must exit non-zero even when every test
+    passes (session.exitstatus is flipped in pytest_sessionfinish).
+
+    The probe file must live under tests/ so this conftest applies
+    (conftest discovery follows the test file's ancestry, not rootdir).
+    Its name deliberately does NOT match python_files ('test_*.py') so
+    a leftover from a crashed run is invisible to normal collection —
+    the nested run passes it as an explicit path, which pytest
+    collects regardless of the pattern."""
+    import subprocess
+    import sys
+
+    noisy = Path(__file__).parent / "budget_probe_for_nested_run.py"
+    noisy.write_text(
+        "import warnings\n"
+        "def test_noise():\n"
+        f"    for i in range({conftest.WARNING_BUDGET + 50}):\n"
+        "        warnings.warn(f'budget probe {i}', UserWarning)\n"
+    )
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "pytest", str(noisy), "-q",
+                "-p", "no:cacheprovider",
+            ],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=120,
+        )
+    finally:
+        noisy.unlink()
+    assert "1 passed" in proc.stdout, proc.stdout + proc.stderr
+    assert proc.returncode == 1, (
+        f"over-budget run exited {proc.returncode}; enforcement lost?\n"
+        + proc.stdout + proc.stderr
+    )
+    assert "over the budget" in proc.stderr + proc.stdout
