@@ -9,6 +9,13 @@ fresh single pass of the two Arrow scan batteries so the r12 artifact
 stands alone.
 
 Usage: python scripts/run_scale100.py   (writes SCALE100_r12.json)
+
+NOTE: each invocation overwrites the artifact with its own session's
+measurements. The committed SCALE100_r12.json was assembled from two
+sessions (both crawl pairs kept, no selection — session 2 drew a
+heavy-tail t100 sample and is reported as such) plus the five-op
+battery run; regenerating from scratch reproduces the measurement but
+not the merged run history.
 """
 
 import json
@@ -52,7 +59,20 @@ def main() -> None:
         for k in ("t1", f"t{FACTOR}", "t_ratio")
     }
 
-    keep = {"q_llm_gopher_repetition", "q_llm_char_entropy"}
+    # 100x points for the ops whose 100 TB claim is a FLAT curve (the
+    # 10x probe already shows it, but flat-at-10x can still be
+    # fixed-cost-dominated; 100x is the decisive point): approx profile
+    # (one partial HLL sketch row per task regardless of input),
+    # pq_topk (ANN probes a fixed candidate set), kmeans (zero
+    # exchanges — broadcast centers, scan-stage assignment), plus the
+    # two Arrow scan batteries re-pinned at this round's code.
+    keep = {
+        "q_llm_gopher_repetition",
+        "q_llm_char_entropy",
+        "q_rel_table_profile_approx",
+        "q_llm_pq_topk",
+        "q_llm_kmeans",
+    }
     saved = dict(bench.SCALE_PROBE_OPS)
     try:
         for k in list(bench.SCALE_PROBE_OPS):
@@ -68,13 +88,15 @@ def main() -> None:
             "r12 100x scale probe — crawl row run TWICE consecutively to "
             "evidence the r11 stabilization fix (warm-up + min-of-3 on "
             "both points; the r11 artifact's same-code runs read 8.2x vs "
-            "15.0x off a cold ~0.5 s denominator), plus fresh 100x points "
-            "for the two Arrow scan batteries"
+            "15.0x off a cold ~0.5 s denominator), plus 100x points for "
+            "the two Arrow scan batteries and the three flat-curve 100 TB "
+            "claims (approx profile / pq_topk / kmeans) whose 10x points "
+            "could still be fixed-cost-dominated"
         ),
         "how": (
             f"bench._crawl_probe_row(spark, {SF!r}, tmp, {FACTOR}) x2; "
             f"bench.bench_scale_probe(factor={FACTOR}) restricted to the "
-            "two batteries; local[32], driver 48g"
+            "five ops; local[32], driver 48g"
         ),
         "crawl_runs": crawl_runs,
         "crawl_stability_max_over_min": stability,
