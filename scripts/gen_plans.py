@@ -191,13 +191,21 @@ GROWTH_NOTES = {
         " inside the Arrow op, k rows per task reach the driver) and"
         " linear time: pure multi-scan Lloyd's. The probe's time ratio"
         " is the whole story; any shuffle growth at all is a regression."
+        " Third point (r12 one-off, factor=100, SCALE100_r12.json):"
+        " zero exchanges at BOTH scales, 100x points in 2.27x wall."
     ),
     "q_llm_pq_topk": (
         "expected sub-linear shuffle: ADC scores stream map-side against"
         " broadcast LUTs; only the fixed-size per-query shortlist"
         " (60 rows/query) plus codebook training sample shuffle, so"
         " growth comes from the shortlist's TakeOrdered partials, not"
-        " the corpus."
+        " the corpus. Third point (r12 one-off, factor=100,"
+        " SCALE100_r12.json): the ~1.0x ratio HERE is fixed-cost"
+        " domination, not the asymptote — at 100x the PQ scan reads"
+        " 13.8x wall / 79x shuffle for 100x vectors, i.e. the"
+        " low-constant LINEAR shape a flat ADC scan is designed to"
+        " have; the pruned-candidate scale path is q_llm_ivfadc_search"
+        " (parquet partition pruning bounds the scanned fraction)."
     ),
     "q_rel_table_profile": (
         "expected ~linear with a constant factor of the Expand"
@@ -209,6 +217,9 @@ GROWTH_NOTES = {
         "expected ~flat: the shuffle carries one partial HLL sketch row"
         " per task regardless of input rows — the 100 TB twin; its ratio"
         " should stay near the task-count ratio, not the data ratio."
+        " Third point (r12 one-off, factor=100, SCALE100_r12.json):"
+        " 100x rows in 3.4x wall with shuffle 27.8 KB — still one"
+        " sketch row per task (grows with input SPLITS, never rows)."
     ),
     "q_llm_gopher_repetition": (
         "expected linear time, ~flat shuffle (per-source partial rows"
@@ -224,18 +235,20 @@ GROWTH_NOTES = {
         " per-core Arrow-batch throughput of the r11 pandas_udf"
         " battery (3.3x below the JVM HOF folds it replaced),"
         " parallelized by row-group count at real corpus sizes — not"
-        " a scale risk. Third point (r11 one-off, factor=100,"
-        " SCALE100_r11.json): 100x data in 4.73x wall with shuffle"
-        " still KB-scale — the Python-worker pool keeps pace once the"
-        " scan spreads across cores."
+        " a scale risk. Third point (factor=100): 100x data in 4.73x"
+        " wall (SCALE100_r11.json), re-pinned at 5.19x in r12"
+        " (SCALE100_r12.json), shuffle still KB-scale — the"
+        " Python-worker pool keeps pace once the scan spreads across"
+        " cores."
     ),
     "q_llm_char_entropy": (
         "expected linear time, ~flat shuffle: same scan-stage shape as"
         " the repetition battery with a smaller constant, and the same"
         " single-row-group 1x parallelism bound (see above); any"
         " shuffle growth would mean the per-doc histogram escaped the"
-        " row. Third point (r11 one-off, factor=100): 100x data in"
-        " 4.16x wall, shuffle KB-scale (SCALE100_r11.json)."
+        " row. Third point (factor=100): 100x data in 4.16x wall"
+        " (SCALE100_r11.json), re-pinned at 3.83x in r12"
+        " (SCALE100_r12.json), shuffle KB-scale."
     ),
     "q_llm_crawl_extract": (
         "expected wall growth = task WAVES, not data: the crawl path's"
@@ -249,8 +262,9 @@ GROWTH_NOTES = {
         " under binaryFile's small-file packing; observed 3.1x, 6.7x,"
         " and 12.5x across three same-code runs, so read the shuffle"
         " column (flat at KB scale, the 2-number agg), not the 10x"
-        " wall ratio. The decisive point is 100x (SCALE100_r11.json):"
-        " 800 archives run at 8.2x wall for 100x data — the heaviest"
+        " wall ratio. The decisive point is 100x (SCALE100_r12.json,"
+        " four runs across two sessions, no selection):"
+        " 800 archives run at 6.5-10.5x wall for 100x data — the heaviest"
         " per-row Python work in the repo scales by adding files, which"
         " is exactly what a real crawl (thousands of segment files per"
         " dump) provides; a ratio trending toward the data factor would"
