@@ -262,6 +262,15 @@ SCALE_PROBE_OPS = {
     # "heavy constant x linear scan" claim is measured, not asserted
     "q_llm_gopher_repetition": "documents",
     "q_llm_char_entropy": "documents",
+    # r12: the two remaining load-bearing scale claims without measured
+    # growth points — DSIR's "B-bounded model, corpus-linear stream"
+    # (three featurize passes, model groupBys capped at n_buckets rows)
+    # and IVFADC's "partition-pruned serving scan" (the path the
+    # pq_topk growth note punts to; its index build happens in the
+    # untimed builder call, so the row times the SEARCH, which is the
+    # serving claim)
+    "q_llm_dsir_scores": "documents",
+    "q_llm_ivfadc_search": "embeddings",
 }
 
 

@@ -1183,7 +1183,18 @@ def _pq_adc_search(
     q_vecs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    cand = short.join(c_vecs, "neighbor_id").join(F.broadcast(q_vecs), "query_id")
+    # broadcast the SHORTLIST into the rerank join: it is provably tiny
+    # (≤ shortlist rows per query), but the planner's initial size
+    # estimate for a window-over-aggregate subtree is corpus-scale, so
+    # without the hint the initial plan sort-merge-joins — shuffling the
+    # ENTIRE raw-vector corpus on neighbor_id before AQE converts the
+    # join to broadcast (measured: an 86 MB corpus exchange at the 100x
+    # probe point, gone with the hint; at 100 TB that exchange
+    # materializes fully before AQE can react). Corpus side: scan → BHJ,
+    # zero exchange.
+    cand = c_vecs.join(F.broadcast(short), "neighbor_id").join(
+        F.broadcast(q_vecs), "query_id"
+    )
     scored = cosine_pairs_blas(cand).select("query_id", "neighbor_id", "cos")
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")

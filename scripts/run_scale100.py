@@ -10,12 +10,10 @@ stands alone.
 
 Usage: python scripts/run_scale100.py   (writes SCALE100_r12.json)
 
-NOTE: each invocation overwrites the artifact with its own session's
-measurements. The committed SCALE100_r12.json was assembled from two
-sessions (both crawl pairs kept, no selection — session 2 drew a
-heavy-tail t100 sample and is reported as such) plus the five-op
-battery run; regenerating from scratch reproduces the measurement but
-not the merged run history.
+NOTE: invocations MERGE with an existing SCALE100_r12.json — crawl
+pairs accumulate across sessions (the stability story needs every
+sample, not the luckiest session) and battery rows update per-op.
+Delete the artifact first for a from-scratch measurement.
 """
 
 import json
@@ -72,6 +70,8 @@ def main() -> None:
         "q_rel_table_profile_approx",
         "q_llm_pq_topk",
         "q_llm_kmeans",
+        "q_llm_dsir_scores",
+        "q_llm_ivfadc_search",
     }
     saved = dict(bench.SCALE_PROBE_OPS)
     try:
@@ -83,29 +83,53 @@ def main() -> None:
         bench.SCALE_PROBE_OPS.clear()
         bench.SCALE_PROBE_OPS.update(saved)
 
+    # Merge with a prior artifact instead of overwriting run history:
+    # crawl pairs accumulate across sessions (the stability story needs
+    # ALL samples, not the luckiest session), battery rows update
+    # per-op, and any prior prose blocks (stability readings, battery
+    # notes) are preserved unless this run replaces them.
+    path = REPO / "SCALE100_r12.json"
+    prior = {}
+    if path.is_file():
+        try:
+            prior = json.loads(path.read_text())
+        except ValueError:
+            prior = {}
+    crawl_runs = list(prior.get("crawl_runs", [])) + crawl_runs
+    merged_batteries = dict(prior.get("batteries", {}))
+    merged_batteries.update(
+        {k: v for k, v in batteries.items() if not k.startswith("_")}
+    )
+
     out = {
         "what": (
-            "r12 100x scale probe — crawl row run TWICE consecutively to "
-            "evidence the r11 stabilization fix (warm-up + min-of-3 on "
-            "both points; the r11 artifact's same-code runs read 8.2x vs "
-            "15.0x off a cold ~0.5 s denominator), plus 100x points for "
-            "the two Arrow scan batteries and the three flat-curve 100 TB "
-            "claims (approx profile / pq_topk / kmeans) whose 10x points "
-            "could still be fixed-cost-dominated"
+            "r12 100x scale probe, accumulated across sessions — crawl "
+            "pairs from every session kept (no selection; the r11 "
+            "stabilization fix is warm-up + min-of-3 on both points), "
+            "plus 100x points for the Arrow scan batteries, the "
+            "flat-curve 100 TB claims (approx profile / pq_topk / "
+            "kmeans), and the two load-bearing claims added in r12 "
+            "(DSIR's bounded-model linear stream, IVFADC's "
+            "partition-pruned serving search)"
         ),
         "how": (
-            f"bench._crawl_probe_row(spark, {SF!r}, tmp, {FACTOR}) x2; "
-            f"bench.bench_scale_probe(factor={FACTOR}) restricted to the "
-            "five ops; local[32], driver 48g"
+            f"bench._crawl_probe_row(spark, {SF!r}, tmp, {FACTOR}) x2 "
+            "per session; "
+            f"bench.bench_scale_probe(factor={FACTOR}) restricted to "
+            f"{sorted(keep)}; local[32], driver 48g"
         ),
         "crawl_runs": crawl_runs,
-        "crawl_stability_max_over_min": stability,
-        "crawl_stable_within_1p3x": all(v <= 1.3 for v in stability.values()),
-        "batteries": {
-            k: v for k, v in batteries.items() if not k.startswith("_")
-        },
+        "crawl_t_ratio_samples": [r.get("t_ratio") for r in crawl_runs],
+        "this_session_stability_max_over_min": stability,
+        "this_session_stable_within_1p3x": all(
+            v <= 1.3 for v in stability.values()
+        ),
+        "batteries": merged_batteries,
     }
-    path = REPO / "SCALE100_r12.json"
+    if "crawl_stability" in prior:
+        out["prior_crawl_stability"] = prior["crawl_stability"]
+    if "battery_notes" in prior:
+        out["battery_notes"] = prior["battery_notes"]
     path.write_text(json.dumps(out, indent=1) + "\n")
     print(f"wrote {path}")
     print(json.dumps(stability))

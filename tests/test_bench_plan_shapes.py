@@ -117,3 +117,37 @@ def test_table_profile_approx_is_one_pass(spark):
     assert m["n_exchanges"] == 1
     assert m["n_broadcasts"] == 0
     assert m["shuffle_bytes_written"] < 1_000_000
+
+
+def test_pq_rerank_broadcasts_shortlist_in_initial_plan(spark):
+    """Regression for the 100x probe finding (SCALE100_r12.json): the
+    exact-rerank join must broadcast the SHORTLIST side in the INITIAL
+    physical plan, not rely on AQE to convert it. The planner's size
+    estimate for the window-over-aggregate shortlist subtree is
+    corpus-scale, so without the explicit hint the initial plan
+    sort-merge-joins — shuffling the entire raw-vector corpus on
+    neighbor_id (measured 86 MB at the 100x point, 318 KB with the
+    hint). The executed-plan tests above can't catch this: at test SF
+    AQE broadcasts the join anyway, AFTER the corpus exchange
+    materializes. Auto-broadcast is disabled here so only the hint can
+    produce a BroadcastHashJoin."""
+    from pyspark.sql import functions as F
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        pq_cosine_topk,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    q = emb.where(F.col("vec_id") < 5)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = pq_cosine_topk(emb, q, k=3, m=16, ks=16, shortlist=40)
+        initial = df._jdf.queryExecution().sparkPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert "SortMergeJoin" not in initial, initial
+    assert initial.count("BroadcastHashJoin") >= 2, initial
