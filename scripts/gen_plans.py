@@ -199,13 +199,41 @@ GROWTH_NOTES = {
         " broadcast LUTs; only the fixed-size per-query shortlist"
         " (60 rows/query) plus codebook training sample shuffle, so"
         " growth comes from the shortlist's TakeOrdered partials, not"
-        " the corpus. Third point (r12 one-off, factor=100,"
-        " SCALE100_r12.json): the ~1.0x ratio HERE is fixed-cost"
-        " domination, not the asymptote — at 100x the PQ scan reads"
-        " 13.8x wall / 79x shuffle for 100x vectors, i.e. the"
-        " low-constant LINEAR shape a flat ADC scan is designed to"
-        " have; the pruned-candidate scale path is q_llm_ivfadc_search"
-        " (parquet partition pruning bounds the scanned fraction)."
+        " the corpus. Third point (r12, factor=100, SCALE100_r12.json):"
+        " the first 100x reading (13.8x wall / 79x shuffle) exposed a"
+        " REAL defect — the exact-rerank join sort-merge-joined the"
+        " shortlist against the corpus in the initial plan, shuffling"
+        " all raw vectors (86 MB) before AQE converted it to broadcast;"
+        " with the shortlist broadcast hint (similarity.py"
+        " _pq_adc_search) the 100x point is 1.55x wall with shuffle"
+        " KB-scale at both points. (The 10x row's ~9 MB shuffle is the"
+        " DELIBERATE small-input widen — spread_partitions round-robins"
+        " raw vectors across cores before the Arrow encode when file"
+        " splits < cores, and no-ops once splits exceed cores: present"
+        " at 10x, gone at 100x.) The pruned-candidate scale path for"
+        " the code SCAN itself is q_llm_ivfadc_search (parquet"
+        " partition pruning bounds the scanned fraction: 1.33x wall,"
+        " 318 KB shuffle at 100x)."
+    ),
+    "q_llm_dsir_scores": (
+        "expected linear wall on the corpus stream with a BOUNDED model:"
+        " the three featurize passes (target model, raw model, scoring)"
+        " each explode the hashed unigram+bigram stream, but the model"
+        " groupBys cap at n_buckets rows however big the corpora, and"
+        " the scoring join is a broadcast — so shuffle growth should"
+        " track the per-doc partial-aggregate stream (small rows,"
+        " ~linear in docs), never the model."
+    ),
+    "q_llm_ivfadc_search": (
+        "expected ~flat-to-sub-linear SEARCH wall: the probed 4-of-8"
+        " inverted lists are literal parquet partition directories, so"
+        " the scan reads a bounded FRACTION of the corpus codes (probe"
+        " selectivity), the ADC LUT broadcast is query-sized, and the"
+        " exact rerank touches only the fixed 60-row shortlist. Index"
+        " BUILD is untimed (amortized to zero in a serving deployment"
+        " — the builder call sits outside the timed window). A ratio"
+        " tracking the data factor would mean partition pruning stopped"
+        " pruning."
     ),
     "q_rel_table_profile": (
         "expected ~linear with a constant factor of the Expand"
