@@ -8510,17 +8510,23 @@ def _computed_driver_priority(live: dict[str, str]) -> list[str]:
     degenerates to the pure oldest-green ranking, because the
     age-stale set is exactly the head of that ordering."""
     last_green = _recorded_last_green()
-    latest = max(last_green.values(), default=0)
-    k = max(2, -(-(len(QUERIES) - _WINDOW) // _WINDOW))
-    hard = {
-        q for q in QUERIES if last_green.get(q, 0) < latest - (k - 1)
-    }
     return _rank_window(
         _effective_last_green(live),
         list(QUERIES),
-        hard_first=hard,
+        hard_first=_hard_set(last_green),
         raw_green=last_green,
     )
+
+
+def _hard_set(last_green: dict[str, int]) -> set[str]:
+    """Queries whose last green hard verdict is older than the K-round
+    artifact-age contract allows — the ONE derivation of the capacity
+    rule, shared by the ranking and the breakdown artifact so the two
+    can never disagree on which queries hold guaranteed slots (r12
+    review: the breakdown previously re-derived this inline)."""
+    latest = max(last_green.values(), default=0)
+    k = max(2, -(-(len(QUERIES) - _WINDOW) // _WINDOW))
+    return {q for q in QUERIES if last_green.get(q, 0) < latest - (k - 1)}
 
 
 def _effective_last_green(live: dict[str, str]) -> dict[str, int]:
@@ -8664,11 +8670,18 @@ def _rotation_state() -> dict[str, object]:
     if "priority" not in _ROTATION_STATE:
         live = _live_query_hashes()
         priority = _computed_driver_priority(live)
+        last_green = _recorded_last_green()
         requeued = sorted(
-            set(_recorded_last_green()) - set(_effective_last_green(live))
+            set(last_green) - set(_effective_last_green(live))
         ) if _recorded_query_hashes() else []
         _ROTATION_STATE.update(
-            hashes=live, priority=priority, requeued=requeued
+            hashes=live,
+            priority=priority,
+            requeued=requeued,
+            # cached alongside the window it labeled, so a breakdown
+            # call after a CORRECTNESS artifact lands mid-process can't
+            # label the cached window with a diverged hard set
+            hard=_hard_set(last_green),
         )
         _reorder_queries(priority)
     return _ROTATION_STATE
@@ -8692,17 +8705,18 @@ def driver_window_breakdown() -> dict[str, list[str]]:
     st = _rotation_state()
     window: list[str] = list(st["priority"])  # type: ignore[arg-type]
     requeued = set(st["requeued"])  # type: ignore[arg-type]
-    last_green = _recorded_last_green()
-    latest = max(last_green.values(), default=0)
-    k = max(2, -(-(len(QUERIES) - _WINDOW) // _WINDOW))
-    hard = {q for q in QUERIES if last_green.get(q, 0) < latest - (k - 1)}
+    hard: set = st["hard"]  # type: ignore[assignment]
+    # requeued_waiting keeps EVERY overflowed requeued query, including
+    # ones also past the age bound (r12 review: subtracting `hard` here
+    # dropped requeued∩hard overflow from all four buckets whenever the
+    # hard set itself exceeds the window)
     return {
         "age_hard": [q for q in window if q in hard],
         "requeued": [q for q in window if q in requeued and q not in hard],
         "backfill": [
             q for q in window if q not in hard and q not in requeued
         ],
-        "requeued_waiting": sorted(requeued - set(window) - hard),
+        "requeued_waiting": sorted(requeued - set(window)),
     }
 
 

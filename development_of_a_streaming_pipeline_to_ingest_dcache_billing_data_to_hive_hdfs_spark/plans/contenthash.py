@@ -238,6 +238,13 @@ def _unwrap_callable(obj):
         if isinstance(obj, (staticmethod, classmethod)):
             obj = obj.__func__
             continue
+        if isinstance(obj, types.MethodType):
+            # bound method (e.g. a module-level alias `get = reg.get`):
+            # hash the underlying function's source, not the
+            # constant '<no-source builtins.method>' placeholder the
+            # instance branch would emit (r12 review)
+            obj = obj.__func__
+            continue
         if isinstance(obj, property):
             obj = obj.fget
             continue
@@ -365,8 +372,16 @@ def query_content_parts(fn, oracle: str | None) -> dict:
         mod = _internal_module_of(obj)
         if mod:
             # module-level instance of an internal class (a singleton
-            # registry, say): its behavior is its class's code
+            # registry, say): its behavior is its class's code PLUS its
+            # configured state — hashing only the class left constructor
+            # args / registered entries invisible (r12 review; the same
+            # blind spot scheme 2 closed for plain dict/list constants).
+            # _stable_repr collapses address-bearing nested reprs to a
+            # constant marker, so this can't introduce false drift.
             push_class(type(obj))
+            inst = getattr(obj, "__dict__", None)
+            if isinstance(inst, dict) and inst:
+                constants[key] = _const_repr(inst)
             return
         constants[key] = _const_repr(obj)
 

@@ -78,14 +78,22 @@ def main() -> None:
         final = plan.split("== Initial Plan ==")[0]
         lines = final.splitlines()
         hits = []
+
+        def node_depth(line: str) -> int:
+            # tree depth = column of the '+- ' node marker; leading
+            # whitespace alone under-counts lines prefixed with the
+            # ':' sibling glyphs (r12 review)
+            i = line.find("+- ")
+            return i if i >= 0 else -1
+
         for i, ln in enumerate(lines):
             if "BroadcastExchange" in ln and "Ident" not in ln:
-                depth = len(ln) - len(ln.lstrip())
+                depth = node_depth(ln)
                 for j in range(i + 1, min(i + 13, len(lines))):
                     nxt = lines[j]
-                    d2 = len(nxt) - len(nxt.lstrip())
-                    if d2 <= depth and j > i + 1:
-                        break
+                    d2 = node_depth(nxt)
+                    if d2 >= 0 and d2 <= depth:
+                        break  # left the BroadcastExchange subtree
                     if "Exchange hashpartitioning" in nxt:
                         under = lines[i + 1].strip()[:60]
                         hits.append(f"bcast-over-shuffle[{under}]")

@@ -98,7 +98,18 @@ def merge_hashes_migrated(
     rotation exists to protect. Instead, a query whose recorded hash
     still matches its live OLD-scheme hash is provably content-unchanged
     (the old scheme is strictly coarser), so it keeps its since_round
-    and only its stored hash is rewritten to the new scheme."""
+    and only its stored hash is rewritten to the new scheme.
+
+    Known limitation (r12 review): "strictly coarser" does not hold for
+    inputs only the NEW scheme sees (own-module constants, referenced
+    instance state). A query whose behavior changed ONLY through such an
+    input between its last green verdict and the migration keeps its
+    since_round with the new value baked into the rewritten hash — a
+    one-time blind window confined to the migration round itself, not a
+    standing gap (post-migration edits to those inputs requeue
+    normally). The r11→r12 migration's edit history was reviewed by
+    hand: every package edit in that window was function-level and
+    therefore old-scheme-visible."""
     hashes: dict[str, dict] = {}
     changed: list[str] = []
     for q in sorted(live_new):

@@ -95,8 +95,19 @@ def main() -> None:
             prior = json.loads(path.read_text())
         except ValueError:
             prior = {}
+    # bench_scale_probe unconditionally appends its own crawl row (it
+    # runs _crawl_probe_row after the SCALE_PROBE_OPS loop, outside the
+    # keep-set restriction) — that is a THIRD full crawl sample this
+    # session, so fold it into the stability record rather than leaving
+    # it orphaned in batteries where each session would overwrite it
+    # (r12 review finding: the artifact claimed "no selection" while
+    # silently dropping these samples).
+    extra_crawl = batteries.pop("q_llm_crawl_extract", None)
+    if isinstance(extra_crawl, dict) and "t_ratio" in extra_crawl:
+        crawl_runs.append(extra_crawl)
     crawl_runs = list(prior.get("crawl_runs", [])) + crawl_runs
     merged_batteries = dict(prior.get("batteries", {}))
+    merged_batteries.pop("q_llm_crawl_extract", None)
     merged_batteries.update(
         {k: v for k, v in batteries.items() if not k.startswith("_")}
     )

@@ -511,3 +511,66 @@ def test_breakdown_partitions_the_window():
     for grp in ("age_hard", "requeued", "backfill"):
         idx = [pos[q] for q in bd[grp]]
         assert idx == sorted(idx), f"{grp} not in window order"
+
+
+def test_bound_methods_unwrap_to_their_function():
+    """r12 review: a module-level alias bound to a method of an
+    internal class (``get = registry.get``) must hash the underlying
+    function's SOURCE, not the constant '<no-source builtins.method>'
+    placeholder push_class(builtins.method) used to emit — otherwise
+    editing the method body never requeues its dependents."""
+    import types as _types
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.fs import (
+        LocalFS,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.contenthash import (
+        _unwrap_callable,
+    )
+
+    bound = LocalFS().exists
+    assert isinstance(bound, _types.MethodType)
+    fn = _unwrap_callable(bound)
+    assert isinstance(fn, _types.FunctionType)
+    assert fn is LocalFS.exists
+
+
+# module-level on purpose: the reference walk reads the builder's
+# GLOBALS (co_names) — a closure-captured instance would be invisible,
+# which is fine (closures hash via the enclosing function's source)
+_INST_A = None
+_INST_B = None
+
+
+def _instance_builder_a(spark, sf_dir):
+    return _INST_A
+
+
+def _instance_builder_b(spark, sf_dir):
+    return _INST_B
+
+
+def test_internal_instance_state_contributes_to_hash():
+    """r12 review: a module-level instance of an internal class must
+    contribute its configured state (``__dict__``), not only its
+    class's code — two registries of the same class with different
+    entries are different query content."""
+    global _INST_A, _INST_B
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.fs import (
+        LocalFS,
+    )
+
+    _INST_A, _INST_B = LocalFS(), LocalFS()
+    _INST_A.configured = {"threshold": 1}
+    _INST_B.configured = {"threshold": 2}
+
+    pa = query_content_parts(_instance_builder_a, None)
+    pb = query_content_parts(_instance_builder_b, None)
+    # both walk the same LocalFS class code (only the builders' own
+    # qualnames differ); the instance state must be the differing part
+    shared_a = {k for k in pa["functions"] if "_instance_builder" not in k}
+    shared_b = {k for k in pb["functions"] if "_instance_builder" not in k}
+    assert shared_a == shared_b and any("LocalFS" in k for k in shared_a)
+    ka = [v for k, v in pa["constants"].items() if "threshold" in v]
+    kb = [v for k, v in pb["constants"].items() if "threshold" in v]
+    assert ka and kb and ka != kb

@@ -27,8 +27,11 @@ def test_own_code_deprecations_are_errors():
         f.strip().startswith("error::DeprecationWarning:" + PKG)
         for f in filters
     ), "pytest.ini lost the own-code DeprecationWarning->error filter"
+    # tests/ has no __init__.py, so test modules are TOP-LEVEL names —
+    # the filter must match 'test_.*', not 'tests.*' (which was dead:
+    # found in r12 review, behavior pinned by the nested probe below)
     assert any(
-        f.strip().startswith("error::DeprecationWarning:tests")
+        f.strip().startswith("error::DeprecationWarning:test_")
         for f in filters
     ), "pytest.ini lost the tests-tree DeprecationWarning->error filter"
 
@@ -90,3 +93,41 @@ def test_over_budget_run_fails():
         + proc.stdout + proc.stderr
     )
     assert "over the budget" in proc.stderr + proc.stdout
+
+
+def test_test_module_deprecation_is_an_error():
+    """End-to-end enforcement of the tests-tree filter: a DeprecationWarning
+    raised from a module whose top-level name matches ``test_.*`` must
+    FAIL under pytest.ini. The first version of the filter ('tests.*')
+    was empirically dead — tests/ has no __init__.py, so modules import
+    as top-level names and the package-style regex never matched; this
+    probe would have caught that. The probe file name matches the
+    filter pattern (it must, to exercise it); a leftover from a crashed
+    run fails the suite LOUDLY via this very policy, not silently."""
+    import subprocess
+    import sys
+
+    noisy = Path(__file__).parent / "test_zz_deprecation_probe_tmp.py"
+    noisy.write_text(
+        "import warnings\n"
+        "def test_deprecated_api_use():\n"
+        "    warnings.warn('probe: deprecated API', DeprecationWarning)\n"
+    )
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable, "-m", "pytest", str(noisy), "-q",
+                "-p", "no:cacheprovider",
+            ],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=120,
+        )
+    finally:
+        noisy.unlink()
+    assert "1 failed" in proc.stdout, (
+        "DeprecationWarning from a test module did not error — the "
+        "tests-tree filter is dead again:\n" + proc.stdout + proc.stderr
+    )
+    assert "DeprecationWarning" in proc.stdout
