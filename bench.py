@@ -125,13 +125,22 @@ BENCH_QUERIES = [
 ]
 
 
-def bench_ingest(spark, n_records: int = 50_000) -> dict:
+def bench_ingest(spark, n_records: int = 150_000) -> dict:
     """Streaming-ingest throughput probe: N synthetic billing JSON lines
     (deterministic mix of the 4 msgTypes + rejects) drained through the
     full pipeline — parse-once, route, idempotent partitioned sinks,
     per-batch metrics — via availableNow. Reports end-to-end rows/sec,
     the number the reference's 4×-reparse foreachBatch directly hurts
-    (BASELINE.md 'Ingest redundancy factor')."""
+    (BASELINE.md 'Ingest redundancy factor').
+
+    Stability (r12 verdict task 3): parse_once_speedup wobbled 15%
+    round-over-round on unchanged code at 50k rows / min-of-2 —
+    single-shot streaming noise (BASELINE.md documents a 1.1–2.3×
+    spread) dominates a ~2 s denominator. Now 150k rows (the ratio
+    grows with batch size per the r11 artifact note: fixed per-batch
+    costs amortize, leaving the 4× parse redundancy visible) and
+    min-of-3 per shape; the batch size rides along in the payload so
+    cross-round comparisons are explicitly like-for-like."""
     import json as _json
     import shutil
     import tempfile
@@ -212,13 +221,14 @@ def bench_ingest(spark, n_records: int = 50_000) -> dict:
             os.path.join(tmp, "warm_ck_ref"),
         )
 
-        # min of 2 runs per shape (fresh warehouse/checkpoint each):
+        # min of 3 runs per shape (fresh warehouse/checkpoint each):
         # single-shot streaming timings swing >2x from page-cache and
         # scheduler noise, which round 5 measured as a 1.1x..2.3x spread
-        # in the speedup ratio from identical code
+        # in the speedup ratio from identical code (min-of-2 still let
+        # the ratio drift 1.36→1.18 across r11/r12 — r12 verdict)
         dt = float("inf")
         total = 0
-        for rep in range(2):
+        for rep in range(3):
             pipe = BillingPipeline(
                 billing_stream_source(spark, "file", path=inp),
                 os.path.join(tmp, f"wh{rep}"),
@@ -229,7 +239,7 @@ def bench_ingest(spark, n_records: int = 50_000) -> dict:
             total = sum(m["total_rows"] for m in pipe.metrics())
 
         ref_dt = float("inf")
-        for rep in range(2):
+        for rep in range(3):
             t0 = time.perf_counter()
             drain_available_now(
                 billing_stream_source(spark, "file", path=inp),
@@ -239,6 +249,8 @@ def bench_ingest(spark, n_records: int = 50_000) -> dict:
             ref_dt = min(ref_dt, time.perf_counter() - t0)
         return {
             "rows": total,
+            "batch_rows": n_records,
+            "timing": "min over 3 fresh-warehouse passes per shape",
             "seconds": round(dt, 3),
             "rows_per_sec": round(total / dt, 1),
             "reference_shape_seconds": round(ref_dt, 3),
@@ -604,10 +616,12 @@ def _git_head() -> str | None:
         return None
 
 
-def _code_changed_since(ref: str) -> bool:
-    """True when the PACKAGE or the entry/oracle surface changed between
-    ``ref`` and HEAD (uncommitted changes included). Unknown ref → True
-    (fail toward flagging)."""
+def _code_changed_since(ref: str, extra_paths: tuple[str, ...] = ()) -> bool:
+    """True when the PACKAGE or the entry/oracle surface (plus any
+    ``extra_paths`` the caller's artifact also depends on — e.g. the
+    plan-audit allowlist script) changed between ``ref`` and HEAD
+    (uncommitted changes included). Unknown ref → True (fail toward
+    flagging)."""
     import subprocess
 
     repo = Path(__file__).resolve().parent
@@ -615,7 +629,8 @@ def _code_changed_since(ref: str) -> bool:
     try:
         out = subprocess.run(
             ["git", "diff", "--name-only", ref, "--",
-             pkg, "__spark_entry__.py", "tests/oracle_harness.py"],
+             pkg, "__spark_entry__.py", "tests/oracle_harness.py",
+             *extra_paths],
             capture_output=True, text=True, timeout=10, cwd=str(repo),
         )
         if out.returncode != 0:
@@ -862,6 +877,61 @@ def main() -> None:
         )
     except Exception as exc:  # noqa: BLE001
         errors["_vanilla_gates"] = _err_head(exc)
+    # standing whole-catalog plan-shape audit (r12 verdict task 4):
+    # scripts/audit_plan_shapes.py triages every query's final adaptive
+    # plan for AQE-masked scale-defect signatures against its
+    # KNOWN_BENIGN allowlist and writes PLAN_AUDIT_r{N}.json; the bench
+    # line carries the counts and flags a red or stale artifact so the
+    # next masked defect is caught by artifact diff.
+    try:
+        audits = sorted(
+            (
+                int(p.stem.split("_r")[1]), p)
+            for p in Path(__file__).resolve().parent.glob("PLAN_AUDIT_r*.json")
+            if p.stem.split("_r")[1].isdigit()
+        )
+        if not audits:
+            raise OSError("no PLAN_AUDIT_r*.json")
+        aud = json.loads(audits[-1][1].read_text())
+        payload["plan_audit"] = {
+            "n_queries": aud.get("n_queries"),
+            "n_flagged": aud.get("n_flagged"),
+            "new_hits": len(aud.get("new_hits") or {}),
+            "errors": len(aud.get("errors") or {}),
+            "git": aud.get("git_head"),
+            "artifact": audits[-1][1].name,
+        }
+        head = _git_head()
+        if aud.get("new_hits") or aud.get("errors"):
+            errors["_plan_audit_red"] = (
+                f"{audits[-1][1].name} records unlisted plan-shape hits "
+                "or errors — triage (scripts/audit_plan_shapes.py docstring)"
+            )
+        elif aud.get("dirty"):
+            errors["_plan_audit_dirty"] = (
+                f"{audits[-1][1].name} was generated with uncommitted "
+                "package changes — commit, then re-run "
+                "scripts/audit_plan_shapes.py"
+            )
+        elif (
+            head
+            and aud.get("git_head")
+            and head != aud.get("git_head")
+            and _code_changed_since(
+                aud["git_head"], ("scripts/audit_plan_shapes.py",)
+            )
+        ):
+            errors["_plan_audit_stale"] = (
+                f"{audits[-1][1].name} is from {aud.get('git_head')}, "
+                f"package code changed since — re-run "
+                f"scripts/audit_plan_shapes.py"
+            )
+    except OSError:
+        errors["_plan_audit_missing"] = (
+            "PLAN_AUDIT_r*.json absent — run scripts/audit_plan_shapes.py"
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["_plan_audit"] = _err_head(exc)
     # plan-edit-aware rotation guard: QUERY_HASHES.json must match the
     # live catalog content hashes. Drift is self-correcting (drifted
     # queries rank as unverified and lead every window until re-greened)
@@ -944,6 +1014,13 @@ def main() -> None:
             "n": payload["sf01_parity"].get("n"),
             "fail": payload["sf01_parity"].get("fail"),
             "git": payload["sf01_parity"].get("git"),
+        }
+    if "plan_audit" in payload:
+        summary["plan_audit"] = {
+            "n": payload["plan_audit"].get("n_queries"),
+            "flagged": payload["plan_audit"].get("n_flagged"),
+            "new": payload["plan_audit"].get("new_hits"),
+            "err": payload["plan_audit"].get("errors"),
         }
     if "scale_probe" in payload:
         # ratios only (full per-op times/bytes live in the local payload)

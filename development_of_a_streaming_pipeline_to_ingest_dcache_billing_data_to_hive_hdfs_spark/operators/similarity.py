@@ -1192,6 +1192,15 @@ def _pq_adc_search(
     # probe point, gone with the hint; at 100 TB that exchange
     # materializes fully before AQE can react). Corpus side: scan → BHJ,
     # zero exchange.
+    #
+    # broadcastTimeout dependency (r12 advice): the hint makes the
+    # ADC-scan + window subtree the broadcast BUILD side, so in a
+    # non-AQE session its materialization must finish inside
+    # spark.sql.broadcastTimeout (300 s Spark default) or the query
+    # ERRORS where it previously only ran slow. get_spark_session
+    # raises the timeout to 3600 s and enables AQE (under which the
+    # build is a materialized query stage, not a timed future);
+    # deployments bypassing the factory must carry one of the two.
     cand = c_vecs.join(F.broadcast(short), "neighbor_id").join(
         F.broadcast(q_vecs), "query_id"
     )

@@ -8460,7 +8460,9 @@ def q_billing_hll_user_sketch_check(
 _WINDOW = 50  # queries the correctness driver verifies per round
 
 
-def _computed_driver_priority(live: dict[str, str]) -> list[str]:
+def _computed_driver_priority(
+    live: dict[str, str], last_green: dict[str, int] | None = None
+) -> list[str]:
     """The driver window, COMPUTED from the recorded verdicts instead of
     hand-rotated: rank every catalog query by (round of last green hard
     driver verdict, original registration order) and take the first
@@ -8508,10 +8510,18 @@ def _computed_driver_priority(live: dict[str, str]) -> list[str]:
     (their effective rank stays 0 until the driver re-greens them, so
     nothing fresh can jump the queue). With no edits the grouping
     degenerates to the pure oldest-green ranking, because the
-    age-stale set is exactly the head of that ordering."""
-    last_green = _recorded_last_green()
+    age-stale set is exactly the head of that ordering.
+
+    ``last_green`` is the verdict-history snapshot to rank against;
+    callers that also derive the hard set or the requeued list MUST
+    pass the same snapshot (r12 advice: letting this function re-read
+    the artifacts internally meant a CORRECTNESS file landing between
+    two reads could make the cached hard set diverge from the one the
+    ranking actually used)."""
+    if last_green is None:
+        last_green = _recorded_last_green()
     return _rank_window(
-        _effective_last_green(live),
+        _effective_last_green(live, last_green),
         list(QUERIES),
         hard_first=_hard_set(last_green),
         raw_green=last_green,
@@ -8529,17 +8539,21 @@ def _hard_set(last_green: dict[str, int]) -> set[str]:
     return {q for q in QUERIES if last_green.get(q, 0) < latest - (k - 1)}
 
 
-def _effective_last_green(live: dict[str, str]) -> dict[str, int]:
+def _effective_last_green(
+    live: dict[str, str], last_green: dict[str, int] | None = None
+) -> dict[str, int]:
     """Last green round per query, DISCOUNTED to 0 for queries whose
     content changed since that verdict (see _computed_driver_priority).
     ``live`` is the current content-hash map (passed in rather than
     read from a module global so the rotation state can be computed
     lazily — r11 advice: plain catalog imports shouldn't pay the
-    full-catalog hashing cost). Falls back to the raw verdict history
-    if QUERY_HASHES.json is absent or unreadable — losing the artifact
-    must degrade to the legacy oldest-green rotation, never break
-    query registration."""
-    last_green = _recorded_last_green()
+    full-catalog hashing cost). ``last_green`` lets callers thread one
+    verdict-history snapshot through every derivation (r12 advice).
+    Falls back to the raw verdict history if QUERY_HASHES.json is
+    absent or unreadable — losing the artifact must degrade to the
+    legacy oldest-green rotation, never break query registration."""
+    if last_green is None:
+        last_green = _recorded_last_green()
     recorded = _recorded_query_hashes()
     if not recorded:
         return last_green
@@ -8669,18 +8683,19 @@ _ROTATION_STATE: dict[str, object] = {}
 def _rotation_state() -> dict[str, object]:
     if "priority" not in _ROTATION_STATE:
         live = _live_query_hashes()
-        priority = _computed_driver_priority(live)
+        # ONE verdict-history read threaded through every derivation
+        # (ranking, requeued list, hard set) — a CORRECTNESS artifact
+        # landing mid-computation can no longer make the cached hard
+        # set diverge from the snapshot the ranking used (r12 advice)
         last_green = _recorded_last_green()
+        priority = _computed_driver_priority(live, last_green)
         requeued = sorted(
-            set(last_green) - set(_effective_last_green(live))
+            set(last_green) - set(_effective_last_green(live, last_green))
         ) if _recorded_query_hashes() else []
         _ROTATION_STATE.update(
             hashes=live,
             priority=priority,
             requeued=requeued,
-            # cached alongside the window it labeled, so a breakdown
-            # call after a CORRECTNESS artifact lands mid-process can't
-            # label the cached window with a diverged hard set
             hard=_hard_set(last_green),
         )
         _reorder_queries(priority)

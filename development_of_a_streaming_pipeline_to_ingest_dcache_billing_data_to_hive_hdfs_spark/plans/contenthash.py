@@ -378,10 +378,28 @@ def query_content_parts(fn, oracle: str | None) -> dict:
             # blind spot scheme 2 closed for plain dict/list constants).
             # _stable_repr collapses address-bearing nested reprs to a
             # constant marker, so this can't introduce false drift.
+            # Underscore-prefixed attributes are SKIPPED (r12 advice):
+            # they are the convention for lazily-populated caches/memo
+            # state, and hashing them makes the hash depend on when in
+            # the process it is computed — cross-process drift and
+            # spurious requeues. Configured public state is what the
+            # rotation contract cares about. __slots__ instances (no
+            # __dict__) contribute their slot values the same way.
             push_class(type(obj))
             inst = getattr(obj, "__dict__", None)
-            if isinstance(inst, dict) and inst:
-                constants[key] = _const_repr(inst)
+            if not isinstance(inst, dict):
+                inst = {
+                    s: getattr(obj, s)
+                    for s in getattr(type(obj), "__slots__", ()) or ()
+                    if isinstance(s, str) and hasattr(obj, s)
+                }
+            stable = {
+                k: v
+                for k, v in inst.items()
+                if isinstance(k, str) and not k.startswith("_")
+            }
+            if stable:
+                constants[key] = _const_repr(stable)
             return
         constants[key] = _const_repr(obj)
 

@@ -70,6 +70,11 @@ def get_spark_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # hinted broadcasts whose build side is a computed subtree (the
+        # PQ rerank shortlist — operators/similarity.py) are bounded by
+        # this timeout in non-AQE sessions; the 300 s default turns a
+        # slow build into an ERROR at scale, so raise it (r12 advice)
+        .config("spark.sql.broadcastTimeout", "3600")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")

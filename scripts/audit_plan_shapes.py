@@ -1,4 +1,5 @@
-"""Whole-catalog physical-plan audit for AQE-masked scale defects.
+"""Whole-catalog physical-plan audit for AQE-masked scale defects —
+a STANDING per-round artifact (r12 verdict task 4), not a one-off.
 
 Motivated by the r12 finding that produced commit "Broadcast the PQ
 rerank shortlist": a small derived frame joined without a broadcast
@@ -9,7 +10,7 @@ BroadcastHashJoin and the defect ships. The probe signature in the
 FINAL adaptive plan is a BroadcastExchange sitting directly on top of
 a ShuffleQueryStage.
 
-This script runs every catalog + bench query at sf0.01 and flags:
+Hit classes audited per query:
 
 1. ``bcast-over-shuffle`` — BroadcastExchange whose immediate subtree
    contains an ``Exchange hashpartitioning``. MOSTLY BENIGN: the
@@ -17,40 +18,242 @@ This script runs every catalog + bench query at sf0.01 and flags:
    partials -> bounded group exchange -> final agg -> broadcast) has
    exactly this shape, and the sub-exchange is bounded by group count.
    A REAL defect feeds the broadcast from a corpus-scale raw subtree
-   (Sort/Project over a big scan) — the r12 rerank bug. Triage each
-   hit by reading what sits under the BroadcastExchange.
+   (Sort/Project over a big scan) — the r12 rerank bug.
 2. ``single-partition`` — ``Exchange SinglePartition`` funnels. Benign
    when the input is a scalar/1-row aggregate or a dim-cardinality
    frame a global window deliberately consumes (e.g. Q15's documented
    supplier-level max); a defect when fact-scale rows funnel.
 
-r12 sweep result (all 174 queries): one genuine defect (the PQ rerank,
-fixed + pinned by test_pq_rerank_broadcasts_shortlist_in_initial_plan);
-every other bcast-over-shuffle hit was the bounded-aggregate pattern
-(contamination probe ngram set, blocklist domain set, dedup fp store
-screen, rare-token vocab model, temperature mixture source weights,
-tf/df models, correlated-subquery per-key aggregates, event-anomaly
-per-type stats, Q20 part-quantity aggregates, recursive-CTE frontier,
-winsorized percentile bounds) and every single-partition hit was a
-scalar aggregate, a bounded ECDF/recall audit frame, or a documented
-dim-scale global window. An unbounded-side broadcast that AQE picked
-adaptively at small SF (e.g. tfidf's corpus-sized tf frame) is NOT a
-defect: there is no hint forcing it, and at scale the planner reverts
-to the declared shuffle join.
+``KNOWN_BENIGN`` is the triaged allowlist: per query, the hit classes
+expected at sf0.01 with their max count and the triage reason. The
+r12 sweep (174 queries) seeded it; every entry was read plan-by-plan.
+A run that observes an UNLISTED query hit, a count above the
+allowance, or a query error exits non-zero and records the hit under
+``new_hits`` in the artifact — the next AQE-masked defect is caught by
+artifact diff, not by a judge re-running the script. An unbounded-side
+broadcast AQE picked adaptively at small SF with NO hint forcing it
+(e.g. tfidf's corpus-sized tf frame) is NOT a defect — at scale the
+planner reverts to the declared shuffle join — but it still appears in
+the allowlist so a NEW such shape is still a loud event.
 
-Usage: python scripts/audit_plan_shapes.py [sf_dir]
+Usage:
+    python scripts/audit_plan_shapes.py [sf_dir]            # artifact
+    python scripts/audit_plan_shapes.py [sf_dir] --collect  # raw dump
+                                                  (allowlist triage aid)
+
+Writes PLAN_AUDIT_r{N}.json (N = upcoming round, derived from
+BENCH_r*.json the way bench.py does). bench.py reads the newest
+artifact and carries its counts in the summary line, flagging a stale
+or red artifact in the errors channel.
 """
 
 from __future__ import annotations
 
+import json
+import subprocess
 import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+# ---------------------------------------------------------------------------
+# Triaged allowlist: query -> {hit class -> (max count, reason)}.
+# Counts are per FINAL adaptive plan at sf0.01 / local[16] / 16 shuffle
+# partitions (the audit config). An entry's absence = zero allowed.
+# ---------------------------------------------------------------------------
+_2PHASE = "two-phase aggregate then broadcast: sub-exchange bounded by group count"
+_MODEL = "bounded model/sketch frame (vocab, tf/df, LUT, centroids) broadcast"
+_SCALAR = "scalar/1-row aggregate funnel"
+_BOUNDED_AUDIT = "bounded audit/check frame (documented driver-side gate scale)"
+_DIM_WINDOW = "dim-cardinality global window (documented — e.g. Q15 supplier max)"
+_ADAPTIVE_PICK = (
+    "no hint: AQE adaptively broadcast a frame that is small at sf0.01; "
+    "at scale the planner keeps the declared shuffle join"
+)
+
+_B = "bcast-over-shuffle"
+_S = "single-partition"
+
+# Seeded from the r12 whole-catalog sweep (174 queries, every hit read
+# plan-by-plan; the one genuine defect — the PQ rerank corpus SMJ —
+# was fixed before this list was cut, so everything here is the benign
+# residue). Counts re-confirmed at the r13 collect run.
+KNOWN_BENIGN: dict[str, dict[str, tuple[int, str]]] = {
+    "q_llm_bigram_nll": {_B: (2, _MODEL), _S: (1, _SCALAR)},
+    "q_llm_bm25_search": {_B: (1, _MODEL), _S: (1, _SCALAR)},
+    "q_llm_bpe_encode_check": {_S: (2, _BOUNDED_AUDIT)},
+    "q_llm_cluster_check": {_B: (1, _2PHASE), _S: (1, _BOUNDED_AUDIT)},
+    "q_llm_contamination_probe": {_B: (1, _2PHASE)},
+    "q_llm_dedup_kept_check": {_S: (4, _BOUNDED_AUDIT)},
+    "q_llm_domain_blocklist_cap": {_B: (1, _2PHASE)},
+    "q_llm_dsir_scores": {_B: (1, _MODEL), _S: (2, _SCALAR)},
+    "q_llm_dsir_select": {_B: (1, _MODEL), _S: (2, _SCALAR)},
+    "q_llm_incremental_dedup_check": {_B: (1, _2PHASE)},
+    "q_llm_ivf_recall": {_B: (1, _BOUNDED_AUDIT), _S: (2, _BOUNDED_AUDIT)},
+    "q_llm_ivfadc_search": {_B: (1, _MODEL)},
+    "q_llm_kmeans_check": {_S: (4, _BOUNDED_AUDIT)},
+    "q_llm_lsh_recall": {_B: (1, _BOUNDED_AUDIT), _S: (2, _BOUNDED_AUDIT)},
+    "q_llm_minhash_check": {_S: (1, _BOUNDED_AUDIT)},
+    "q_llm_multimodal_check": {_S: (5, _BOUNDED_AUDIT)},
+    "q_llm_multimodal_features": {_S: (1, _SCALAR)},
+    "q_llm_near_dup_blocked": {_S: (3, _SCALAR)},
+    "q_llm_pq_recall": {_B: (2, _BOUNDED_AUDIT), _S: (2, _BOUNDED_AUDIT)},
+    "q_llm_pq_topk": {_B: (1, _MODEL)},
+    "q_llm_quality_rank_fuse": {_B: (3, _2PHASE), _S: (4, _BOUNDED_AUDIT)},
+    "q_llm_quantized_recall": {
+        _B: (1, _BOUNDED_AUDIT), _S: (2, _BOUNDED_AUDIT)
+    },
+    "q_llm_rare_token_stats": {_B: (1, _MODEL)},
+    "q_llm_semantic_dedup_check": {_S: (4, _BOUNDED_AUDIT)},
+    "q_llm_span_dedup": {_B: (1, _2PHASE)},
+    "q_llm_temperature_mixture": {_B: (1, _2PHASE), _S: (1, _SCALAR)},
+    "q_llm_tfidf_terms": {_B: (1, _ADAPTIVE_PICK)},
+    "q_llm_unigram_nll": {_B: (1, _MODEL), _S: (1, _SCALAR)},
+    "q_llm_vocab_sketch_check": {_S: (1, _BOUNDED_AUDIT)},
+    "q_rel_correlated_subquery": {_B: (1, _2PHASE)},
+    "q_rel_cte_top_suppliers": {_S: (1, _SCALAR)},
+    "q_rel_event_anomalies": {_B: (1, _2PHASE)},
+    "q_rel_key_skew_profile": {_S: (1, _SCALAR)},
+    "q_rel_psi_event_type_drift": {_S: (1, _SCALAR)},
+    "q_rel_psi_value_drift": {_S: (1, _SCALAR)},
+    "q_rel_q11_important_stock": {_S: (1, _SCALAR)},
+    "q_rel_q14_promo_revenue": {_S: (1, _SCALAR)},
+    "q_rel_q15_top_supplier": {_B: (1, _2PHASE), _S: (1, _DIM_WINDOW)},
+    "q_rel_q17_small_qty_revenue": {_S: (1, _SCALAR)},
+    "q_rel_q19_disjunctive": {_S: (1, _SCALAR)},
+    "q_rel_q20_excess_inventory": {_B: (2, _2PHASE)},
+    "q_rel_q22_dormant_prospects": {_S: (1, _SCALAR)},
+    "q_rel_q6_forecast_revenue": {_S: (1, _SCALAR)},
+    "q_rel_q7_volume_shipping": {_B: (1, _2PHASE)},
+    "q_rel_q9_product_profit": {_B: (1, _2PHASE)},
+    "q_rel_recursive_cte": {_B: (1, _2PHASE)},
+    "q_rel_referential_integrity": {_S: (5, _BOUNDED_AUDIT)},
+    "q_rel_scalar_subquery": {_S: (1, _SCALAR)},
+    "q_rel_table_profile": {_S: (1, _SCALAR)},
+    "q_rel_table_profile_approx": {_S: (1, _SCALAR)},
+    "q_rel_winsorized_value": {_B: (1, _2PHASE)},
+}
+
+
+def hit_counts(final_plan: str) -> dict[str, int]:
+    """Count audited hit shapes in the FINAL adaptive plan string."""
+    lines = final_plan.splitlines()
+    counts: dict[str, int] = {}
+
+    def node_depth(line: str) -> int:
+        # tree depth = column of the '+- ' / ':- ' node marker; leading
+        # whitespace alone under-counts lines prefixed with the ':'
+        # sibling glyphs (r12 review), and ':- ' left-child lines carry
+        # a real depth too (r13: the '+- '-only version gave them -1,
+        # so they neither bounded a subtree walk nor started one at the
+        # right depth — the walk could run past a sibling boundary and
+        # over-count)
+        found = [i for i in (line.find("+- "), line.find(":- ")) if i >= 0]
+        return min(found) if found else -1
+
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" in ln and "Ident" not in ln:
+            depth = node_depth(ln)
+            for j in range(i + 1, min(i + 13, len(lines))):
+                nxt = lines[j]
+                d2 = node_depth(nxt)
+                if d2 >= 0 and d2 <= depth:
+                    break  # left the BroadcastExchange subtree
+                if "Exchange hashpartitioning" in nxt:
+                    counts["bcast-over-shuffle"] = (
+                        counts.get("bcast-over-shuffle", 0) + 1
+                    )
+                    break
+    n_single = final_plan.count("Exchange SinglePartition")
+    if n_single:
+        counts["single-partition"] = n_single
+    return counts
+
+
+def classify(
+    flags: dict[str, dict[str, int]],
+    known: dict[str, dict[str, tuple[int, str]]] | None = None,
+) -> dict[str, dict]:
+    """Split observed per-query hit counts against the allowlist.
+
+    Returns {"new_hits": {q: {cls: n}}, "benign": {q: {cls: [n, reason]}},
+    "improved": {q: {cls: [n_allowed, n_seen]}}}. A query or class not
+    in the allowlist, or a count above its allowance, is a NEW hit —
+    callers fail loudly on any."""
+    known = KNOWN_BENIGN if known is None else known
+    new_hits: dict[str, dict[str, int]] = {}
+    benign: dict[str, dict] = {}
+    improved: dict[str, dict] = {}
+    for q, counts in sorted(flags.items()):
+        allowed = known.get(q, {})
+        for cls, n in sorted(counts.items()):
+            cap_reason = allowed.get(cls)
+            if cap_reason is None or n > cap_reason[0]:
+                new_hits.setdefault(q, {})[cls] = n
+            else:
+                benign.setdefault(q, {})[cls] = [n, cap_reason[1]]
+                if n < cap_reason[0]:
+                    improved.setdefault(q, {})[cls] = [cap_reason[0], n]
+    return {"new_hits": new_hits, "benign": benign, "improved": improved}
+
+
+def run_audit(spark, sf_dir: str, queries: dict) -> tuple[dict, dict]:
+    """Execute every query, returning ({q: hit counts}, {q: error})."""
+    flags: dict[str, dict[str, int]] = {}
+    errs: dict[str, str] = {}
+    for name, fn in queries.items():
+        try:
+            df = fn(spark, sf_dir)
+            df._jdf.queryExecution().toRdd().count()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 — per-query isolation
+            errs[name] = f"{type(exc).__name__}: {str(exc)[:80]}"
+            continue
+        # final adaptive plan only — the trailing "Initial Plan" echo
+        # would double-count and show pre-conversion shapes
+        counts = hit_counts(plan.split("== Initial Plan ==")[0])
+        if counts:
+            flags[name] = counts
+    return flags, errs
+
+
+def upcoming_round() -> int:
+    prior = [
+        int(p.stem.split("_r")[1])
+        for p in REPO.glob("BENCH_r*.json")
+        if p.stem.split("_r")[1].isdigit()
+    ]
+    return max(prior, default=0) + 1
+
+
+def _git_head() -> str | None:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10, cwd=str(REPO),
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _git_dirty() -> bool:
+    try:
+        out = subprocess.run(
+            ["git", "status", "--porcelain", "--",
+             "development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark",
+             "__spark_entry__.py", "bench.py", "scripts/audit_plan_shapes.py"],
+            capture_output=True, text=True, timeout=10, cwd=str(REPO),
+        )
+        return bool(out.stdout.strip())
+    except Exception:  # noqa: BLE001
+        return False
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    collect = "--collect" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark import (
         get_spark_session,
@@ -64,50 +267,55 @@ def main() -> None:
         app_name="plan-audit", master="local[16]", shuffle_partitions=16
     )
     all_queries = {**QUERIES, **BENCH_EXTRA}
-    flags: dict[str, list[str]] = {}
-    for name, fn in all_queries.items():
-        try:
-            df = fn(spark, sf_dir)
-            df._jdf.queryExecution().toRdd().count()
-            plan = df._jdf.queryExecution().executedPlan().toString()
-        except Exception as exc:  # noqa: BLE001 — per-query isolation
-            flags[name] = [f"ERR {type(exc).__name__}: {str(exc)[:80]}"]
-            continue
-        # final adaptive plan only — the trailing "Initial Plan" echo
-        # would double-count and show pre-conversion shapes
-        final = plan.split("== Initial Plan ==")[0]
-        lines = final.splitlines()
-        hits = []
-
-        def node_depth(line: str) -> int:
-            # tree depth = column of the '+- ' node marker; leading
-            # whitespace alone under-counts lines prefixed with the
-            # ':' sibling glyphs (r12 review)
-            i = line.find("+- ")
-            return i if i >= 0 else -1
-
-        for i, ln in enumerate(lines):
-            if "BroadcastExchange" in ln and "Ident" not in ln:
-                depth = node_depth(ln)
-                for j in range(i + 1, min(i + 13, len(lines))):
-                    nxt = lines[j]
-                    d2 = node_depth(nxt)
-                    if d2 >= 0 and d2 <= depth:
-                        break  # left the BroadcastExchange subtree
-                    if "Exchange hashpartitioning" in nxt:
-                        under = lines[i + 1].strip()[:60]
-                        hits.append(f"bcast-over-shuffle[{under}]")
-                        break
-        n_single = final.count("Exchange SinglePartition")
-        if n_single:
-            hits.append(f"single-partition x{n_single}")
-        if hits:
-            flags[name] = hits
-    print("=== AUDIT RESULTS (triage each hit — see module docstring) ===")
-    for k, v in sorted(flags.items()):
-        print(k, "|", "; ".join(v))
-    print(f"=== {len(flags)} flagged of {len(all_queries)} ===")
+    flags, errs = run_audit(spark, sf_dir, all_queries)
     spark.stop()
+
+    if collect:
+        print(json.dumps({"flags": flags, "errs": errs}, indent=1, sort_keys=True))
+        return
+
+    verdict = classify(flags)
+    out = {
+        "what": (
+            "whole-catalog final-adaptive-plan audit for AQE-masked "
+            "scale defects (bcast-over-shuffle, single-partition "
+            "funnels) against the triaged KNOWN_BENIGN allowlist in "
+            "scripts/audit_plan_shapes.py — any new_hits entry or "
+            "error is a defect signal and fails the run"
+        ),
+        "sf_dir": sf_dir,
+        "n_queries": len(all_queries),
+        "n_flagged": len(flags),
+        "git_head": _git_head(),
+        "dirty": _git_dirty(),
+        "new_hits": verdict["new_hits"],
+        "errors": errs,
+        "improved": verdict["improved"],
+        "benign": verdict["benign"],
+    }
+    rnd = upcoming_round()
+    path = REPO / f"PLAN_AUDIT_r{rnd:02d}.json"
+    path.write_text(json.dumps(out, indent=1) + "\n")
+    print(f"wrote {path}")
+    print(
+        json.dumps(
+            {
+                "n_queries": out["n_queries"],
+                "n_flagged": out["n_flagged"],
+                "new_hits": len(verdict["new_hits"]),
+                "errors": len(errs),
+            }
+        )
+    )
+    if verdict["new_hits"] or errs:
+        print(
+            "AUDIT RED: unlisted plan-shape hits or errors — triage "
+            "each (see module docstring); a genuine defect gets a fix "
+            "+ an initial-plan regression test, a benign shape gets a "
+            "KNOWN_BENIGN entry with its reason.",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

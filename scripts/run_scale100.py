@@ -1,18 +1,29 @@
-"""One-off 100x scale-probe artifact (r11 verdict tasks 5/7 follow-up).
+"""Per-round 100x scale-probe artifact (r11 verdict tasks 5/7 lineage).
 
 Runs the crawl-path probe TWICE consecutively at factor 100 to record
 the stability the r11 verdict asked for ("two consecutive probe runs
-within 1.3x of each other on the crawl row" — the r11 artifact's 8.2x
-vs 15.0x spread came from a cold ~0.5 s 1x denominator, fixed in
-bench._crawl_probe_row by per-directory warm-up + min-of-3), plus a
-fresh single pass of the two Arrow scan batteries so the r12 artifact
-stands alone.
+within 1.3x of each other on the crawl row"), plus a fresh pass of the
+batteries whose 100 TB claim needs a decisive 100x point (Arrow scan
+batteries, approx profile, pq_topk, kmeans, dsir, ivfadc).
 
-Usage: python scripts/run_scale100.py   (writes SCALE100_r12.json)
+Usage: python scripts/run_scale100.py   (writes SCALE100_r{N}.json,
+N = upcoming round, derived from BENCH_r*.json like bench.py does)
 
-NOTE: invocations MERGE with an existing SCALE100_r12.json — crawl
-pairs accumulate across sessions (the stability story needs every
-sample, not the luckiest session) and battery rows update per-op.
+Invocations MERGE with an existing same-round artifact:
+
+- ``crawl_runs`` accumulates raw rows across sessions (the stability
+  story needs every sample, not the luckiest session — no selection).
+- ``session_stability`` accumulates ONE verdict record per session
+  (r12 advice: the old scheme overwrote this_session_* keys each run,
+  silently dropping prior sessions' stability verdicts from the very
+  artifact that claims "no selection").
+- ``batteries`` rows update per-op; ``battery_notes`` are hand-written
+  prose, and any note whose op's data row CHANGED since the note was
+  written is dropped on merge (r12 verdict "what's wrong" #1: the
+  pq_topk note kept narrating the pre-fix defect reading after the
+  data row was repaired — notes now carry the row they narrate and
+  cannot outlive it).
+
 Delete the artifact first for a from-scratch measurement.
 """
 
@@ -33,6 +44,33 @@ REPO = Path(__file__).resolve().parents[1]
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FACTOR = 100
 
+# ops whose 100 TB claim is load-bearing enough to re-pin at 100x each
+# round (the full SCALE_PROBE_OPS set runs at 10x inside bench.py)
+KEEP = {
+    "q_llm_gopher_repetition",
+    "q_llm_char_entropy",
+    "q_rel_table_profile_approx",
+    "q_llm_pq_topk",
+    "q_llm_kmeans",
+    "q_llm_dsir_scores",
+    "q_llm_ivfadc_search",
+}
+
+
+def _upcoming_round() -> int:
+    prior = [
+        int(p.stem.split("_r")[1])
+        for p in REPO.glob("BENCH_r*.json")
+        if p.stem.split("_r")[1].isdigit()
+    ]
+    return max(prior, default=0) + 1
+
+
+def attach_note(notes: dict, batteries: dict, op: str, text: str) -> None:
+    """Record a hand-written note WITH the data row it narrates, so a
+    later merge can detect and drop a note whose row has changed."""
+    notes[op] = {"note": text, "data_row": batteries.get(op)}
+
 
 def main() -> None:
     spark = get_spark_session(
@@ -43,7 +81,7 @@ def main() -> None:
     )
 
     crawl_runs = []
-    for i in range(2):
+    for _i in range(2):
         with tempfile.TemporaryDirectory() as tmp:
             crawl_runs.append(
                 bench._crawl_probe_row(spark, SF, tmp, FACTOR)
@@ -57,90 +95,82 @@ def main() -> None:
         for k in ("t1", f"t{FACTOR}", "t_ratio")
     }
 
-    # 100x points for the ops whose 100 TB claim is a FLAT curve (the
-    # 10x probe already shows it, but flat-at-10x can still be
-    # fixed-cost-dominated; 100x is the decisive point): approx profile
-    # (one partial HLL sketch row per task regardless of input),
-    # pq_topk (ANN probes a fixed candidate set), kmeans (zero
-    # exchanges — broadcast centers, scan-stage assignment), plus the
-    # two Arrow scan batteries re-pinned at this round's code.
-    keep = {
-        "q_llm_gopher_repetition",
-        "q_llm_char_entropy",
-        "q_rel_table_profile_approx",
-        "q_llm_pq_topk",
-        "q_llm_kmeans",
-        "q_llm_dsir_scores",
-        "q_llm_ivfadc_search",
-    }
     saved = dict(bench.SCALE_PROBE_OPS)
     try:
         for k in list(bench.SCALE_PROBE_OPS):
-            if k not in keep:
+            if k not in KEEP:
                 del bench.SCALE_PROBE_OPS[k]
         batteries = bench.bench_scale_probe(spark, SF, factor=FACTOR)
     finally:
         bench.SCALE_PROBE_OPS.clear()
         bench.SCALE_PROBE_OPS.update(saved)
 
-    # Merge with a prior artifact instead of overwriting run history:
-    # crawl pairs accumulate across sessions (the stability story needs
-    # ALL samples, not the luckiest session), battery rows update
-    # per-op, and any prior prose blocks (stability readings, battery
-    # notes) are preserved unless this run replaces them.
-    path = REPO / "SCALE100_r12.json"
+    rnd = _upcoming_round()
+    path = REPO / f"SCALE100_r{rnd:02d}.json"
     prior = {}
     if path.is_file():
         try:
             prior = json.loads(path.read_text())
         except ValueError:
             prior = {}
+
     # bench_scale_probe unconditionally appends its own crawl row (it
-    # runs _crawl_probe_row after the SCALE_PROBE_OPS loop, outside the
-    # keep-set restriction) — that is a THIRD full crawl sample this
-    # session, so fold it into the stability record rather than leaving
-    # it orphaned in batteries where each session would overwrite it
-    # (r12 review finding: the artifact claimed "no selection" while
-    # silently dropping these samples).
+    # runs _crawl_probe_row after the SCALE_PROBE_OPS loop) — a THIRD
+    # full crawl sample this session; fold it into the run history
+    # rather than leaving it orphaned in batteries.
     extra_crawl = batteries.pop("q_llm_crawl_extract", None)
     if isinstance(extra_crawl, dict) and "t_ratio" in extra_crawl:
         crawl_runs.append(extra_crawl)
     crawl_runs = list(prior.get("crawl_runs", [])) + crawl_runs
+
+    session_stability = list(prior.get("session_stability", []))
+    session_stability.append(
+        {
+            "max_over_min": stability,
+            "stable_within_1p3x": all(v <= 1.3 for v in stability.values()),
+        }
+    )
+
     merged_batteries = dict(prior.get("batteries", {}))
     merged_batteries.pop("q_llm_crawl_extract", None)
     merged_batteries.update(
         {k: v for k, v in batteries.items() if not k.startswith("_")}
     )
 
+    # notes cannot outlive the data row they narrate
+    notes = {}
+    for op, rec in (prior.get("battery_notes") or {}).items():
+        if (
+            isinstance(rec, dict)
+            and rec.get("data_row") == merged_batteries.get(op)
+        ):
+            notes[op] = rec
+
     out = {
         "what": (
-            "r12 100x scale probe, accumulated across sessions — crawl "
-            "pairs from every session kept (no selection; the r11 "
-            "stabilization fix is warm-up + min-of-3 on both points), "
-            "plus 100x points for the Arrow scan batteries, the "
-            "flat-curve 100 TB claims (approx profile / pq_topk / "
-            "kmeans), and the two load-bearing claims added in r12 "
-            "(DSIR's bounded-model linear stream, IVFADC's "
-            "partition-pruned serving search)"
+            f"r{rnd} 100x scale probe, accumulated across sessions — "
+            "crawl pairs from every session kept, with one stability "
+            "verdict per session in session_stability (no selection), "
+            "plus 100x points for the load-bearing flat-curve / "
+            "linear-envelope 100 TB claims; battery_notes carry the "
+            "data row they narrate and are dropped on merge if the "
+            "row changes"
         ),
         "how": (
             f"bench._crawl_probe_row(spark, {SF!r}, tmp, {FACTOR}) x2 "
             "per session; "
             f"bench.bench_scale_probe(factor={FACTOR}) restricted to "
-            f"{sorted(keep)}; local[32], driver 48g"
+            f"{sorted(KEEP)}; local[32], driver 48g"
         ),
         "crawl_runs": crawl_runs,
         "crawl_t_ratio_samples": [r.get("t_ratio") for r in crawl_runs],
-        "this_session_stability_max_over_min": stability,
-        "this_session_stable_within_1p3x": all(
-            v <= 1.3 for v in stability.values()
+        "session_stability": session_stability,
+        "all_sessions_stable_within_1p3x": all(
+            s.get("stable_within_1p3x") for s in session_stability
         ),
         "batteries": merged_batteries,
+        "battery_notes": notes,
     }
-    if "crawl_stability" in prior:
-        out["prior_crawl_stability"] = prior["crawl_stability"]
-    if "battery_notes" in prior:
-        out["battery_notes"] = prior["battery_notes"]
     path.write_text(json.dumps(out, indent=1) + "\n")
     print(f"wrote {path}")
     print(json.dumps(stability))

@@ -22,12 +22,13 @@ SF_DIR_001 = "/root/testdata/sf0.01"
 # silently drift back toward the r11 judge's 1,537-warning run. The
 # floor is calibrated against the r12 full-suite run, which recorded
 # ZERO pytest-visible warnings once the GIF LZW uint8 stores were
-# bounded (the judge's 1,537 were all that one class); 150 leaves room
-# for dependency-version drift. Lower it as third-party noise is
-# eliminated — never raise it without a comment explaining which
-# upstream dependency regressed.
+# bounded (the judge's 1,537 were all that one class). Ratcheted
+# 150 → 25 in r13 (r12 verdict task 6) now that two consecutive full
+# runs recorded zero: a new pandas/pyspark deprecation wave should be
+# a loud event, not quiet headroom. Never raise it without a comment
+# explaining which upstream dependency regressed.
 # ---------------------------------------------------------------------
-WARNING_BUDGET = 150
+WARNING_BUDGET = 25
 
 _warning_count = 0
 

@@ -1,0 +1,198 @@
+"""Initial-plan (auto-broadcast-off) discipline for every hinted join
+(r12 verdict task 5).
+
+The r12 PQ-rerank bug proved that executed-plan assertions at test SF
+cannot see a LOST broadcast hint: AQE converts the join to broadcast
+anyway — after the big side's exchange has already materialized — so
+the test stays green while the initial plan ships a corpus shuffle.
+The one config where the plan shows the truth is
+``spark.sql.autoBroadcastJoinThreshold=-1`` + the INITIAL physical
+plan (``sparkPlan()``, pre-AQE): there, ONLY an explicit ``F.broadcast``
+hint can produce a BroadcastHashJoin. Each unconditionally-hinted join
+in the package gets a case here; losing a hint flips the initial plan
+to SortMergeJoin and fails loudly.
+
+Deliberately NOT in the parametrized set:
+
+- ``duplicated_spans`` / ``strip_boilerplate_lines`` gate their hints
+  on the session's threshold (a forced broadcast of an over-threshold
+  survivor set would OOM at web scale, so with the threshold at -1
+  falling back to a shuffle join IS the contract) —
+  ``test_boilerplate_hint_gate`` pins both sides of that gate, and
+  tests/test_llm_ops.py::test_duplicated_spans_broadcast_gate already
+  covers the spans twin.
+- The PQ rerank itself — pinned by
+  test_bench_plan_shapes.py::test_pq_rerank_broadcasts_shortlist_in_initial_plan.
+- The FingerprintStore/BandBucketStore screens carry no hint; their
+  at-scale contract is the BUCKETED store side joining with no
+  Exchange, asserted here on the initial plan
+  (``test_fp_screen_store_side_no_exchange_initial_plan``; the
+  executed-plan twins live in test_store_lifecycle.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators import (
+    textops,
+    urlops,
+)
+
+DOCS_SCHEMA = "doc_id long, source string, text string"
+
+
+def _docs(spark):
+    rows = [
+        (i, f"src-{i % 3}", f"alpha beta gamma delta epsilon doc {i}")
+        for i in range(30)
+    ]
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def _initial_plan(df) -> str:
+    return df._jdf.queryExecution().sparkPlan().toString()
+
+
+def _blocklist_case(spark):
+    docs = _docs(spark).withColumn(
+        "registered_domain", F.concat(F.lit("d"), F.col("doc_id") % 5)
+    )
+    bl = spark.createDataFrame([("d0",), ("d1",)], "registered_domain string")
+    return urlops.filter_blocked_domains(docs, bl)
+
+
+def _contamination_case(spark):
+    probes = spark.createDataFrame(
+        [("alpha beta gamma",), ("beta gamma delta",)], "ngram string"
+    )
+    return textops.contamination_screen(_docs(spark), probes)
+
+
+def _dsir_case(spark):
+    docs = _docs(spark)
+    target = docs.where(F.col("doc_id") % 3 == 0)
+    return textops.dsir_scores(docs, target, n_buckets=64)
+
+
+def _temperature_mixture_case(spark):
+    return textops.temperature_mixture_k(_docs(spark), total_k=9)
+
+
+@pytest.mark.parametrize(
+    ("name", "builder", "min_bhj", "smj_ok"),
+    [
+        # blocklist anti-join (urlops.filter_blocked_domains): the
+        # corpus must never shuffle for a MB-scale blocklist
+        ("blocklist_anti_join", _blocklist_case, 1, None),
+        # decontamination probe join (textops.contamination_screen):
+        # exploded corpus n-grams stream through a map-side hash join
+        ("contamination_screen", _contamination_case, 1, None),
+        # DSIR scoring join (textops.dsir_scores): the ≤n_buckets model
+        # broadcasts; a lost hint shuffles the exploded feature stream.
+        # The model BUILD is allowed its FullOuter SortMergeJoin — it
+        # merges two aggregates bounded by n_buckets, not corpus rows.
+        ("dsir_scores", _dsir_case, 1, "FullOuter"),
+        # temperature-mixture quotas (textops.temperature_mixture_k):
+        # |strata|-row quota frame broadcasts back onto the corpus
+        ("temperature_mixture", _temperature_mixture_case, 1, None),
+    ],
+)
+def test_hinted_join_broadcasts_in_initial_plan(
+    spark, name, builder, min_bhj, smj_ok
+):
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _initial_plan(builder(spark))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    bad_smj = [
+        l
+        for l in plan.splitlines()
+        if "SortMergeJoin" in l and (smj_ok is None or smj_ok not in l)
+    ]
+    assert not bad_smj, f"{name} lost its hint:\n{plan}"
+    n_bhj = plan.count("BroadcastHashJoin")
+    assert n_bhj >= min_bhj, f"{name}: {n_bhj} BHJ < {min_bhj}:\n{plan}"
+
+
+def test_boilerplate_hint_gate(spark):
+    """strip_boilerplate_lines hints broadcast only while the
+    fingerprint volume fits the session threshold: default session →
+    the hint puts BroadcastHashJoin in the INITIAL plan; threshold −1 →
+    the gate must fall back to the planner's join (no broadcast), never
+    force one that would OOM at web scale."""
+    docs = _docs(spark).withColumn(
+        "text", F.concat(F.lit("same boilerplate line\n"), F.col("text"))
+    )
+    plan_default = _initial_plan(textops.strip_boilerplate_lines(docs))
+    assert "BroadcastHashJoin" in plan_default, plan_default
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan_off = _initial_plan(textops.strip_boilerplate_lines(docs))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert "BroadcastHashJoin" not in plan_off, plan_off
+
+
+def test_fp_screen_store_side_no_exchange_initial_plan(spark):
+    """FingerprintStore.screen's 100 TB contract in the INITIAL plan:
+    the bucketed store scan reaches its anti-join with NO Exchange on
+    the store side (the batch side shuffles — it is the bounded side).
+    Auto-broadcast off so the at-scale SortMergeJoin shape is what is
+    asserted, pre-AQE."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.dedup import (
+        FingerprintStore,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sink import (
+        clear_orphan_table_location,
+    )
+
+    table = "fp_initial_plan_store"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    clear_orphan_table_location(spark, table)
+    store = FingerprintStore(spark, table, n_buckets=4)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        store.commit(
+            spark.createDataFrame(
+                [(1, "seen text one"), (2, "seen text two")],
+                "doc_id long, text string",
+            ),
+            batch_tag="run#0",
+        )
+        probe = spark.createDataFrame(
+            [(10, "fresh text")], "doc_id long, text string"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _initial_plan(store.screen(probe))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        clear_orphan_table_location(spark, table)
+
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        body = line.lstrip(" :+-")
+        return (len(line) - len(body)) // 3
+
+    scan_i = next(
+        i for i, l in enumerate(lines) if table in l and "Scan" in l
+    )
+    d = depth(lines[scan_i])
+    chain = []
+    for i in range(scan_i - 1, -1, -1):
+        if depth(lines[i]) < d:
+            chain.append(lines[i])
+            d = depth(lines[i])
+            if "Join" in lines[i]:
+                break
+    assert any("Join" in l for l in chain), plan
+    assert not any("Exchange" in l for l in chain), (
+        "store side reshuffled in the initial plan:\n" + plan
+    )

@@ -1,0 +1,128 @@
+"""The standing plan-shape audit (r12 verdict task 4):
+scripts/audit_plan_shapes.py triages every query's final adaptive plan
+against its KNOWN_BENIGN allowlist and emits PLAN_AUDIT_r{N}.json.
+These tests pin the classify contract — an UNLISTED hit must surface
+as a defect signal, never be absorbed — and that the artifact at HEAD
+is present and green, so the next AQE-masked defect is caught by
+artifact diff rather than a judge re-running the script."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _mod():
+    spec = importlib.util.spec_from_file_location(
+        "audit_plan_shapes", REPO / "scripts" / "audit_plan_shapes.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_unlisted_query_hit_is_a_new_hit():
+    """A query with NO allowlist entry lands in new_hits (the script
+    exits non-zero and bench flags the artifact red on any)."""
+    mod = _mod()
+    v = mod.classify({"q_brand_new": {"bcast-over-shuffle": 1}}, known={})
+    assert v["new_hits"] == {"q_brand_new": {"bcast-over-shuffle": 1}}
+    assert not v["benign"]
+
+
+def test_unlisted_class_on_listed_query_is_a_new_hit():
+    """An allowlisted query growing a hit CLASS it never had must flag —
+    the allowance is per (query, class), not per query."""
+    mod = _mod()
+    known = {"q_x": {"single-partition": (2, "scalar agg")}}
+    v = mod.classify(
+        {"q_x": {"single-partition": 1, "bcast-over-shuffle": 1}}, known=known
+    )
+    assert v["new_hits"] == {"q_x": {"bcast-over-shuffle": 1}}
+    assert v["benign"]["q_x"]["single-partition"][0] == 1
+
+
+def test_count_above_allowance_is_a_new_hit_below_is_improved():
+    mod = _mod()
+    known = {"q_x": {"single-partition": (2, "why")}}
+    over = mod.classify({"q_x": {"single-partition": 3}}, known=known)
+    assert over["new_hits"] == {"q_x": {"single-partition": 3}}
+    under = mod.classify({"q_x": {"single-partition": 1}}, known=known)
+    assert not under["new_hits"]
+    assert under["improved"] == {"q_x": {"single-partition": [2, 1]}}
+    at = mod.classify({"q_x": {"single-partition": 2}}, known=known)
+    assert not at["new_hits"] and not at["improved"]
+
+
+def test_hit_counts_detects_bcast_over_shuffle_and_single_partition():
+    """The plan-text detector on a synthetic final plan: a
+    BroadcastExchange with an Exchange hashpartitioning inside its
+    subtree counts once; a sibling exchange OUTSIDE the subtree (left
+    at shallower depth) does not; SinglePartition counts by line."""
+    mod = _mod()
+    plan = "\n".join(
+        [
+            "AdaptiveSparkPlan",
+            "+- BroadcastHashJoin",
+            "   :- BroadcastExchange HashedRelationBroadcastMode",
+            "   :  +- HashAggregate(keys=[k], functions=[sum])",
+            "   :     +- Exchange hashpartitioning(k, 16)",
+            "   :        +- HashAggregate(partial)",
+            "   +- Project",
+            "      +- FileScan parquet",
+        ]
+    )
+    assert mod.hit_counts(plan) == {"bcast-over-shuffle": 1}
+    outside = "\n".join(
+        [
+            "AdaptiveSparkPlan",
+            "+- SortMergeJoin",
+            "   :- BroadcastExchange mode",
+            "   :  +- FileScan parquet small",
+            "   +- Exchange hashpartitioning(k, 16)",
+            "      +- FileScan parquet big",
+        ]
+    )
+    assert mod.hit_counts(outside) == {}
+    single = "Exchange SinglePartition\n+- HashAggregate\nExchange SinglePartition"
+    assert mod.hit_counts(single) == {"single-partition": 2}
+
+
+def test_plan_audit_artifact_present_and_green_at_head():
+    """The newest PLAN_AUDIT_r*.json must exist with zero new_hits and
+    zero errors — the standing artifact the bench line carries. (bench
+    additionally flags dirty/stale generation against git history.)"""
+    audits = sorted(
+        (int(p.stem.split("_r")[1]), p)
+        for p in REPO.glob("PLAN_AUDIT_r*.json")
+        if p.stem.split("_r")[1].isdigit()
+    )
+    assert audits, "PLAN_AUDIT_r*.json absent — run scripts/audit_plan_shapes.py"
+    data = json.loads(audits[-1][1].read_text())
+    assert data.get("new_hits") == {}, (
+        f"{audits[-1][1].name} records unlisted plan-shape hits — triage "
+        f"them (scripts/audit_plan_shapes.py docstring): {data['new_hits']}"
+    )
+    assert data.get("errors") == {}, data.get("errors")
+    assert data.get("n_queries", 0) >= 170
+
+
+def test_allowlist_has_no_orphan_queries():
+    """Every KNOWN_BENIGN key must name a live catalog/bench query — a
+    renamed query must not leave a stale allowance behind that a new
+    query of the same name could silently inherit."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.catalog import (  # noqa: E501
+        BENCH_EXTRA,
+        QUERIES,
+    )
+
+    mod = _mod()
+    live = set(QUERIES) | set(BENCH_EXTRA)
+    orphans = sorted(set(mod.KNOWN_BENIGN) - live)
+    assert not orphans, f"stale allowlist entries: {orphans}"
