@@ -12,7 +12,7 @@ NOTES = {
  "q_rel_q5_nation_volume": "Star join: every dimension side is a BroadcastHashJoin build; the lineitem fact never shuffles for the joins. The only exchange is the final groupBy.",
  "q_rel_top3_parts_per_brand": "Broadcast join (part) -> two-phase aggregate -> single shuffle on p_brand for the ranking window; no global sort.",
  "q_rel_asof_join": "Union-tag-window as-of join: one shuffle on the key (user_id), one sort; no range cross-product.",
- "q_llm_minhash_pairs": "Signature pipeline: explode shingles -> xxhash64 once per shingle -> codegen'd 64x min aggregation (map-side partial). Banded bucket self-join is the only pairwise work.",
+ "q_llm_minhash_pairs": "Signature pipeline: explode shingles -> xxhash64 once per shingle -> codegen'd 64x min aggregation (map-side partial). Banded bucket self-join is the only pairwise work. r13 stage profile (bench #4 at 2.2s, min-of-3 noop): shingle HOF 0.25s, +explode/hash 0.27s, +64-hash min agg 0.71s, +banding/buckets/pairs 1.16s — the cost is codegen'd JVM hashing (~600M xxhash64 family derivations) and the bucket shuffle, NOT interpreted-HOF overhead, so the r11 Arrow-battery treatment does not apply; the 100x probe (34.5x wall, sub-linear) says the shuffle design is right. Left as-is per the r12 verdict's own rule.",
  "q_llm_dedup_exact": "md5 fingerprint groupBy: one shuffle on the 128-bit key; map-side partial count/min.",
  "q_billing_flagship_daily": "JSON extraction + typed cast inline in the scan projection; two-phase aggregate, one shuffle.",
  "q_rel_q4_order_priority": "Correlated EXISTS planned as a non-equi LeftSemi BroadcastHashJoin: the 3-month order window broadcasts; lineitem streams map-side carrying only (l_orderkey, l_shipdate).",
