@@ -204,29 +204,33 @@ def bench_ingest(spark, n_records: int = 150_000) -> dict:
         # on whichever shape happens to run first — round 5's first cut
         # timed the pipeline cold and the twin warm, inverting the
         # ratio.
-        winp = os.path.join(tmp, "warm_in")
-        os.makedirs(winp)
-        with open(os.path.join(inp, "events.json")) as src, open(
-            os.path.join(winp, "w.json"), "w"
-        ) as dst:
-            for _ in range(200):
-                dst.write(src.readline())
+        # Warm-up drains the FULL input through BOTH shapes untimed
+        # (fresh warehouse each): the r13 stability probe found the
+        # 200-row warm-up left the first timed pass paying the cold
+        # page-cache read of the real input file — one session's first
+        # pipeline pass read 3.8 s where warm passes read 2.9 s,
+        # enough to swing the ratio from 1.25 to 0.97 on its own.
         BillingPipeline(
-            billing_stream_source(spark, "file", path=winp),
+            billing_stream_source(spark, "file", path=inp),
             os.path.join(tmp, "warm_wh"),
         ).run_available_now(os.path.join(tmp, "warm_ck"))
         drain_available_now(
-            billing_stream_source(spark, "file", path=winp),
+            billing_stream_source(spark, "file", path=inp),
             ref_shape_batch(os.path.join(tmp, "warm_wh_ref")),
             os.path.join(tmp, "warm_ck_ref"),
         )
 
-        # min of 3 runs per shape (fresh warehouse/checkpoint each):
+        # min of 3 runs per shape, INTERLEAVED (pipeline, ref,
+        # pipeline, ref, …) with a fresh warehouse/checkpoint each:
         # single-shot streaming timings swing >2x from page-cache and
-        # scheduler noise, which round 5 measured as a 1.1x..2.3x spread
-        # in the speedup ratio from identical code (min-of-2 still let
-        # the ratio drift 1.36→1.18 across r11/r12 — r12 verdict)
+        # scheduler noise (round 5 measured a 1.1x..2.3x spread from
+        # identical code; min-of-2 still let the ratio drift
+        # 1.36→1.18 across r11/r12 — r12 verdict task 3). Interleaving
+        # makes slow session drift (GC pressure, background load) land
+        # on both shapes symmetrically instead of on whichever ran
+        # second.
         dt = float("inf")
+        ref_dt = float("inf")
         total = 0
         for rep in range(3):
             pipe = BillingPipeline(
@@ -237,9 +241,6 @@ def bench_ingest(spark, n_records: int = 150_000) -> dict:
             pipe.run_available_now(os.path.join(tmp, f"ck{rep}"))
             dt = min(dt, time.perf_counter() - t0)
             total = sum(m["total_rows"] for m in pipe.metrics())
-
-        ref_dt = float("inf")
-        for rep in range(3):
             t0 = time.perf_counter()
             drain_available_now(
                 billing_stream_source(spark, "file", path=inp),
@@ -250,7 +251,10 @@ def bench_ingest(spark, n_records: int = 150_000) -> dict:
         return {
             "rows": total,
             "batch_rows": n_records,
-            "timing": "min over 3 fresh-warehouse passes per shape",
+            "timing": (
+                "min over 3 interleaved fresh-warehouse passes per "
+                "shape, after a full-input warm-up of both shapes"
+            ),
             "seconds": round(dt, 3),
             "rows_per_sec": round(total / dt, 1),
             "reference_shape_seconds": round(ref_dt, 3),
