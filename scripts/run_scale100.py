@@ -72,6 +72,49 @@ def attach_note(notes: dict, batteries: dict, op: str, text: str) -> None:
     notes[op] = {"note": text, "data_row": batteries.get(op)}
 
 
+def merge_sessions(
+    prior: dict,
+    crawl_runs: list[dict],
+    stability: dict,
+    batteries: dict,
+) -> dict:
+    """Pure merge core (separated so tests/test_plan_audit.py can pin
+    the note-staleness contract without running Spark): crawl rows and
+    per-session stability verdicts ACCUMULATE, battery rows update
+    per-op, and a prior battery note survives ONLY if the data row it
+    was stamped with still equals the merged row — the r12 verdict's
+    artifact-hygiene defect was exactly a note outliving its data."""
+    crawl_runs = list(prior.get("crawl_runs", [])) + list(crawl_runs)
+    session_stability = list(prior.get("session_stability", []))
+    session_stability.append(
+        {
+            "max_over_min": stability,
+            "stable_within_1p3x": all(v <= 1.3 for v in stability.values()),
+        }
+    )
+    merged_batteries = dict(prior.get("batteries", {}))
+    merged_batteries.pop("q_llm_crawl_extract", None)
+    merged_batteries.update(
+        {k: v for k, v in batteries.items() if not k.startswith("_")}
+    )
+    notes = {
+        op: rec
+        for op, rec in (prior.get("battery_notes") or {}).items()
+        if isinstance(rec, dict)
+        and rec.get("data_row") == merged_batteries.get(op)
+    }
+    return {
+        "crawl_runs": crawl_runs,
+        "crawl_t_ratio_samples": [r.get("t_ratio") for r in crawl_runs],
+        "session_stability": session_stability,
+        "all_sessions_stable_within_1p3x": all(
+            s.get("stable_within_1p3x") for s in session_stability
+        ),
+        "batteries": merged_batteries,
+        "battery_notes": notes,
+    }
+
+
 def main() -> None:
     spark = get_spark_session(
         app_name="scale100",
@@ -121,31 +164,8 @@ def main() -> None:
     extra_crawl = batteries.pop("q_llm_crawl_extract", None)
     if isinstance(extra_crawl, dict) and "t_ratio" in extra_crawl:
         crawl_runs.append(extra_crawl)
-    crawl_runs = list(prior.get("crawl_runs", [])) + crawl_runs
 
-    session_stability = list(prior.get("session_stability", []))
-    session_stability.append(
-        {
-            "max_over_min": stability,
-            "stable_within_1p3x": all(v <= 1.3 for v in stability.values()),
-        }
-    )
-
-    merged_batteries = dict(prior.get("batteries", {}))
-    merged_batteries.pop("q_llm_crawl_extract", None)
-    merged_batteries.update(
-        {k: v for k, v in batteries.items() if not k.startswith("_")}
-    )
-
-    # notes cannot outlive the data row they narrate
-    notes = {}
-    for op, rec in (prior.get("battery_notes") or {}).items():
-        if (
-            isinstance(rec, dict)
-            and rec.get("data_row") == merged_batteries.get(op)
-        ):
-            notes[op] = rec
-
+    merged = merge_sessions(prior, crawl_runs, stability, batteries)
     out = {
         "what": (
             f"r{rnd} 100x scale probe, accumulated across sessions — "
@@ -162,14 +182,7 @@ def main() -> None:
             f"bench.bench_scale_probe(factor={FACTOR}) restricted to "
             f"{sorted(KEEP)}; local[32], driver 48g"
         ),
-        "crawl_runs": crawl_runs,
-        "crawl_t_ratio_samples": [r.get("t_ratio") for r in crawl_runs],
-        "session_stability": session_stability,
-        "all_sessions_stable_within_1p3x": all(
-            s.get("stable_within_1p3x") for s in session_stability
-        ),
-        "batteries": merged_batteries,
-        "battery_notes": notes,
+        **merged,
     }
     path.write_text(json.dumps(out, indent=1) + "\n")
     print(f"wrote {path}")
