@@ -23,6 +23,13 @@ Hit classes audited per query:
    when the input is a scalar/1-row aggregate or a dim-cardinality
    frame a global window deliberately consumes (e.g. Q15's documented
    supplier-level max); a defect when fact-scale rows funnel.
+3. ``cartesian`` — ``CartesianProduct`` nodes (r13 addition). A
+   non-broadcast cross join replicates BOTH sides across every task
+   pair — always a scale hazard. The catalog has ZERO today (every
+   crossJoin is a broadcast of a 1-row aggregate or bounded audit
+   frame, which plans as BroadcastNestedLoopJoin, deliberately not
+   flagged), so this class ships with no allowances: any future
+   occurrence fails the audit outright.
 
 ``KNOWN_BENIGN`` is the triaged allowlist: per query, the hit classes
 expected at sf0.01 with their max count and the triage reason. The
@@ -168,6 +175,9 @@ def hit_counts(final_plan: str) -> dict[str, int]:
     n_single = final_plan.count("Exchange SinglePartition")
     if n_single:
         counts["single-partition"] = n_single
+    n_cart = final_plan.count("CartesianProduct")
+    if n_cart:
+        counts["cartesian"] = n_cart
     return counts
 
 

@@ -89,6 +89,11 @@ def test_hit_counts_detects_bcast_over_shuffle_and_single_partition():
     assert mod.hit_counts(outside) == {}
     single = "Exchange SinglePartition\n+- HashAggregate\nExchange SinglePartition"
     assert mod.hit_counts(single) == {"single-partition": 2}
+    cart = "+- CartesianProduct\n   :- FileScan a\n   +- FileScan b"
+    assert mod.hit_counts(cart) == {"cartesian": 1}
+    # a CartesianProduct is always a new hit: the class ships with no
+    # allowlist entries anywhere in KNOWN_BENIGN
+    assert not any("cartesian" in v for v in mod.KNOWN_BENIGN.values())
 
 
 def test_plan_audit_artifact_present_and_green_at_head():
