@@ -736,7 +736,21 @@ def lsh_cosine_topk(
     q_vecs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    cand = cand_ids.join(c_vecs, "neighbor_id").join(F.broadcast(q_vecs), "query_id")
+    # cand_ids must carry an EXPLICIT broadcast hint (r13, the
+    # q_llm_pq_topk rerank lesson replayed): it is a derived
+    # join+distinct subtree, so the planner's initial size estimate is
+    # corpus-scale and without the hint the initial plan
+    # sort-merge-joins — shuffling the ENTIRE raw-vector corpus on
+    # neighbor_id before AQE converts to broadcast (after that
+    # exchange has already materialized; at 100 TB, too late). The
+    # operator already hard-assumes serving-scale queries — q_sig and
+    # q_vecs broadcast unconditionally — and candidates are bounded by
+    # query count x matched-bucket volume, the same smallness contract.
+    # Pinned by tests/test_initial_plan_broadcasts.py (auto-broadcast
+    # off, the one config where the plan shows the truth).
+    cand = c_vecs.join(F.broadcast(cand_ids), "neighbor_id").join(
+        F.broadcast(q_vecs), "query_id"
+    )
     scored = cosine_pairs_blas(cand).select("query_id", "neighbor_id", "cos")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

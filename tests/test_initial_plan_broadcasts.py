@@ -80,6 +80,72 @@ def _temperature_mixture_case(spark):
     return textops.temperature_mixture_k(_docs(spark), total_k=9)
 
 
+def _emb(spark, n=40, dim=8):
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _lsh_case(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        lsh_cosine_topk,
+    )
+
+    emb = _emb(spark)
+    return lsh_cosine_topk(
+        emb, emb.where("vec_id < 3"), k=3, dim=8, n_tables=4
+    )
+
+
+def _ivf_case(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (
+        ivf_cosine_topk,
+    )
+
+    emb = _emb(spark)
+    return ivf_cosine_topk(
+        emb, emb.where("vec_id < 3"), k=3, n_lists=4, n_probe=2,
+        train_sample=32,
+    )
+
+
+def _bm25_case(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.search import (
+        bm25_search,
+    )
+
+    return bm25_search(_docs(spark), ["alpha", "gamma"], k=5)
+
+
+def _ecdf_case(spark):
+    return textops.ecdf_rank_fuse(
+        _docs(spark),
+        {"len_bp": F.length("text"), "tok_bp": F.size(F.split("text", " "))},
+    )
+
+
+def _unigram_nll_case(spark):
+    return textops.unigram_nll(_docs(spark), broadcast_vocab=True)
+
+
+def _bigram_nll_case(spark):
+    return textops.bigram_nll(_docs(spark), broadcast_model=True)
+
+
+def _zscore_case(spark):
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.profile import (
+        group_zscore_anomalies,
+    )
+
+    return group_zscore_anomalies(
+        _docs(spark).withColumn("v", F.length("text").cast("double")),
+        "source",
+        "v",
+    )
+
+
 @pytest.mark.parametrize(
     ("name", "builder", "min_bhj", "smj_ok"),
     [
@@ -97,6 +163,34 @@ def _temperature_mixture_case(spark):
         # temperature-mixture quotas (textops.temperature_mixture_k):
         # |strata|-row quota frame broadcasts back onto the corpus
         ("temperature_mixture", _temperature_mixture_case, 1, None),
+        # LSH candidate re-join (similarity.lsh_cosine_topk): the r13
+        # fix — without the cand_ids hint the initial plan SMJ-shuffled
+        # the raw-vector corpus on neighbor_id (the PQ rerank defect
+        # class; AQE masked it at test SF). 3 hinted joins: bucket
+        # probe, candidate re-join, query vectors.
+        ("lsh_candidate_rejoin", _lsh_case, 3, None),
+        # IVF probe join (similarity.ivf_cosine_topk): query
+        # assignments broadcast onto the corpus-list scan
+        ("ivf_probe_join", _ivf_case, 1, None),
+        # BM25 model joins (search.bm25_search): df model + corpus
+        # stats broadcast onto the term-filtered postings
+        ("bm25_model_join", _bm25_case, 1, None),
+        # ECDF rank fusion (textops.ecdf_rank_fuse): one
+        # distinct-value rank table broadcast back per signal
+        ("ecdf_rank_fuse", _ecdf_case, 2, None),
+        # unigram/bigram NLL (textops) with the OPT-IN model broadcast
+        # engaged (broadcast_vocab/broadcast_model=True — the default
+        # False is deliberate: the vocab table is corpus-vocabulary-
+        # sized and unbounded, so the declared shuffle join is the
+        # safe default; test_nll_model_broadcast_is_opt_in pins that
+        # side): with the flag on, the hint must survive to the
+        # initial plan
+        ("unigram_nll_opt_in", _unigram_nll_case, 1, None),
+        ("bigram_nll_opt_in", _bigram_nll_case, 2, None),
+        # per-group z-score screen (profile.group_zscore_anomalies):
+        # group moments broadcast back via a null-safe equality —
+        # the fact rows never shuffle
+        ("zscore_anomalies", _zscore_case, 1, None),
     ],
 )
 def test_hinted_join_broadcasts_in_initial_plan(
@@ -116,6 +210,24 @@ def test_hinted_join_broadcasts_in_initial_plan(
     assert not bad_smj, f"{name} lost its hint:\n{plan}"
     n_bhj = plan.count("BroadcastHashJoin")
     assert n_bhj >= min_bhj, f"{name}: {n_bhj} BHJ < {min_bhj}:\n{plan}"
+
+
+def test_nll_model_broadcast_is_opt_in(spark):
+    """unigram_nll/bigram_nll must NOT force a model broadcast by
+    default: the vocab/bigram tables grow with corpus vocabulary
+    (unbounded), so the declared shuffle join is the safe default and
+    the broadcast is an explicit opt-in for capped vocabularies. With
+    auto-broadcast off and the flag at its default, no
+    BroadcastHashJoin may appear."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        uni = _initial_plan(textops.unigram_nll(_docs(spark)))
+        bi = _initial_plan(textops.bigram_nll(_docs(spark)))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert "BroadcastHashJoin" not in uni, uni
+    assert "BroadcastHashJoin" not in bi, bi
 
 
 def test_boilerplate_hint_gate(spark):
