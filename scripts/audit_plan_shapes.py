@@ -100,7 +100,17 @@ KNOWN_BENIGN: dict[str, dict[str, tuple[int, str]]] = {
     "q_llm_ivf_recall": {_B: (1, _BOUNDED_AUDIT), _S: (2, _BOUNDED_AUDIT)},
     "q_llm_ivfadc_search": {_B: (1, _MODEL)},
     "q_llm_kmeans_check": {_S: (4, _BOUNDED_AUDIT)},
-    "q_llm_lsh_recall": {_B: (1, _BOUNDED_AUDIT), _S: (2, _BOUNDED_AUDIT)},
+    "q_llm_lsh_recall": {
+        _B: (
+            2,
+            _BOUNDED_AUDIT
+            + "; +1 in r13: the hinted cand_ids broadcast (the LSH "
+            "candidate re-join fix) sits over the candidate-pair "
+            "distinct exchange, which is bounded by query count x "
+            "matched-bucket volume — the PQ-shortlist pattern",
+        ),
+        _S: (2, _BOUNDED_AUDIT),
+    },
     "q_llm_minhash_check": {_S: (1, _BOUNDED_AUDIT)},
     "q_llm_multimodal_check": {_S: (5, _BOUNDED_AUDIT)},
     "q_llm_multimodal_features": {_S: (1, _SCALAR)},
