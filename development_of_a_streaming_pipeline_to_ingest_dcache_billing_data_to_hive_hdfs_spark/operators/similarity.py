@@ -695,6 +695,30 @@ def cosine_topk_quantized(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _lsh_candidate_ids(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The (query_id, neighbor_id) candidate-pair set for
+    ``lsh_cosine_topk``: bucket join + pair-distinct over integer
+    columns only; vectors re-attach to the candidate set (≪ corpus)
+    afterwards. The query side is small by construction — spreading it
+    to cluster-width partitions would add a shuffle plus a wide,
+    nearly empty Python stage per query batch — so q_sig broadcasts
+    unconditionally (truly query-count-bounded)."""
+    c_sig = _lsh_signatures(corpus, planes, id_col, vec_col, "neighbor_id")
+    q_sig = _lsh_signatures(queries, planes, id_col, vec_col, "query_id", spread=False)
+    return (
+        c_sig.join(F.broadcast(q_sig), ["t", "sig"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -713,42 +737,53 @@ def lsh_cosine_topk(
     vectors, where true neighbors sit barely above the noise floor and
     recall needs many low-selectivity tables. Clustered real-world
     embeddings support more bits per table (smaller candidate sets);
-    recall/cost is pytest-measured against the brute-force baseline."""
+    recall/cost is pytest-measured against the brute-force baseline.
+
+    The candidate re-join against the raw-vector corpus broadcasts the
+    candidate-id side only while the MEASURED pair count fits the
+    session's ``autoBroadcastJoinThreshold`` (r14 advice): unlike the
+    query signatures/vectors — truly bounded by query count, hinted
+    unconditionally — candidate pairs scale as n_queries × the matched
+    bucket volume, and the low-selectivity defaults here (4 bits ×
+    16 tables on near-uniform vectors) make that corpus-PROPORTIONAL,
+    where a forced hint converts a slow-but-completing shuffle join
+    into a broadcast OOM. Over the threshold the gate falls back to
+    the planner's shuffle join, which is the correct shape for a
+    candidate set that large. A hint is still required under the
+    threshold (r13, the q_llm_pq_topk rerank lesson): cand_ids is a
+    derived join+distinct subtree whose initial size estimate is
+    corpus-scale, so without it the initial plan sort-merge-joins —
+    shuffling the ENTIRE raw-vector corpus on neighbor_id before AQE
+    converts (after that exchange has materialized; at 100 TB, too
+    late). Both gate sides are pinned by
+    tests/test_initial_plan_broadcasts.py (auto-broadcast off, the one
+    config where the plan shows the truth)."""
+    from .textops import _broadcast_threshold_bytes
+
     planes = np.asarray(random_hyperplanes(dim, n_bits, n_tables, seed))
-    c_sig = _lsh_signatures(corpus, planes, id_col, vec_col, "neighbor_id")
-    # The query side is small by construction — spreading it to
-    # cluster-width partitions would add a shuffle plus a wide, nearly
-    # empty Python stage per query batch.
-    q_sig = _lsh_signatures(queries, planes, id_col, vec_col, "query_id", spread=False)
-    # Bucket join + pair-distinct over integer columns only; vectors
-    # re-attach to the candidate set (≪ corpus) afterwards. The corpus
-    # re-join broadcasts the candidate-id side, so the corpus scan stays
-    # exchange-free at scale.
-    cand_ids = (
-        c_sig.join(F.broadcast(q_sig), ["t", "sig"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
+    # The pair set is materialized once (localCheckpoint): the
+    # broadcast gate below needs its COUNT, and counting an
+    # unmaterialized subtree would run the bucket join + distinct
+    # twice. (The bucket-probe plan itself is asserted on the
+    # pre-checkpoint helper — the checkpoint hides it downstream.)
+    cand_ids = _lsh_candidate_ids(
+        corpus, queries, planes, id_col, vec_col
+    ).localCheckpoint()
     c_vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     q_vecs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    # cand_ids must carry an EXPLICIT broadcast hint (r13, the
-    # q_llm_pq_topk rerank lesson replayed): it is a derived
-    # join+distinct subtree, so the planner's initial size estimate is
-    # corpus-scale and without the hint the initial plan
-    # sort-merge-joins — shuffling the ENTIRE raw-vector corpus on
-    # neighbor_id before AQE converts to broadcast (after that
-    # exchange has already materialized; at 100 TB, too late). The
-    # operator already hard-assumes serving-scale queries — q_sig and
-    # q_vecs broadcast unconditionally — and candidates are bounded by
-    # query count x matched-bucket volume, the same smallness contract.
-    # Pinned by tests/test_initial_plan_broadcasts.py (auto-broadcast
-    # off, the one config where the plan shows the truth).
-    cand = c_vecs.join(F.broadcast(cand_ids), "neighbor_id").join(
+    # 48 bytes per (long, long) pair row with relation overhead — the
+    # sibling gates' (strip_boilerplate_lines) conservative sizing
+    n_pairs = cand_ids.count()
+    hint = (
+        F.broadcast
+        if n_pairs * 48 <= _broadcast_threshold_bytes(corpus.sparkSession)
+        else (lambda df: df)
+    )
+    cand = c_vecs.join(hint(cand_ids), "neighbor_id").join(
         F.broadcast(q_vecs), "query_id"
     )
     scored = cosine_pairs_blas(cand).select("query_id", "neighbor_id", "cos")

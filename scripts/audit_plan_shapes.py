@@ -100,17 +100,13 @@ KNOWN_BENIGN: dict[str, dict[str, tuple[int, str]]] = {
     "q_llm_ivf_recall": {_B: (1, _BOUNDED_AUDIT), _S: (2, _BOUNDED_AUDIT)},
     "q_llm_ivfadc_search": {_B: (1, _MODEL)},
     "q_llm_kmeans_check": {_S: (4, _BOUNDED_AUDIT)},
-    "q_llm_lsh_recall": {
-        _B: (
-            2,
-            _BOUNDED_AUDIT
-            + "; +1 in r13: the hinted cand_ids broadcast (the LSH "
-            "candidate re-join fix) sits over the candidate-pair "
-            "distinct exchange, which is bounded by query count x "
-            "matched-bucket volume — the PQ-shortlist pattern",
-        ),
-        _S: (2, _BOUNDED_AUDIT),
-    },
+    # r14: the r13 "+1" allowance for the hinted cand_ids broadcast is
+    # gone — the broadcast gate materializes the pair set
+    # (localCheckpoint, so the hint sits over a checkpoint scan with no
+    # sub-exchange) and engages only while the measured pair count fits
+    # the session threshold (tests/test_initial_plan_broadcasts.py::
+    # test_lsh_cand_rejoin_hint_gate pins both gate sides)
+    "q_llm_lsh_recall": {_B: (1, _BOUNDED_AUDIT), _S: (2, _BOUNDED_AUDIT)},
     "q_llm_minhash_check": {_S: (1, _BOUNDED_AUDIT)},
     "q_llm_multimodal_check": {_S: (5, _BOUNDED_AUDIT)},
     "q_llm_multimodal_features": {_S: (1, _SCALAR)},

@@ -21,6 +21,12 @@ Deliberately NOT in the parametrized set:
   ``test_boilerplate_hint_gate`` pins both sides of that gate, and
   tests/test_llm_ops.py::test_duplicated_spans_broadcast_gate already
   covers the spans twin.
+- ``lsh_cosine_topk``'s candidate re-join (r14): the pair count is
+  query × matched-bucket volume — corpus-proportional under the
+  low-selectivity defaults — so its hint is threshold-gated the same
+  way; ``test_lsh_cand_rejoin_hint_gate`` pins both sides. The
+  genuinely query-bounded q_sig/q_vecs hints stay unconditional and
+  are asserted inside that test on BOTH gate sides.
 - The PQ rerank itself — pinned by
   test_bench_plan_shapes.py::test_pq_rerank_broadcasts_shortlist_in_initial_plan.
 - The FingerprintStore/BandBucketStore screens carry no hint; their
@@ -163,12 +169,6 @@ def _zscore_case(spark):
         # temperature-mixture quotas (textops.temperature_mixture_k):
         # |strata|-row quota frame broadcasts back onto the corpus
         ("temperature_mixture", _temperature_mixture_case, 1, None),
-        # LSH candidate re-join (similarity.lsh_cosine_topk): the r13
-        # fix — without the cand_ids hint the initial plan SMJ-shuffled
-        # the raw-vector corpus on neighbor_id (the PQ rerank defect
-        # class; AQE masked it at test SF). 3 hinted joins: bucket
-        # probe, candidate re-join, query vectors.
-        ("lsh_candidate_rejoin", _lsh_case, 3, None),
         # IVF probe join (similarity.ivf_cosine_topk): query
         # assignments broadcast onto the corpus-list scan
         ("ivf_probe_join", _ivf_case, 1, None),
@@ -249,6 +249,57 @@ def test_boilerplate_hint_gate(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     assert "BroadcastHashJoin" not in plan_off, plan_off
+
+
+def test_lsh_cand_rejoin_hint_gate(spark):
+    """lsh_cosine_topk's candidate re-join hints broadcast only while
+    the MEASURED pair count fits the session threshold (r14 advice):
+    candidate pairs scale as n_queries × matched-bucket volume —
+    corpus-proportional under the default low-selectivity
+    parameterization — so a forced hint would be a broadcast OOM at
+    scale, not a slow join. Default session → the pair set is tiny and
+    the hint puts the re-join's BroadcastHashJoin in the INITIAL plan
+    (the r13 defect stays fixed); threshold −1 → the gate falls back
+    to the planner's SortMergeJoin for the re-join while the genuinely
+    query-bounded q_sig/q_vecs hints survive unconditionally.
+
+    The candidate-pair subtree is localCheckpointed inside the
+    operator (the gate needs its count), which hides the bucket-probe
+    join from the downstream plan — so the q_sig broadcast is asserted
+    on the pre-checkpoint ``_lsh_candidate_ids`` helper, with
+    auto-broadcast off (only an explicit hint can produce its BHJ)."""
+    import numpy as np
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (  # noqa: E501
+        _lsh_candidate_ids,
+        random_hyperplanes,
+    )
+
+    plan_default = _initial_plan(_lsh_case(spark))
+    assert plan_default.count("BroadcastHashJoin") >= 2, plan_default
+    assert "SortMergeJoin" not in plan_default, plan_default
+
+    emb = _emb(spark)
+    planes = np.asarray(random_hyperplanes(8, 4, 4, 42))
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan_off = _initial_plan(_lsh_case(spark))
+        probe = _initial_plan(
+            _lsh_candidate_ids(
+                emb, emb.where("vec_id < 3"), planes, "vec_id", "embedding"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    # the bucket probe keeps its unconditional q_sig broadcast…
+    assert "BroadcastHashJoin" in probe, probe
+    assert "SortMergeJoin" not in probe, probe
+    # …the re-join fell back to the shuffle join (on neighbor_id)…
+    smj = [l for l in plan_off.splitlines() if "SortMergeJoin" in l]
+    assert smj and all("neighbor_id" in l for l in smj), plan_off
+    # …and the unconditional q_vecs hint kept its broadcast
+    assert plan_off.count("BroadcastHashJoin") >= 1, plan_off
 
 
 def test_fp_screen_store_side_no_exchange_initial_plan(spark):
