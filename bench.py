@@ -14,6 +14,15 @@ continuity against the r1–r3 numbers is explicit.
 
 A warm-up pass at the TARGET SF first touches the JVM/codegen paths so
 the timed numbers measure the queries, not session startup.
+
+REQUIRED RUN ORDER vs the plan audit: scripts/audit_plan_shapes.py
+stamps its artifact with the upcoming round = max(BENCH_r*.json) + 1 —
+the same rule this script uses for BENCH_LOCAL_r{N}.json — so run the
+audit BEFORE the driver's round-end bench capture records
+BENCH_r{N}.json. An audit re-run after that capture would forward-date
+its artifact to N+1 and this script's newest-artifact pick would
+misattribute it to the next round (the audit's --round flag re-stamps
+if that ever happens).
 """
 
 from __future__ import annotations
@@ -905,8 +914,21 @@ def main() -> None:
             "git": aud.get("git_head"),
             "artifact": audits[-1][1].name,
         }
+        # the standing sf0.1 leg (r13 verdict task 5): carry its counts
+        # beside the primary's, and red includes it — a plan flip that
+        # only shows one scale up must fail the same artifact check
+        leg = aud.get("sf0.1")
+        if isinstance(leg, dict):
+            payload["plan_audit"]["sf0.1"] = {
+                "n_flagged": leg.get("n_flagged"),
+                "new_hits": len(leg.get("new_hits") or {}),
+                "errors": len(leg.get("errors") or {}),
+            }
         head = _git_head()
-        if aud.get("new_hits") or aud.get("errors"):
+        leg_red = isinstance(leg, dict) and (
+            leg.get("new_hits") or leg.get("errors")
+        )
+        if aud.get("new_hits") or aud.get("errors") or leg_red:
             errors["_plan_audit_red"] = (
                 f"{audits[-1][1].name} records unlisted plan-shape hits "
                 "or errors — triage (scripts/audit_plan_shapes.py docstring)"
@@ -1026,6 +1048,13 @@ def main() -> None:
             "new": payload["plan_audit"].get("new_hits"),
             "err": payload["plan_audit"].get("errors"),
         }
+        if "sf0.1" in payload["plan_audit"]:
+            leg = payload["plan_audit"]["sf0.1"]
+            summary["plan_audit"]["sf01"] = {
+                "flagged": leg.get("n_flagged"),
+                "new": leg.get("new_hits"),
+                "err": leg.get("errors"),
+            }
     if "scale_probe" in payload:
         # ratios only (full per-op times/bytes live in the local payload)
         sp = payload["scale_probe"]

@@ -47,11 +47,29 @@ Usage:
     python scripts/audit_plan_shapes.py [sf_dir]            # artifact
     python scripts/audit_plan_shapes.py [sf_dir] --collect  # raw dump
                                                   (allowlist triage aid)
+    python scripts/audit_plan_shapes.py --single-sf         # skip the
+                                                  standing sf0.1 leg
+    python scripts/audit_plan_shapes.py --round N           # round
+                                                  stamp override
 
-Writes PLAN_AUDIT_r{N}.json (N = upcoming round, derived from
-BENCH_r*.json the way bench.py does). bench.py reads the newest
-artifact and carries its counts in the summary line, flagging a stale
-or red artifact in the errors channel.
+The sweep runs at TWO scale points per invocation (r13 verdict task 5,
+previously a manual one-off check): the primary sf_dir (default
+sf0.01, the triage scale every KNOWN_BENIGN count is calibrated at)
+and a standing sf0.1 leg recorded under the artifact's ``sf0.1`` key —
+guarding size-threshold-dependent plan flips (a shape that is benign
+at sf0.01 because AQE sees a small frame can become a real exchange
+one scale up). Both legs classify against the same allowlist; either
+leg red fails the run.
+
+Writes PLAN_AUDIT_r{N}.json. N = upcoming round, derived as
+max(BENCH_r*.json) + 1 the way bench.py does — which requires the
+REQUIRED RUN ORDER: run this audit BEFORE the driver's round-end bench
+capture records BENCH_r{N}.json. A re-run after that capture would
+stamp N+1 (a forward-dated artifact the next round's bench pick then
+misattributes); pass ``--round N`` to re-stamp the current round
+instead. bench.py reads the newest artifact and carries both legs'
+counts in the summary line, flagging a stale or red artifact in the
+errors channel.
 """
 
 from __future__ import annotations
@@ -148,32 +166,97 @@ KNOWN_BENIGN: dict[str, dict[str, tuple[int, str]]] = {
     "q_rel_winsorized_value": {_B: (1, _2PHASE)},
 }
 
+# ---------------------------------------------------------------------------
+# Hinted-allowance pairing contract (r13 verdict task 4, made structural
+# in r14): an allowance that exists because an EXPLICIT F.broadcast hint
+# forces the shape must carry a reason starting with "hinted:" AND name
+# here the initial-plan (auto-broadcast-off) test that pins the hint's
+# scale contract — the r13 LSH allowance landed with exactly such a
+# test, and this contract keeps that the only way to land one.
+# tests/test_plan_audit.py fails the suite on any violation via
+# ``hint_pairing_violations`` below, so an allowance cannot accrete
+# without its paired test.
+# ---------------------------------------------------------------------------
+HINTED_ALLOWANCE_TESTS: dict[str, str] = {}
+
+
+def hint_pairing_violations(
+    known: dict[str, dict[str, tuple[int, str]]] | None = None,
+    paired: dict[str, str] | None = None,
+) -> list[str]:
+    """Violations of the hinted-allowance pairing contract:
+
+    - a KNOWN_BENIGN reason that mentions a hint must either start with
+      the explicit "hinted:" tag (a hint FORCES the shape) or contain
+      "no hint" (the documented adaptive-pick phrasing — AQE chose the
+      broadcast with nothing forcing it);
+    - every "hinted:"-tagged (query) must have a HINTED_ALLOWANCE_TESTS
+      entry, and every entry must point at a live tagged allowance —
+      the test-existence half lives in tests/test_plan_audit.py, which
+      also resolves each named test function to its file."""
+    known = KNOWN_BENIGN if known is None else known
+    paired = HINTED_ALLOWANCE_TESTS if paired is None else paired
+    out: list[str] = []
+    tagged: set[str] = set()
+    for q, classes in sorted(known.items()):
+        for cls, (_, reason) in sorted(classes.items()):
+            low = reason.lower()
+            if low.startswith("hinted:"):
+                tagged.add(q)
+            elif "hint" in low and "no hint" not in low:
+                out.append(
+                    f"{q}/{cls}: reason mentions a hint but is neither "
+                    f'"hinted:"-tagged nor the "no hint" adaptive-pick '
+                    f"phrasing — tag it and pair a test, or reword"
+                )
+    for q in sorted(tagged - set(paired)):
+        out.append(
+            f"{q}: hinted allowance without a HINTED_ALLOWANCE_TESTS "
+            f"entry naming its initial-plan test"
+        )
+    for q in sorted(set(paired) - tagged):
+        out.append(
+            f"{q}: HINTED_ALLOWANCE_TESTS entry with no live "
+            f'"hinted:"-tagged allowance — stale pairing'
+        )
+    return out
+
 
 def hit_counts(final_plan: str) -> dict[str, int]:
     """Count audited hit shapes in the FINAL adaptive plan string."""
     lines = final_plan.splitlines()
     counts: dict[str, int] = {}
 
-    def node_depth(line: str) -> int:
-        # tree depth = column of the '+- ' / ':- ' node marker; leading
-        # whitespace alone under-counts lines prefixed with the ':'
-        # sibling glyphs (r12 review), and ':- ' left-child lines carry
-        # a real depth too (r13: the '+- '-only version gave them -1,
-        # so they neither bounded a subtree walk nor started one at the
-        # right depth — the walk could run past a sibling boundary and
-        # over-count)
+    def node_info(line: str) -> tuple[int | None, bool]:
+        # (tree depth, has node marker). Depth = column of the '+- ' /
+        # ':- ' node marker; leading whitespace alone under-counts
+        # lines prefixed with the ':' sibling glyphs (r12 review), and
+        # ':- ' left-child lines carry a real depth too (r13). A
+        # non-blank line with NO marker is a section root (plan
+        # header, subquery root, top-level node) at depth 0; blank
+        # lines are (None, False) and bound nothing. (r14 advice: the
+        # old fixed 13-line window silently missed a defect exchange
+        # sitting deeper in a wide subtree, and marker-less lines got
+        # depth -1 so the walk could run across section boundaries.)
         found = [i for i in (line.find("+- "), line.find(":- ")) if i >= 0]
-        return min(found) if found else -1
+        if found:
+            return min(found), True
+        return (0, False) if line.strip() else (None, False)
 
     for i, ln in enumerate(lines):
         if "BroadcastExchange" in ln and "Ident" not in ln:
-            depth = node_depth(ln)
-            for j in range(i + 1, min(i + 13, len(lines))):
-                nxt = lines[j]
-                d2 = node_depth(nxt)
-                if d2 >= 0 and d2 <= depth:
+            depth, has_marker = node_info(ln)
+            for j in range(i + 1, len(lines)):
+                d2, m2 = node_info(lines[j])
+                if d2 is None:
+                    continue
+                # a section root always bounds the walk; a marker line
+                # bounds it at or above the exchange's own marker depth
+                # (a marker-less root exchange is bounded only by the
+                # next section root — all marker depths are inside it)
+                if not m2 or (has_marker and d2 <= depth):
                     break  # left the BroadcastExchange subtree
-                if "Exchange hashpartitioning" in nxt:
+                if "Exchange hashpartitioning" in lines[j]:
                     counts["bcast-over-shuffle"] = (
                         counts.get("bcast-over-shuffle", 0) + 1
                     )
@@ -266,9 +349,17 @@ def _git_dirty() -> bool:
         return False
 
 
+_SF01_LEG = "/root/testdata/sf0.1"
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     collect = "--collect" in sys.argv
+    single_sf = "--single-sf" in sys.argv
+    rnd_override: int | None = None
+    if "--round" in sys.argv:
+        rnd_override = int(sys.argv[sys.argv.index("--round") + 1])
+        args = [a for a in args if a != str(rnd_override)]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark import (
@@ -284,6 +375,9 @@ def main() -> None:
     )
     all_queries = {**QUERIES, **BENCH_EXTRA}
     flags, errs = run_audit(spark, sf_dir, all_queries)
+    legs: dict[str, tuple[dict, dict]] = {}
+    if not single_sf and not collect and sf_dir != _SF01_LEG:
+        legs["sf0.1"] = run_audit(spark, _SF01_LEG, all_queries)
     spark.stop()
 
     if collect:
@@ -295,9 +389,10 @@ def main() -> None:
         "what": (
             "whole-catalog final-adaptive-plan audit for AQE-masked "
             "scale defects (bcast-over-shuffle, single-partition "
-            "funnels) against the triaged KNOWN_BENIGN allowlist in "
-            "scripts/audit_plan_shapes.py — any new_hits entry or "
-            "error is a defect signal and fails the run"
+            "funnels, cartesian products) against the triaged "
+            "KNOWN_BENIGN allowlist in scripts/audit_plan_shapes.py — "
+            "any new_hits entry or error, in either scale leg, is a "
+            "defect signal and fails the run"
         ),
         "sf_dir": sf_dir,
         "n_queries": len(all_queries),
@@ -309,7 +404,19 @@ def main() -> None:
         "improved": verdict["improved"],
         "benign": verdict["benign"],
     }
-    rnd = upcoming_round()
+    red = bool(verdict["new_hits"] or errs)
+    for leg, (leg_flags, leg_errs) in legs.items():
+        leg_verdict = classify(leg_flags)
+        out[leg] = {
+            "sf_dir": _SF01_LEG,
+            "n_flagged": len(leg_flags),
+            "new_hits": leg_verdict["new_hits"],
+            "errors": leg_errs,
+            "improved": leg_verdict["improved"],
+            "benign": leg_verdict["benign"],
+        }
+        red = red or bool(leg_verdict["new_hits"] or leg_errs)
+    rnd = rnd_override if rnd_override is not None else upcoming_round()
     path = REPO / f"PLAN_AUDIT_r{rnd:02d}.json"
     path.write_text(json.dumps(out, indent=1) + "\n")
     print(f"wrote {path}")
@@ -320,15 +427,24 @@ def main() -> None:
                 "n_flagged": out["n_flagged"],
                 "new_hits": len(verdict["new_hits"]),
                 "errors": len(errs),
+                **{
+                    leg: {
+                        "flagged": out[leg]["n_flagged"],
+                        "new_hits": len(out[leg]["new_hits"]),
+                        "errors": len(out[leg]["errors"]),
+                    }
+                    for leg in legs
+                },
             }
         )
     )
-    if verdict["new_hits"] or errs:
+    if red:
         print(
             "AUDIT RED: unlisted plan-shape hits or errors — triage "
             "each (see module docstring); a genuine defect gets a fix "
             "+ an initial-plan regression test, a benign shape gets a "
-            "KNOWN_BENIGN entry with its reason.",
+            "KNOWN_BENIGN entry with its reason (and, if hint-forced, "
+            "a hinted: tag + HINTED_ALLOWANCE_TESTS pairing).",
             file=sys.stderr,
         )
         sys.exit(1)
