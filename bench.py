@@ -296,6 +296,11 @@ SCALE_PROBE_OPS = {
     # serving claim)
     "q_llm_dsir_scores": "documents",
     "q_llm_ivfadc_search": "embeddings",
+    # r14 (r13 verdict task 3): the LSH candidate re-join was fixed in
+    # r13 (broadcast hint) and gated in r14 (threshold fallback) — its
+    # growth point is measured here like pq_topk's, the same evidence
+    # standard as its siblings
+    "q_llm_lsh_topk": "embeddings",
 }
 
 

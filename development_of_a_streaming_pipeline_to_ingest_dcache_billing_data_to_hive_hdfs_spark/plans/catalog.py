@@ -5188,6 +5188,23 @@ def q_llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_cosine_topk(emb, queries, k=5, m=16, ks=16, shortlist=60)
 
 
+@register_bench_only("q_llm_lsh_topk")
+def q_llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw LSH search (signature bucket probe → candidate pairs →
+    gated vector re-join → exact-cosine rerank) — the performance-
+    shaped twin of q_llm_lsh_recall, which also runs brute force and
+    the recall compare (that would make the bench measure the harness,
+    not the operator). In the 10×/100× scale-probe batteries since r14
+    (the r13 verdict's ask): the broadcast-gated candidate re-join is
+    the shape the r13 fix + r14 gate changed, so its growth curve is
+    measured like its pq_topk sibling's, not asserted."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 10)
+    return lsh_cosine_topk(emb, queries, k=5, dim=64)
+
+
 # one persisted IVFADC index per (sf_dir) for the serving-latency bench
 # below: built on first touch, reused by later passes — the bench then
 # measures what a serving deployment measures (probe + ADC + rerank

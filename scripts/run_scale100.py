@@ -54,6 +54,9 @@ KEEP = {
     "q_llm_kmeans",
     "q_llm_dsir_scores",
     "q_llm_ivfadc_search",
+    # r14 (r13 verdict task 3): the r13 LSH broadcast fix + r14 gate
+    # earn their 100x point the way pq_topk's fix did
+    "q_llm_lsh_topk",
 }
 
 
