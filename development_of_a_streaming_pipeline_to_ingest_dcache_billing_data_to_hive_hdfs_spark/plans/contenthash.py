@@ -294,6 +294,21 @@ def _stable_repr(obj, depth: int = 0) -> str:
     return r
 
 
+def _immutable_scalar(v, depth: int = 0) -> bool:
+    """True for values that cannot mutate in place: the underscore-
+    attribute inclusion gate (see push_obj). A mutable container held
+    in a "_attr" is the lazy-cache convention — its CONTENTS change as
+    the process runs, so hashing it would make the hash depend on when
+    it is computed; an immutable scalar can only change by explicit
+    reassignment, which is configured state the drift guard should
+    see."""
+    if isinstance(v, (str, bytes, int, float, bool, type(None))):
+        return True
+    if depth < 4 and isinstance(v, (tuple, frozenset)):
+        return all(_immutable_scalar(x, depth + 1) for x in v)
+    return False
+
+
 def _const_repr(obj) -> str:
     r = _stable_repr(obj)
     if len(r) > _REPR_CAP:
@@ -378,25 +393,39 @@ def query_content_parts(fn, oracle: str | None) -> dict:
             # blind spot scheme 2 closed for plain dict/list constants).
             # _stable_repr collapses address-bearing nested reprs to a
             # constant marker, so this can't introduce false drift.
-            # Underscore-prefixed attributes are SKIPPED (r12 advice):
-            # they are the convention for lazily-populated caches/memo
-            # state, and hashing them makes the hash depend on when in
-            # the process it is computed — cross-process drift and
-            # spurious requeues. Configured public state is what the
-            # rotation contract cares about. __slots__ instances (no
-            # __dict__) contribute their slot values the same way.
+            # Underscore-prefixed attributes contribute ONLY when their
+            # value is an immutable scalar (str/bytes/int/float/bool/
+            # None, or tuple/frozenset of those) — r14 advice: skipping
+            # ALL "_attrs" by name left the drift guard blind to
+            # behavior-relevant configured state kept private (a common
+            # convention, not only caches), but mutable containers stay
+            # skipped because they ARE the lazy-cache convention and
+            # hashing one makes the hash depend on when in the process
+            # it is computed (the hash is computed on first touch,
+            # possibly after queries have run — r12 advice). __slots__
+            # instances (no __dict__) contribute their slot values the
+            # same way, with slots collected across the MRO: reading
+            # only type(obj).__slots__ missed slots declared on base
+            # classes (r14 advice).
             push_class(type(obj))
             inst = getattr(obj, "__dict__", None)
             if not isinstance(inst, dict):
+                slot_names: list[str] = []
+                for klass in type(obj).__mro__:
+                    slots = vars(klass).get("__slots__", ()) or ()
+                    if isinstance(slots, str):
+                        slots = (slots,)
+                    slot_names.extend(s for s in slots if isinstance(s, str))
                 inst = {
                     s: getattr(obj, s)
-                    for s in getattr(type(obj), "__slots__", ()) or ()
-                    if isinstance(s, str) and hasattr(obj, s)
+                    for s in slot_names
+                    if hasattr(obj, s)
                 }
             stable = {
                 k: v
                 for k, v in inst.items()
-                if isinstance(k, str) and not k.startswith("_")
+                if isinstance(k, str)
+                and (not k.startswith("_") or _immutable_scalar(v))
             }
             if stable:
                 constants[key] = _const_repr(stable)

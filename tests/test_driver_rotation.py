@@ -574,3 +574,66 @@ def test_internal_instance_state_contributes_to_hash():
     ka = [v for k, v in pa["constants"].items() if "threshold" in v]
     kb = [v for k, v in pb["constants"].items() if "threshold" in v]
     assert ka and kb and ka != kb
+
+
+def test_underscore_scalar_state_contributes_mutable_caches_do_not():
+    """r14 advice: configured state kept in underscore attributes (a
+    common convention, not only caches) must reach the drift guard —
+    when the value is an immutable scalar. A mutable container in a
+    "_attr" IS the lazy-cache convention: its contents change as the
+    process runs, so it stays excluded (the hash is computed on first
+    touch, possibly after queries have executed)."""
+    global _INST_A, _INST_B
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.fs import (
+        LocalFS,
+    )
+
+    _INST_A, _INST_B = LocalFS(), LocalFS()
+    _INST_A._n_buckets = 8
+    _INST_B._n_buckets = 64
+    _INST_A._memo = {"k": 1}  # populated cache — must NOT contribute
+    _INST_B._memo = {"k": 2}
+
+    pa = query_content_parts(_instance_builder_a, None)
+    pb = query_content_parts(_instance_builder_b, None)
+    ca = [v for v in pa["constants"].values() if "_n_buckets" in v]
+    cb = [v for v in pb["constants"].values() if "_n_buckets" in v]
+    assert ca and cb and ca != cb, (pa["constants"], pb["constants"])
+    assert not any("_memo" in v for v in pa["constants"].values())
+
+    # and the cache-population NON-drift contract: filling a mutable
+    # underscore cache must not change the parts at all
+    _INST_A._memo["grown"] = object()
+    pa2 = query_content_parts(_instance_builder_a, None)
+    assert pa2 == pa
+
+
+def test_slots_collected_across_the_mro():
+    """r14 advice: the __slots__ fallback read only type(obj).__slots__,
+    so an instance whose slots live on a BASE class contributed no
+    state. Slots must be collected across the MRO."""
+    global _INST_A, _INST_B
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans import (
+        contenthash,
+    )
+
+    class _SlotBase:
+        __slots__ = ("base_knob",)
+        __module__ = contenthash._PKG_NAME + ".fs"
+
+    class _SlotChild(_SlotBase):
+        __slots__ = ("child_knob",)
+        __module__ = contenthash._PKG_NAME + ".fs"
+
+        def __init__(self, base_v, child_v):
+            self.base_knob = base_v
+            self.child_knob = child_v
+
+    _INST_A = _SlotChild("alpha", "x")
+    _INST_B = _SlotChild("beta", "x")  # differs ONLY in the base slot
+
+    pa = query_content_parts(_instance_builder_a, None)
+    pb = query_content_parts(_instance_builder_b, None)
+    ca = [v for v in pa["constants"].values() if "base_knob" in v]
+    cb = [v for v in pb["constants"].values() if "base_knob" in v]
+    assert ca and cb and ca != cb, (pa["constants"], pb["constants"])
