@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "q_llm_span_dedup",
     "q_llm_bpe_pairs",
     "q_llm_pq_topk",
+    # r14: the LSH twin of pq_topk — timed for round-over-round
+    # continuity on the gated candidate re-join (see SCALE_PROBE_OPS)
+    "q_llm_lsh_topk",
     "q_llm_kmeans",
     # URL/domain curation: scan-stage domain extraction + blocklist
     # anti-join + per-domain cap (one shuffle on the domain key)
