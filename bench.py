@@ -335,14 +335,22 @@ def bench_scale_probe(spark, sf_dir: str, factor: int = 10) -> dict:
 
     Both scales are written fresh to a temp dir (same file layout, so
     1× isn't advantaged by the original's packing), timed min-of-2
-    after a warm-up, shuffle bytes from the executed plan's SQLMetrics.
+    after a warm-up.
+
+    The window is CONSTRUCTION + execution, and shuffle bytes are the
+    executor-cumulative total-shuffle-write DELTA across that window
+    (r14 review): operators with eager subtrees — the LSH gate
+    materializes and counts its candidate-pair set at DataFrame-
+    construction time — do corpus work and corpus shuffles in jobs the
+    old scheme (construct before t0, read the final plan's SQLMetrics)
+    never saw, so their growth curves read falsely flat. The delta
+    also folds in broadcast-build and subquery jobs; for purely lazy
+    ops it matches the old plan-walk number (the probe session runs
+    nothing else), so pre-r14 rows stay comparable.
     """
     import shutil
     import tempfile
 
-    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.metrics import (
-        collect_plan_metrics,
-    )
     from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.sources.tables import (
         load_table,
     )
@@ -401,29 +409,48 @@ def bench_scale_probe(spark, sf_dir: str, factor: int = 10) -> dict:
                 frame.write.mode("overwrite").parquet(
                     os.path.join(d, f"{table}.parquet")
                 )
+        def _drain_and_total_shuffle() -> int:
+            # executor-cumulative shuffle-write bytes, after draining
+            # the listener bus so the status store has processed every
+            # completed job in the window (metrics land asynchronously)
+            sc = spark.sparkContext
+            try:
+                sc._jsc.sc().listenerBus().waitUntilEmpty()
+            except Exception:  # noqa: BLE001 — drain is best-effort
+                pass
+            total = 0
+            it = sc._jsc.sc().statusStore().executorList(False).iterator()
+            while it.hasNext():
+                total += it.next().totalShuffleWrite()
+            return total
+
         for op in SCALE_PROBE_OPS:
             if op not in ALL_QUERIES:
                 continue
             row: dict[str, float] = {}
             try:
                 for mult, d in dirs.items():
-                    best, metrics = float("inf"), {}
+                    best, shuffled = float("inf"), 0
                     for _rep in range(2):
-                        df = ALL_QUERIES[op](spark, d)
+                        s0 = _drain_and_total_shuffle()
                         t0 = time.perf_counter()
-                        # drive THIS frame's execution so its SQLMetrics
-                        # are the ones read (a noop write compiles a
-                        # separate QueryExecution)
+                        # construction INSIDE the window: an operator
+                        # with an eager subtree (the LSH gate's
+                        # materialize+count) does corpus work at
+                        # construction time, and that work is part of
+                        # the growth curve under measurement
+                        df = ALL_QUERIES[op](spark, d)
+                        # drive THIS frame's execution (a noop write
+                        # compiles a separate QueryExecution)
                         df._jdf.queryExecution().toRdd().count()
                         dt = time.perf_counter() - t0
+                        s1 = _drain_and_total_shuffle()
                         if dt < best:
                             best = dt
-                            metrics = collect_plan_metrics(df)
+                            shuffled = s1 - s0
                     tag = "1" if mult == 1 else str(mult)
                     row[f"t{tag}"] = round(best, 3)
-                    row[f"shuffle{tag}"] = metrics.get(
-                        "shuffle_bytes_written", 0
-                    )
+                    row[f"shuffle{tag}"] = shuffled
                 f = str(factor)
                 if row.get("t1"):
                     row["t_ratio"] = round(row[f"t{f}"] / row["t1"], 2)
@@ -940,6 +967,15 @@ def main() -> None:
             errors["_plan_audit_red"] = (
                 f"{audits[-1][1].name} records unlisted plan-shape hits "
                 "or errors — triage (scripts/audit_plan_shapes.py docstring)"
+            )
+        elif audits[-1][0] >= 14 and not isinstance(leg, dict):
+            # the leg is STANDING from r14 on — a missing section must
+            # not be indistinguishable from a green one (r14 review: a
+            # --single-sf artifact silently dropped the size-threshold
+            # flip guard from this gate)
+            errors["_plan_audit_no_sf01_leg"] = (
+                f"{audits[-1][1].name} lacks the standing sf0.1 leg — "
+                "re-run scripts/audit_plan_shapes.py without --single-sf"
             )
         elif aud.get("dirty"):
             errors["_plan_audit_dirty"] = (

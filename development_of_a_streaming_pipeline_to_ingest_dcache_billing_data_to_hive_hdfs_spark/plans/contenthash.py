@@ -294,6 +294,53 @@ def _stable_repr(obj, depth: int = 0) -> str:
     return r
 
 
+@lru_cache(maxsize=512)
+def _non_init_self_assigned(cls: type) -> frozenset:
+    """Attribute names assigned as ``self.X = …`` (plain, augmented or
+    annotated assignment) anywhere OUTSIDE ``__init__`` across the
+    class's internal MRO — the signature of lazily-populated state. An
+    underscore scalar with such an assignment site is excluded from
+    the instance-state hash: its value depends on which methods have
+    run before the hash is computed (first touch, possibly after
+    queries executed), so including it would be cross-process drift,
+    not configured state (r14 review of the r14-advice widening). A
+    class whose source is unavailable returns the conservative
+    everything-mutated sentinel, restoring the old skip-all behavior
+    for its underscore attrs."""
+    names: set[str] = set()
+    for klass in cls.__mro__:
+        if klass is object or not _internal_module_of(klass):
+            continue
+        try:
+            src = textwrap.dedent(inspect.getsource(klass))
+            tree = ast.parse(src)
+        except Exception:  # noqa: BLE001 — no source: be conservative
+            return frozenset({"*"})
+        for node in ast.walk(tree):
+            if not isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef)
+            ) or node.name == "__init__":
+                continue
+            args = node.args.posonlyargs + node.args.args
+            if not args:
+                continue
+            self_name = args[0].arg
+            for stmt in ast.walk(node):
+                targets = []
+                if isinstance(stmt, ast.Assign):
+                    targets = stmt.targets
+                elif isinstance(stmt, (ast.AugAssign, ast.AnnAssign)):
+                    targets = [stmt.target]
+                for t in targets:
+                    if (
+                        isinstance(t, ast.Attribute)
+                        and isinstance(t.value, ast.Name)
+                        and t.value.id == self_name
+                    ):
+                        names.add(t.attr)
+    return frozenset(names)
+
+
 def _immutable_scalar(v, depth: int = 0) -> bool:
     """True for values that cannot mutate in place: the underscore-
     attribute inclusion gate (see push_obj). A mutable container held
@@ -408,24 +455,40 @@ def query_content_parts(fn, oracle: str | None) -> dict:
             # only type(obj).__slots__ missed slots declared on base
             # classes (r14 advice).
             push_class(type(obj))
-            inst = getattr(obj, "__dict__", None)
-            if not isinstance(inst, dict):
-                slot_names: list[str] = []
-                for klass in type(obj).__mro__:
-                    slots = vars(klass).get("__slots__", ()) or ()
-                    if isinstance(slots, str):
-                        slots = (slots,)
-                    slot_names.extend(s for s in slots if isinstance(s, str))
-                inst = {
-                    s: getattr(obj, s)
-                    for s in slot_names
-                    if hasattr(obj, s)
-                }
+            # merge __dict__ AND MRO-collected slot values: a slotted
+            # class inheriting from a slot-less base gives instances a
+            # __dict__ too, and the old either/or read dropped the slot
+            # state exactly there (r14 review of the r14-advice fix).
+            # '__dict__'/'__weakref__' slot names are structural, not
+            # state ('__weakref__' flips None -> weakref mid-process).
+            inst_dict = getattr(obj, "__dict__", None)
+            inst = dict(inst_dict) if isinstance(inst_dict, dict) else {}
+            for klass in type(obj).__mro__:
+                slots = vars(klass).get("__slots__", ()) or ()
+                if isinstance(slots, str):
+                    slots = (slots,)
+                for s in slots:
+                    if (
+                        isinstance(s, str)
+                        and s not in ("__dict__", "__weakref__")
+                        and s not in inst
+                        and hasattr(obj, s)
+                    ):
+                        inst[s] = getattr(obj, s)
+            mutated = _non_init_self_assigned(type(obj))
+            lazily = "*" in mutated
             stable = {
                 k: v
                 for k, v in inst.items()
                 if isinstance(k, str)
-                and (not k.startswith("_") or _immutable_scalar(v))
+                and (
+                    not k.startswith("_")
+                    or (
+                        _immutable_scalar(v)
+                        and not lazily
+                        and k not in mutated
+                    )
+                )
             }
             if stable:
                 constants[key] = _const_repr(stable)

@@ -353,13 +353,18 @@ _SF01_LEG = "/root/testdata/sf0.1"
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    collect = "--collect" in sys.argv
-    single_sf = "--single-sf" in sys.argv
+    argv = list(sys.argv[1:])
+    collect = "--collect" in argv
+    single_sf = "--single-sf" in argv
     rnd_override: int | None = None
-    if "--round" in sys.argv:
-        rnd_override = int(sys.argv[sys.argv.index("--round") + 1])
-        args = [a for a in args if a != str(rnd_override)]
+    if "--round" in argv:
+        # remove flag + value by INDEX: scrubbing by re-stringified
+        # value left non-canonical spellings ('014', '+14') behind to
+        # be misparsed as sf_dir (r14 review)
+        i = argv.index("--round")
+        rnd_override = int(argv[i + 1])
+        del argv[i : i + 2]
+    args = [a for a in argv if not a.startswith("-")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark import (

@@ -57,3 +57,42 @@ def test_plans_md_stale_guard_uses_generation_stamp(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "_code_changed_since", lambda ref: True)
     msg = bench._plans_md_stale()
     assert msg and "regenerate" in msg
+
+
+def test_scale_probe_window_includes_construction(spark, monkeypatch):
+    """bench_scale_probe's timing window and shuffle delta must cover
+    DataFrame CONSTRUCTION, not just execution (r14 review): operators
+    with eager subtrees — the LSH gate materializes and counts its
+    candidate-pair set at construction — do corpus work and shuffles
+    in jobs that start before any action on the returned frame. The
+    old scheme (construct before t0, read the final plan's SQLMetrics)
+    read their growth curves falsely flat."""
+    import time as _time
+
+    import bench
+
+    def eager_op(sp, d):
+        # construction-time work: a real shuffle job driven eagerly
+        # (the LSH-gate shape), plus a measurable construction delay
+        _time.sleep(0.3)
+        (
+            sp.read.parquet(f"{d}/documents.parquet")
+            .groupBy("source")
+            .count()
+            .localCheckpoint()
+            .count()
+        )
+        return sp.range(1)
+
+    monkeypatch.setitem(bench.ALL_QUERIES, "eager_probe_op", eager_op)
+    monkeypatch.setattr(
+        bench, "SCALE_PROBE_OPS", {"eager_probe_op": "documents"}
+    )
+    out = bench.bench_scale_probe(spark, SF_DIR, factor=2)
+    row = out["eager_probe_op"]
+    assert "error" not in row, row
+    # wall includes the construction sleep…
+    assert row["t1"] >= 0.3, row
+    # …and the shuffle delta sees the eager checkpoint job's exchange,
+    # which the returned frame's own plan (spark.range) never shows
+    assert row["shuffle1"] > 0, row

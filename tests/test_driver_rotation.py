@@ -637,3 +637,32 @@ def test_slots_collected_across_the_mro():
     ca = [v for v in pa["constants"].values() if "base_knob" in v]
     cb = [v for v in pb["constants"].values() if "base_knob" in v]
     assert ca and cb and ca != cb, (pa["constants"], pb["constants"])
+
+
+def test_lazily_assigned_underscore_scalars_are_excluded():
+    """r14 review of the underscore widening: an underscore scalar
+    with a ``self.X = …`` assignment site OUTSIDE __init__ is
+    lazily-populated state — its value depends on which methods have
+    run before the hash is computed — so it must stay out of the
+    instance-state hash even though its VALUE is an immutable scalar.
+    _Extractor._drop_depth (html.py) is exactly that shape: an int,
+    initialized in __init__, mutated by handle_starttag/endtag."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.html import (
+        _Extractor,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.contenthash import (
+        _non_init_self_assigned,
+    )
+
+    mutated = _non_init_self_assigned(_Extractor)
+    assert "_drop_depth" in mutated, mutated
+
+    global _INST_A, _INST_B
+    _INST_A, _INST_B = _Extractor(), _Extractor()
+    _INST_B._drop_depth = 3  # as if mid-parse when the hash ran
+    pa = query_content_parts(_instance_builder_a, None)
+    pb = query_content_parts(_instance_builder_b, None)
+    va = [v for k, v in pa["constants"].items() if "_INST_A" in k]
+    vb = [v for k, v in pb["constants"].items() if "_INST_B" in k]
+    assert va == vb, (va, vb)  # identical despite the mutated counter
+    assert not any("_drop_depth" in v for v in va)
