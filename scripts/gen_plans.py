@@ -138,7 +138,8 @@ for name, note in NOTES.items():
 # ---- shuffle-growth section: how the heavy ops GROW, measured ----------
 # Numbers come from the latest BENCH_LOCAL_r*.json scale_probe (bench.py
 # bench_scale_probe: content-perturbed 10x corpus replication, min-of-2
-# wall time, shuffle bytes from the executed plan's SQLMetrics). The
+# wall time over a construction+execution window, shuffle bytes as the
+# executor-cumulative total-write delta across it — r14). The
 # commentary states the expected asymptote and whether the measured
 # ratio is acceptable — the artifact behind every "scales 100x" claim.
 GROWTH_NOTES = {
@@ -322,8 +323,13 @@ if sp:
         " content-perturbed replication of its input table (bench.py"
         " `bench_scale_probe` — replicas are near-dup-disjoint and"
         " geometry-jittered so the probe measures data GROWTH, not"
-        " artificial duplication), min-of-2 wall time, shuffle bytes from"
-        " the executed plan's SQLMetrics. A time/shuffle ratio near"
+        " artificial duplication), min-of-2 wall time over a window that"
+        " covers CONSTRUCTION + execution, shuffle bytes as the"
+        " executor-cumulative total-write delta across that window (r14:"
+        " operators with eager subtrees — the LSH gate's materialize+count"
+        " — do corpus work in jobs the final plan's SQLMetrics never"
+        " showed, so pre-r14 shuffle columns are not absolutely"
+        " comparable). A time/shuffle ratio near"
         f" {factor} is linear scaling; well below is fixed-cost-dominated"
         " or sub-linear by design; well above is super-linear and needs a"
         " stated reason.",
