@@ -19,6 +19,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _export_package_pythonpath() -> None:
+    """Put this package's parent directory on ``PYTHONPATH`` so Python
+    WORKERS resolve the package no matter the driver's cwd (r14: a
+    sweep launched from outside the repo failed every mapInPandas op
+    with ModuleNotFoundError — the driver found the package via
+    sys.path, but forked workers inherit only PYTHONPATH, and 'import
+    from cwd' had been doing the real work). Must run BEFORE the JVM
+    launches (local-mode workers take the JVM's env); a cluster
+    deployment ships the wheel instead. Idempotent; prepends so a
+    stale same-named package elsewhere on the path cannot shadow this
+    one."""
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parts = [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep) if p]
+    if pkg_parent not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join([pkg_parent] + parts)
+
+
 def get_spark_session(
     app_name: str = "dcache_billing_spark",
     master: str | None = None,
@@ -61,6 +78,8 @@ def get_spark_session(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if master.startswith("local") else 200
+
+    _export_package_pythonpath()
 
     builder = (
         SparkSession.builder.appName(app_name)
