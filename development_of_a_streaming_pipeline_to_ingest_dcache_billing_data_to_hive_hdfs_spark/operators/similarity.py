@@ -741,7 +741,13 @@ def lsh_cosine_topk(
 
     The candidate re-join against the raw-vector corpus broadcasts the
     candidate-id side only while the MEASURED pair count fits the
-    session's ``autoBroadcastJoinThreshold`` (r14 advice): unlike the
+    session's ``autoBroadcastJoinThreshold`` — a threshold ≤ 0
+    (estimate-based auto-broadcast disabled) falls back to the 10 MB
+    default budget rather than dropping the hint: the count here is
+    measured, not estimated, so the estimate-distrust that motivates
+    disabling auto-broadcast does not reach this gate, and the
+    explicit hint is the standard escape hatch under exactly that
+    session posture (r15 advice) — (r14 advice): unlike the
     query signatures/vectors — truly bounded by query count, hinted
     unconditionally — candidate pairs scale as n_queries × the matched
     bucket volume, and the low-selectivity defaults here (4 bits ×
@@ -756,8 +762,12 @@ def lsh_cosine_topk(
     shuffling the ENTIRE raw-vector corpus on neighbor_id before AQE
     converts (after that exchange has materialized; at 100 TB, too
     late). Both gate sides are pinned by
-    tests/test_initial_plan_broadcasts.py (auto-broadcast off, the one
-    config where the plan shows the truth)."""
+    tests/test_initial_plan_broadcasts.py (threshold='1': planner
+    auto-broadcast effectively off AND the gate driven over budget —
+    the initial plan shows the truth on both halves), and the
+    48-bytes/row sizing is asserted conservative against the measured
+    BroadcastExchange footprint at the gate's own admission boundary
+    in tests/test_plan_metrics.py."""
     from .textops import _broadcast_threshold_bytes
 
     planes = np.asarray(random_hyperplanes(dim, n_bits, n_tables, seed))
@@ -766,6 +776,15 @@ def lsh_cosine_topk(
     # unmaterialized subtree would run the bucket join + distinct
     # twice. (The bucket-probe plan itself is asserted on the
     # pre-checkpoint helper — the checkpoint hides it downstream.)
+    # Fault-tolerance tradeoff (r15 advice): localCheckpoint truncates
+    # lineage, so on a real cluster an executor lost AFTER this point
+    # fails the query instead of recomputing (its blocks are
+    # unrecoverable) — acceptable here because the pair set is consumed
+    # by this one query and a retry re-runs the whole operator; the
+    # file's kmeans/pq stages make the same trade for the same reason.
+    # persist(DISK_ONLY)+count would keep lineage but re-plan (and at
+    # scale re-shuffle) the bucket join under AQE on every downstream
+    # reference.
     cand_ids = _lsh_candidate_ids(
         corpus, queries, planes, id_col, vec_col
     ).localCheckpoint()

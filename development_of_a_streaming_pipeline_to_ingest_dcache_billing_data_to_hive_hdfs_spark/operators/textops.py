@@ -647,18 +647,37 @@ def bpe_pair_counts(
     )
 
 
+# Byte budget for measured-count gates when the session DISABLES
+# estimate-based auto-broadcast (threshold ≤ 0): Spark's own default.
+_GATE_DISABLED_FLOOR_BYTES = 10 * 1024 * 1024
+
+
 def _broadcast_threshold_bytes(spark) -> int:
-    """The session's ``spark.sql.autoBroadcastJoinThreshold`` as bytes
-    (0 when broadcasting is disabled, i.e. the value is ≤ 0). Accepts
-    the bare-int and size-suffixed (``10MB``) spellings Spark does."""
+    """Byte budget for the package's MEASURED-count broadcast gates
+    (``duplicated_spans``/``strip_boilerplate_lines`` survivor sets,
+    ``lsh_cosine_topk`` candidate pairs), read from the session's
+    ``spark.sql.autoBroadcastJoinThreshold`` (bare-int and
+    size-suffixed ``10MB`` spellings both accepted).
+
+    A threshold ≤ 0 disables the PLANNER's estimate-based
+    auto-broadcast — the standard cluster posture when relation-size
+    estimates are unreliable — but the gates calling this act on a
+    measured count, which that distrust does not reach, and an
+    explicit hint is the normal escape hatch under exactly that
+    posture; so a disabled threshold falls back to Spark's 10 MB
+    default instead of 0 (r15 advice: returning 0 silently dropped
+    every gated hint on estimate-distrusting clusters, reinstating
+    the corpus-shuffle defect the LSH hint exists to prevent). To
+    force the shuffle fallback deliberately, set a small POSITIVE
+    threshold (e.g. ``'1'``)."""
     raw = str(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     ).strip().lower()
     m = re.match(r"^(-?\d+)\s*([kmgt]?)b?$", raw)
     if not m:
-        return 10 * 1024 * 1024
+        return _GATE_DISABLED_FLOOR_BYTES
     val = int(m.group(1)) * 1024 ** {"": 0, "k": 1, "m": 2, "g": 3, "t": 4}[m.group(2)]
-    return max(val, 0)
+    return val if val > 0 else _GATE_DISABLED_FLOOR_BYTES
 
 
 def duplicated_spans(
@@ -713,7 +732,9 @@ def duplicated_spans(
     degrading. Survivors are already materialized (localCheckpoint), so
     a count is cheap; the two recovery joins are hinted broadcast only
     while the estimated size fits the session's
-    ``autoBroadcastJoinThreshold`` and otherwise fall back to the
+    ``autoBroadcastJoinThreshold`` (≤ 0 — estimate-based auto-broadcast
+    disabled — falls back to the 10 MB default budget; the count here
+    is measured, not estimated) and otherwise fall back to the
     planner's shuffle join (plan-asserted both ways in
     tests/test_llm_ops.py::test_duplicated_spans_broadcast_gate).
     """
@@ -1487,7 +1508,10 @@ def strip_boilerplate_lines(
     frequent-line table collapses to ONE ROW PER GROUP (an array of
     md5 fingerprints), joined back on the group key — hinted broadcast
     while the fingerprint volume fits the session's
-    ``autoBroadcastJoinThreshold``, else the planner's shuffle join
+    ``autoBroadcastJoinThreshold`` (≤ 0 falls back to the 10 MB
+    default budget — the volume is measured, so the estimate-distrust
+    behind disabling auto-broadcast does not apply), else the
+    planner's shuffle join
     (groups are few; a skewed group key is exactly the case where the
     broadcast side stays small because it's one row per group). Removal
     itself is a SCAN-STAGE array filter (split → filter on

@@ -91,8 +91,10 @@ def test_repeated_line_within_single_doc_not_boilerplate(spark):
 
 
 def test_broadcast_gate(spark):
-    """Fingerprint sets broadcast only under the session threshold;
-    over it, fall back to the planner's join. Identical output."""
+    """Fingerprint sets broadcast only under the gate budget; over it,
+    fall back to the planner's join. Identical output. The over-budget
+    leg uses a tiny POSITIVE threshold — a disabled (≤ 0) threshold
+    now falls back to the 10 MB default budget (r15 advice)."""
 
     def plan(df):
         return df._jdf.queryExecution().executedPlan().toString()
@@ -102,7 +104,7 @@ def test_broadcast_gate(spark):
     assert "BroadcastHashJoin" in plan(small)
 
     thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
     try:
         large = strip_boilerplate_lines(df)
         p = plan(large)

@@ -16,8 +16,14 @@ Deliberately NOT in the parametrized set:
 
 - ``duplicated_spans`` / ``strip_boilerplate_lines`` gate their hints
   on the session's threshold (a forced broadcast of an over-threshold
-  survivor set would OOM at web scale, so with the threshold at -1
-  falling back to a shuffle join IS the contract) —
+  survivor set would OOM at web scale, so falling back to a shuffle
+  join over budget IS the contract). The fallback leg is driven with
+  threshold='1' — a tiny POSITIVE value keeps planner auto-broadcast
+  off while pushing every measured gate over budget; '-1' no longer
+  works for that because a DISABLED threshold now falls back to the
+  10 MB default gate budget (r15 advice: measured-count gates are
+  exempt from the estimate-distrust that motivates disabling
+  auto-broadcast, so '-1' keeps gated hints ON) —
   ``test_boilerplate_hint_gate`` pins both sides of that gate, and
   tests/test_llm_ops.py::test_duplicated_spans_broadcast_gate already
   covers the spans twin.
@@ -232,10 +238,13 @@ def test_nll_model_broadcast_is_opt_in(spark):
 
 def test_boilerplate_hint_gate(spark):
     """strip_boilerplate_lines hints broadcast only while the
-    fingerprint volume fits the session threshold: default session →
-    the hint puts BroadcastHashJoin in the INITIAL plan; threshold −1 →
-    the gate must fall back to the planner's join (no broadcast), never
-    force one that would OOM at web scale."""
+    fingerprint volume fits the gate budget: default session → the
+    hint puts BroadcastHashJoin in the INITIAL plan; threshold '1'
+    (planner auto-broadcast effectively off AND every measured gate
+    over budget) → the gate must fall back to the planner's join (no
+    broadcast), never force one that would OOM at web scale. A
+    DISABLED threshold (≤ 0) keeps the hint via the 10 MB default
+    budget — pinned in test_gate_budget_survives_disabled_threshold."""
     docs = _docs(spark).withColumn(
         "text", F.concat(F.lit("same boilerplate line\n"), F.col("text"))
     )
@@ -244,11 +253,48 @@ def test_boilerplate_hint_gate(spark):
 
     saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
         plan_off = _initial_plan(textops.strip_boilerplate_lines(docs))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     assert "BroadcastHashJoin" not in plan_off, plan_off
+
+
+def test_gate_budget_survives_disabled_threshold(spark):
+    """The r15 advice fix: a session that DISABLES estimate-based
+    auto-broadcast (threshold ≤ 0, the standard posture on clusters
+    with unreliable size estimates) must NOT silently lose the
+    measured-count gated hints — the gates fall back to the 10 MB
+    default budget, so a tiny measured survivor/pair set still gets
+    its explicit broadcast (the escape hatch that posture exists to
+    preserve). Asserted for both the threshold helper's arithmetic
+    and the end-to-end initial plan of a gated operator under '-1'."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        _GATE_DISABLED_FLOOR_BYTES,
+        _broadcast_threshold_bytes,
+    )
+
+    docs = _docs(spark).withColumn(
+        "text", F.concat(F.lit("same boilerplate line\n"), F.col("text"))
+    )
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for disabled in ("-1", "0"):
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", disabled)
+            assert (
+                _broadcast_threshold_bytes(spark)
+                == _GATE_DISABLED_FLOOR_BYTES
+            )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _initial_plan(textops.strip_boilerplate_lines(docs))
+        lsh_plan = _initial_plan(_lsh_case(spark))
+        # a positive threshold is used verbatim, floor untouched
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "2MB")
+        assert _broadcast_threshold_bytes(spark) == 2 * 1024 * 1024
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in lsh_plan, lsh_plan
 
 
 def test_lsh_cand_rejoin_hint_gate(spark):
@@ -259,7 +305,8 @@ def test_lsh_cand_rejoin_hint_gate(spark):
     parameterization — so a forced hint would be a broadcast OOM at
     scale, not a slow join. Default session → the pair set is tiny and
     the hint puts the re-join's BroadcastHashJoin in the INITIAL plan
-    (the r13 defect stays fixed); threshold −1 → the gate falls back
+    (the r13 defect stays fixed); threshold '1' (auto-broadcast
+    effectively off, gate driven over budget) → the gate falls back
     to the planner's SortMergeJoin for the re-join while the genuinely
     query-bounded q_sig/q_vecs hints survive unconditionally.
 
@@ -283,7 +330,7 @@ def test_lsh_cand_rejoin_hint_gate(spark):
     planes = np.asarray(random_hyperplanes(8, 4, 4, 42))
     saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
         plan_off = _initial_plan(_lsh_case(spark))
         probe = _initial_plan(
             _lsh_candidate_ids(

@@ -2084,9 +2084,12 @@ def test_duplicated_spans_broadcast_gate(spark):
     assert "BroadcastHashJoin" in plan(small)
 
     thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # a tiny POSITIVE threshold drives the gate over budget ('-1' now
+    # falls back to the 10 MB default budget — r15 advice — so it no
+    # longer exercises the fallback side)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
     try:
-        large = duplicated_spans(docs, n=7)  # any survivor set > threshold 0
+        large = duplicated_spans(docs, n=7)  # any survivor set > 1 byte
         p = plan(large)
         assert "BroadcastHashJoin" not in p, p
         assert {(r.span, r.n_docs, r.n_occ) for r in large.collect()} == {

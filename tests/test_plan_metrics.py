@@ -35,3 +35,53 @@ def test_star_join_measures_broadcasts_not_fact_shuffle(spark):
     assert m["broadcast_bytes"] > 0
     # the fact must not shuffle for the joins: only the final groupBy
     assert m["n_exchanges"] == 1
+
+
+def test_lsh_gate_pair_sizing_constant_is_conservative(spark):
+    """The lsh_cosine_topk broadcast gate admits the candidate-pair
+    hint while ``n_pairs * 48 <= threshold`` (r15 verdict task 5: the
+    48-bytes/row constant was asserted nowhere against a measured
+    footprint). At the gate's own ADMISSION BOUNDARY — the largest
+    pair set the default 10 MB budget admits — the estimate must cover
+    the real BroadcastExchange footprint (``dataSize``: the built
+    hashed-relation bytes each executor must hold, the OOM hazard the
+    gate guards): admitting a relation that is actually bigger than
+    the budget would defeat the gate exactly where it matters.
+
+    Adversarial key shape: ALL-DISTINCT dense long join keys — the
+    LongHashedRelation's worst measured per-row footprint (a dense key
+    array on top of the row pages; modulo-style repeated keys measure
+    ~42 B/row, dense-distinct ~10.1 MB at the boundary vs the 10.49 MB
+    estimate). Below the boundary the fixed map allocation (~8 MB for
+    long keys in this config) can exceed ``48 * n`` — that constant
+    cost is paid by EVERY long-keyed broadcast join, gated or not, and
+    is not a scale hazard, so the contract asserted is boundary
+    coverage plus a conservative MARGINAL per-row cost, not absolute
+    coverage at tiny n."""
+    from pyspark.sql import functions as F
+
+    budget = 10 * 1024 * 1024  # the gate's default/disabled budget
+    n_fit = budget // 48  # largest pair count the gate admits
+
+    def footprint(n: int) -> int:
+        # exact cand_ids schema and join key: (query_id, neighbor_id)
+        # longs, broadcast side of a join on neighbor_id, all-distinct
+        pairs = spark.range(n).select(
+            (F.col("id") % 700).alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+        )
+        probe = spark.range(2000).select(
+            F.col("id").alias("neighbor_id"), F.lit(0.5).alias("c")
+        )
+        joined = probe.join(F.broadcast(pairs), "neighbor_id")
+        m = run_with_metrics(joined)
+        assert m["broadcast_rows"] == n, m
+        return m["broadcast_bytes"]
+
+    at_boundary = footprint(n_fit)
+    at_half = footprint(n_fit // 2)
+    # the estimate covers the real footprint where the gate decides
+    assert n_fit * 48 >= at_boundary, (n_fit * 48, at_boundary)
+    # and the per-row constant itself is conservative (marginal cost)
+    marginal = (at_boundary - at_half) / (n_fit - n_fit // 2)
+    assert marginal <= 48, (marginal, at_boundary, at_half)
