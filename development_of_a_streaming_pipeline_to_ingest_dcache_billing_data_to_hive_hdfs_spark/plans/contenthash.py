@@ -297,8 +297,10 @@ def _stable_repr(obj, depth: int = 0) -> str:
 @lru_cache(maxsize=512)
 def _non_init_self_assigned(cls: type) -> frozenset:
     """Attribute names assigned as ``self.X = …`` (plain, augmented or
-    annotated assignment) anywhere OUTSIDE ``__init__`` across the
-    class's internal MRO — the signature of lazily-populated state. An
+    annotated assignment), via ``setattr(self, …)`` /
+    ``__setattr__`` calls, or through ``self.__dict__[…] = …``
+    anywhere OUTSIDE ``__init__`` across the class's internal MRO —
+    the signature of lazily-populated state. An
     underscore scalar with such an assignment site is excluded from
     the instance-state hash: its value depends on which methods have
     run before the hash is computed (first touch, possibly after
@@ -313,32 +315,92 @@ def _non_init_self_assigned(cls: type) -> frozenset:
             continue
         try:
             src = textwrap.dedent(inspect.getsource(klass))
-            tree = ast.parse(src)
         except Exception:  # noqa: BLE001 — no source: be conservative
             return frozenset({"*"})
-        for node in ast.walk(tree):
-            if not isinstance(
-                node, (ast.FunctionDef, ast.AsyncFunctionDef)
-            ) or node.name == "__init__":
-                continue
-            args = node.args.posonlyargs + node.args.args
-            if not args:
-                continue
-            self_name = args[0].arg
-            for stmt in ast.walk(node):
-                targets = []
-                if isinstance(stmt, ast.Assign):
-                    targets = stmt.targets
-                elif isinstance(stmt, (ast.AugAssign, ast.AnnAssign)):
-                    targets = [stmt.target]
-                for t in targets:
-                    if (
-                        isinstance(t, ast.Attribute)
-                        and isinstance(t.value, ast.Name)
-                        and t.value.id == self_name
-                    ):
-                        names.add(t.attr)
+        names |= _mutation_sites_in_source(src)
     return frozenset(names)
+
+
+def _mutation_sites_in_source(src: str) -> set[str]:
+    """The self-attribute mutation sites in ONE class's source text
+    (the per-class scan behind ``_non_init_self_assigned``, separated
+    so the detection logic is testable without a retrievable-source
+    class). Unparsable source gets the "*" sentinel."""
+    names: set[str] = set()
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return {"*"}
+    for node in ast.walk(tree):
+        if not isinstance(
+            node, (ast.FunctionDef, ast.AsyncFunctionDef)
+        ) or node.name == "__init__":
+            continue
+        args = node.args.posonlyargs + node.args.args
+        if not args:
+            continue
+        self_name = args[0].arg
+        for stmt in ast.walk(node):
+            targets = []
+            if isinstance(stmt, ast.Assign):
+                targets = stmt.targets
+            elif isinstance(stmt, (ast.AugAssign, ast.AnnAssign)):
+                targets = [stmt.target]
+            for t in targets:
+                if (
+                    isinstance(t, ast.Attribute)
+                    and isinstance(t.value, ast.Name)
+                    and t.value.id == self_name
+                ):
+                    names.add(t.attr)
+                elif (
+                    # self.__dict__["x"] = … (r15 advice: dynamic
+                    # mutation sites escaped the literal-target scan)
+                    isinstance(t, ast.Subscript)
+                    and isinstance(t.value, ast.Attribute)
+                    and t.value.attr == "__dict__"
+                    and isinstance(t.value.value, ast.Name)
+                    and t.value.value.id == self_name
+                ):
+                    names.add(_const_str_or_star(t.slice))
+            # setattr(self, "x", v) / object.__setattr__(self, …) /
+            # self.__setattr__("x", v): Call-shaped mutation sites
+            # (r15 advice). A non-constant attribute name falls back
+            # to the "*" skip-all sentinel — conservative, never
+            # drift.
+            if isinstance(stmt, ast.Call):
+                fn, a = stmt.func, stmt.args
+                if (
+                    isinstance(fn, ast.Name)
+                    and fn.id == "setattr"
+                    and a
+                    and isinstance(a[0], ast.Name)
+                    and a[0].id == self_name
+                ):
+                    names.add(_const_str_or_star(a[1] if len(a) > 1 else None))
+                elif isinstance(fn, ast.Attribute) and fn.attr == "__setattr__":
+                    if (
+                        isinstance(fn.value, ast.Name)
+                        and fn.value.id == self_name
+                    ):  # self.__setattr__("x", v)
+                        names.add(_const_str_or_star(a[0] if a else None))
+                    elif (
+                        a
+                        and isinstance(a[0], ast.Name)
+                        and a[0].id == self_name
+                    ):  # object/super().__setattr__(self, "x", v)
+                        names.add(
+                            _const_str_or_star(a[1] if len(a) > 1 else None)
+                        )
+    return frozenset(names)
+
+
+def _const_str_or_star(node) -> str:
+    """A constant-string AST node's value, else the "*" everything-
+    mutated sentinel (dynamic attribute names can't be tracked)."""
+    if isinstance(node, ast.Constant) and isinstance(node.value, str):
+        return node.value
+    return "*"
 
 
 def _immutable_scalar(v, depth: int = 0) -> bool:

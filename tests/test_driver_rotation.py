@@ -666,3 +666,67 @@ def test_lazily_assigned_underscore_scalars_are_excluded():
     vb = [v for k, v in pb["constants"].items() if "_INST_B" in k]
     assert va == vb, (va, vb)  # identical despite the mutated counter
     assert not any("_drop_depth" in v for v in va)
+
+
+def test_dynamic_mutation_sites_detected():
+    """r15 advice: lazily-populated state written via ``setattr(self,
+    …)``, ``object.__setattr__``, ``self.__setattr__`` or
+    ``self.__dict__[…] = …`` escaped the literal-target scan, so such
+    an underscore scalar would enter the instance hash and drift across
+    processes — exactly the failure the guard exists to prevent. Each
+    call shape must register; a NON-constant attribute name falls back
+    to the "*" skip-all sentinel. Driven through the source-text scan
+    (``_mutation_sites_in_source``) because a class defined inside a
+    test function has no inspect-retrievable source — the class-object
+    wrapper's no-source conservatism is asserted separately below."""
+    import textwrap
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans import (
+        contenthash,
+    )
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.contenthash import (
+        _mutation_sites_in_source,
+        _non_init_self_assigned,
+    )
+
+    via_setattr = textwrap.dedent(
+        """
+        class _ViaSetattr:
+            def __init__(self):
+                self._hits = 0
+
+            def touch(self):
+                setattr(self, "_hits", self._hits + 1)
+        """
+    )
+    via_dunder = textwrap.dedent(
+        """
+        class _ViaDunder:
+            def touch(self):
+                object.__setattr__(self, "_oset", 1)
+                self.__setattr__("_sset", 2)
+                self.__dict__["_dset"] = 3
+        """
+    )
+    via_dynamic = textwrap.dedent(
+        """
+        class _ViaDynamicName:
+            def touch(self, name):
+                setattr(self, name, 1)
+        """
+    )
+    assert "_hits" in _mutation_sites_in_source(via_setattr)
+    dunder = _mutation_sites_in_source(via_dunder)
+    assert {"_oset", "_sset", "_dset"} <= dunder, dunder
+    assert "*" in _mutation_sites_in_source(via_dynamic)
+    # __init__-only literal assignment still registers nothing
+    assert not _mutation_sites_in_source(
+        "class _C:\n    def __init__(self):\n        self._cfg = 1\n"
+    )
+
+    # and the class-object wrapper stays conservative when source is
+    # unretrievable (a dynamically-defined internal class): skip-all
+    _Local = type(
+        "_Local", (), {"__module__": contenthash._PKG_NAME + ".fs"}
+    )
+    assert "*" in _non_init_self_assigned(_Local)
