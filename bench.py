@@ -412,17 +412,25 @@ def bench_scale_probe(spark, sf_dir: str, factor: int = 10) -> dict:
         def _drain_and_total_shuffle() -> int:
             # executor-cumulative shuffle-write bytes, after draining
             # the listener bus so the status store has processed every
-            # completed job in the window (metrics land asynchronously)
+            # completed job in the window (metrics land asynchronously).
+            # The whole read chain uses private Spark internals via
+            # _jsc — if a Spark upgrade moves them, return the -1
+            # sentinel so the probe still records TIMINGS and only the
+            # shuffle column degrades (r15 advice: a rename here used
+            # to crash the entire scale probe mid-bench).
             sc = spark.sparkContext
             try:
                 sc._jsc.sc().listenerBus().waitUntilEmpty()
             except Exception:  # noqa: BLE001 — drain is best-effort
                 pass
-            total = 0
-            it = sc._jsc.sc().statusStore().executorList(False).iterator()
-            while it.hasNext():
-                total += it.next().totalShuffleWrite()
-            return total
+            try:
+                total = 0
+                it = sc._jsc.sc().statusStore().executorList(False).iterator()
+                while it.hasNext():
+                    total += it.next().totalShuffleWrite()
+                return total
+            except Exception:  # noqa: BLE001 — internals moved
+                return -1
 
         for op in SCALE_PROBE_OPS:
             if op not in ALL_QUERIES:
@@ -447,14 +455,18 @@ def bench_scale_probe(spark, sf_dir: str, factor: int = 10) -> dict:
                         s1 = _drain_and_total_shuffle()
                         if dt < best:
                             best = dt
-                            shuffled = s1 - s0
+                            # -1 sentinel from either read → the delta
+                            # is meaningless; surface -1 in the row
+                            shuffled = (
+                                s1 - s0 if s0 >= 0 and s1 >= 0 else -1
+                            )
                     tag = "1" if mult == 1 else str(mult)
                     row[f"t{tag}"] = round(best, 3)
                     row[f"shuffle{tag}"] = shuffled
                 f = str(factor)
                 if row.get("t1"):
                     row["t_ratio"] = round(row[f"t{f}"] / row["t1"], 2)
-                if row.get("shuffle1"):
+                if row.get("shuffle1", 0) > 0 and row.get(f"shuffle{f}", -1) >= 0:
                     row["shuffle_ratio"] = round(
                         row[f"shuffle{f}"] / row["shuffle1"], 2
                     )

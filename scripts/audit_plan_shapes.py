@@ -104,6 +104,27 @@ _S = "single-partition"
 # plan-by-plan; the one genuine defect — the PQ rerank corpus SMJ —
 # was fixed before this list was cut, so everything here is the benign
 # residue). Counts re-confirmed at the r13 collect run.
+#
+# TRIAGE 2026-08-16 (r15 verdict task 6 — periodic re-read of every
+# allowance against current code; `improved: 0` every round had meant
+# the list never shrank, so this pass checked it is not carrying dead
+# weight):
+# - liveness: all 64 (query, class) entries were observed at EXACTLY
+#   their cap in at least one leg of the r14 dual-scale artifact
+#   (scripted diff of KNOWN_BENIGN vs PLAN_AUDIT_r14.json benign maps;
+#   zero never-hit, zero under-cap) — no obsolete allowances to delete,
+#   and `improved: 0` is the allowlist being tight, not stale.
+# - reason classes re-read against current code: _2PHASE/_MODEL/
+#   _SCALAR/_BOUNDED_AUDIT shapes are construction-bounded by group
+#   count / model size / 1-row aggregates / audit-frame caps as
+#   documented in each operator's docstring; _DIM_WINDOW's one entry
+#   (q_rel_q15_top_supplier) still matches the catalog docstring's
+#   supplier-cardinality global window; _ADAPTIVE_PICK's one entry
+#   (q_llm_tfidf_terms) still has NO hint on the score join in
+#   textops.tfidf_top_terms — AQE's small-SF pick, shuffle join at
+#   scale. Next re-triage due if `improved` goes nonzero for two
+#   consecutive rounds (an allowance drifting under its cap means the
+#   shape changed) or by r20, whichever first.
 KNOWN_BENIGN: dict[str, dict[str, tuple[int, str]]] = {
     "q_llm_bigram_nll": {_B: (2, _MODEL), _S: (1, _SCALAR)},
     "q_llm_bm25_search": {_B: (1, _MODEL), _S: (1, _SCALAR)},
@@ -360,9 +381,18 @@ def main() -> None:
     if "--round" in argv:
         # remove flag + value by INDEX: scrubbing by re-stringified
         # value left non-canonical spellings ('014', '+14') behind to
-        # be misparsed as sf_dir (r14 review)
+        # be misparsed as sf_dir (r14 review). Validate UP FRONT (r15
+        # advice): a missing or non-integer value must exit with a
+        # usage message now, not crash after the long sweep.
         i = argv.index("--round")
-        rnd_override = int(argv[i + 1])
+        if i + 1 >= len(argv):
+            sys.exit("usage: --round N — the round number is missing")
+        try:
+            rnd_override = int(argv[i + 1])
+        except ValueError:
+            sys.exit(
+                f"usage: --round N — expected an integer, got {argv[i + 1]!r}"
+            )
         del argv[i : i + 2]
     args = [a for a in argv if not a.startswith("-")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"

@@ -185,6 +185,16 @@ def main() -> None:
             f"bench.bench_scale_probe(factor={FACTOR}) restricted to "
             f"{sorted(KEEP)}; local[32], driver 48g"
         ),
+        "shuffle_methodology": (
+            "window-total executor shuffle-write delta, construction "
+            "included (r14 commit 4b0e4a2). SCALE100_r13 and earlier "
+            "read the final plan's SQLMetrics instead, which missed "
+            "eagerly-executed construction subtrees — battery "
+            "shuffle/shuffle_ratio values are NOT comparable across "
+            "that boundary; diff them only within r14+ artifacts. The "
+            "crawl row's shuffle comes from collect_plan_metrics "
+            "(unchanged across rounds)."
+        ),
         **merged,
     }
     path.write_text(json.dumps(out, indent=1) + "\n")
