@@ -106,6 +106,20 @@ def merge_sessions(
         if isinstance(rec, dict)
         and rec.get("data_row") == merged_batteries.get(op)
     }
+    # session_notes: hand-written per-session diagnoses (e.g. WHY a
+    # session breached the 1.3x bound), each stamped with the session
+    # index and the stability record it narrates — same
+    # prose-cannot-outlive-its-data discipline as battery_notes. A note
+    # whose stamped record no longer matches the session at its index
+    # is dropped on merge.
+    session_notes = [
+        rec
+        for rec in (prior.get("session_notes") or [])
+        if isinstance(rec, dict)
+        and isinstance(rec.get("session"), int)
+        and 0 <= rec["session"] < len(session_stability)
+        and rec.get("stability") == session_stability[rec["session"]]
+    ]
     return {
         "crawl_runs": crawl_runs,
         "crawl_t_ratio_samples": [r.get("t_ratio") for r in crawl_runs],
@@ -113,6 +127,7 @@ def merge_sessions(
         "all_sessions_stable_within_1p3x": all(
             s.get("stable_within_1p3x") for s in session_stability
         ),
+        "session_notes": session_notes,
         "batteries": merged_batteries,
         "battery_notes": notes,
     }

@@ -64,6 +64,28 @@ def test_stale_battery_note_is_dropped_fresh_note_survives():
     assert out["battery_notes"]["op_b"]["note"] == "narrates 2.0x"
 
 
+def test_session_note_survives_only_with_matching_stability_record():
+    mod = _mod()
+    rec0 = {"max_over_min": {"t_ratio": 1.39}, "stable_within_1p3x": False}
+    prior = {
+        "session_stability": [rec0],
+        "session_notes": [
+            {"session": 0, "stability": rec0, "note": "1x-leg denominator"},
+            # stamped record diverged from the session at its index
+            {
+                "session": 0,
+                "stability": {"max_over_min": {"t_ratio": 9.9}},
+                "note": "stale",
+            },
+            # index out of range after this merge (sessions: 2)
+            {"session": 5, "stability": rec0, "note": "orphan"},
+        ],
+    }
+    out = mod.merge_sessions(prior, [], {"t_ratio": 1.1}, {})
+    kept = [n["note"] for n in out["session_notes"]]
+    assert kept == ["1x-leg denominator"], out["session_notes"]
+
+
 def test_legacy_prior_without_new_keys_merges_clean():
     mod = _mod()
     out = mod.merge_sessions({}, [{"t_ratio": 8.0}], {"t1": 1.2}, {"op": {"t_ratio": 3.0}})
