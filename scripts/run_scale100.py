@@ -141,6 +141,19 @@ def main() -> None:
         extra_conf={"spark.driver.memory": "48g"},
     )
 
+    # Session-level warm-up (r15): one UNRECORDED probe invocation
+    # before any sample. The r15 artifact's nine accumulated samples
+    # showed each session's FIRST crawl invocation systematically
+    # 1.3-1.5x slow on the ~0.4s 1x leg (samples 0/3/6 read
+    # 0.557/0.527/0.594s vs 0.400-0.431s for every later invocation)
+    # while t100 stayed tight — session cold start (codegen, Python
+    # worker-pool growth) that the probe's own per-invocation warm-up
+    # cannot cover, i.e. the r13 parse-once cold-first-pass lesson at
+    # session granularity. The probe itself is untouched; the harness
+    # pays the cold pass outside the recorded samples.
+    with tempfile.TemporaryDirectory() as tmp:
+        bench._crawl_probe_row(spark, SF, tmp, FACTOR)
+
     crawl_runs = []
     for _i in range(2):
         with tempfile.TemporaryDirectory() as tmp:
@@ -195,10 +208,13 @@ def main() -> None:
             "row changes"
         ),
         "how": (
+            "one unrecorded session-warm-up probe invocation, then "
             f"bench._crawl_probe_row(spark, {SF!r}, tmp, {FACTOR}) x2 "
             "per session; "
             f"bench.bench_scale_probe(factor={FACTOR}) restricted to "
-            f"{sorted(KEEP)}; local[32], driver 48g"
+            f"{sorted(KEEP)}; local[32], driver 48g. Sessions recorded "
+            "before the warm-up landed carry their first-invocation "
+            "cold-start bias on the 1x crawl leg — see session_notes"
         ),
         "shuffle_methodology": (
             "window-total executor shuffle-write delta, construction "
