@@ -468,6 +468,61 @@ def cosine_pairs_blas(
     return df.mapInPandas(op, f"{out_fields}, cos double")
 
 
+def _blocked_rerank_scores(
+    cand_vecs: DataFrame,
+    q_ids,
+    Q: np.ndarray,
+    id_type: str,
+) -> DataFrame:
+    """Exact-cosine scores of every candidate corpus vector against the
+    ENTIRE query matrix — the blocked rerank behind ``lsh_cosine_topk``
+    (r15 verdict task 1). Input is the DISTINCT candidate rows
+    ``(neighbor_id, c_vec)``; the (n_q × d) query matrix rides the
+    task closure, so the Arrow channel carries each candidate vector
+    exactly ONCE (n_dist × d doubles in, n_dist × n_q scalar scores
+    out) instead of BOTH vectors per candidate PAIR — at pair
+    multiplicities where candidates ≈ corpus × n_queries (the
+    operator's deliberately low-selectivity defaults), per-pair
+    shipping is candidates × 2d doubles, ~13× more channel volume at
+    the 100× probe point. Each batch computes its full (n_c × n_q)
+    cosine block as one BLAS matmul, exactly the
+    ``kmeans_embeddings`` assign-stage shape.
+
+    Output: one row per (query, candidate) combination —
+    ``(query_id, neighbor_id, cos)``; the caller joins back to its
+    bucket-matched pair set, which both filters non-candidates and
+    restores LSH semantics (a neighbor bucketed with query A only must
+    not enter query B's top-k)."""
+    import pandas as pd
+
+    q_arr = np.asarray(q_ids)
+    q_norms = np.linalg.norm(Q, axis=1)
+
+    def op(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            C = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch["c_vec"]]
+            )
+            norms = np.linalg.norm(C, axis=1)[:, None] * q_norms[None, :]
+            cos = (C @ Q.T) / np.maximum(norms, 1e-12)
+            n_c, n_q = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(q_arr, n_c),
+                    "neighbor_id": np.repeat(
+                        batch["neighbor_id"].to_numpy(), n_q
+                    ),
+                    "cos": cos.ravel(),
+                }
+            )
+
+    return cand_vecs.mapInPandas(
+        op, f"query_id {id_type}, neighbor_id {id_type}, cos double"
+    )
+
+
 def jl_sign_matrix(
     in_dim: int, out_dim: int, salt: str = "jl-v1"
 ) -> list[list[float]]:
@@ -739,35 +794,52 @@ def lsh_cosine_topk(
     embeddings support more bits per table (smaller candidate sets);
     recall/cost is pytest-measured against the brute-force baseline.
 
-    The candidate re-join against the raw-vector corpus broadcasts the
-    candidate-id side only while the MEASURED pair count fits the
-    session's ``autoBroadcastJoinThreshold`` — a threshold ≤ 0
-    (estimate-based auto-broadcast disabled) falls back to the 10 MB
-    default budget rather than dropping the hint: the count here is
-    measured, not estimated, so the estimate-distrust that motivates
-    disabling auto-broadcast does not reach this gate, and the
-    explicit hint is the standard escape hatch under exactly that
-    session posture (r15 advice) — (r14 advice): unlike the
-    query signatures/vectors — truly bounded by query count, hinted
-    unconditionally — candidate pairs scale as n_queries × the matched
-    bucket volume, and the low-selectivity defaults here (4 bits ×
-    16 tables on near-uniform vectors) make that corpus-PROPORTIONAL,
-    where a forced hint converts a slow-but-completing shuffle join
-    into a broadcast OOM. Over the threshold the gate falls back to
-    the planner's shuffle join, which is the correct shape for a
-    candidate set that large. A hint is still required under the
-    threshold (r13, the q_llm_pq_topk rerank lesson): cand_ids is a
-    derived join+distinct subtree whose initial size estimate is
+    The rerank is BLOCKED (r15 verdict task 1): raw vectors re-attach
+    to the DISTINCT candidate ids only — each corpus vector crosses
+    the Arrow channel once — and the query matrix rides the closure
+    of one ``mapInPandas`` (``_blocked_rerank_scores``), whose scalar
+    scores then join back to the pair set. The previous shape shipped
+    BOTH 64-dim vectors per candidate PAIR through Arrow; under the
+    low-selectivity defaults candidate pairs are corpus-proportional
+    × n_queries (~1.3 GB at the 100× probe, and the wall on that
+    channel drifted with host memory pressure on identical shuffle
+    work), so per-pair shipping is a genuine scale-killer: channel
+    volume ∝ candidates × dim vs the blocked n_dist × dim + the
+    n_dist × n_q score floats.
+
+    Both remaining joins — vectors onto distinct candidate ids, scores
+    back onto pairs — hint broadcast only while their MEASURED row
+    count fits the session's ``autoBroadcastJoinThreshold``
+    (both counts from one aggregate over the materialized pair set).
+    A threshold ≤ 0 (estimate-based auto-broadcast disabled) falls
+    back to the 10 MB default budget rather than dropping the hints:
+    the counts here are measured, not estimated, so the
+    estimate-distrust that motivates disabling auto-broadcast does
+    not reach these gates, and the explicit hint is the standard
+    escape hatch under exactly that session posture (r15 advice) —
+    (r14 advice): unlike the query signatures — truly bounded by
+    query count, hinted unconditionally in the bucket probe —
+    candidate volume scales as n_queries × the matched bucket volume,
+    and the defaults here (4 bits × 16 tables on near-uniform
+    vectors) make that corpus-PROPORTIONAL, where a forced hint
+    converts a slow-but-completing shuffle join into a broadcast OOM.
+    Over the threshold each gate falls back to the planner's shuffle
+    join, which is the correct shape for a candidate set that large.
+    A hint is still required under the threshold (r13, the
+    q_llm_pq_topk rerank lesson): both gated sides are derived
+    join/distinct subtrees whose initial size estimates are
     corpus-scale, so without it the initial plan sort-merge-joins —
     shuffling the ENTIRE raw-vector corpus on neighbor_id before AQE
     converts (after that exchange has materialized; at 100 TB, too
-    late). Both gate sides are pinned by
+    late). Both gate postures are pinned by
     tests/test_initial_plan_broadcasts.py (threshold='1': planner
-    auto-broadcast effectively off AND the gate driven over budget —
-    the initial plan shows the truth on both halves), and the
+    auto-broadcast effectively off AND the gates driven over budget —
+    the initial plan shows the truth on both halves), the
     48-bytes/row sizing is asserted conservative against the measured
     BroadcastExchange footprint at the gate's own admission boundary
-    in tests/test_plan_metrics.py."""
+    in tests/test_plan_metrics.py, and the vectors-only-on-the-
+    distinct-corpus-side rerank shape is plan-asserted in
+    tests/test_initial_plan_broadcasts.py."""
     from .textops import _broadcast_threshold_bytes
 
     planes = np.asarray(random_hyperplanes(dim, n_bits, n_tables, seed))
@@ -788,24 +860,43 @@ def lsh_cosine_topk(
     cand_ids = _lsh_candidate_ids(
         corpus, queries, planes, id_col, vec_col
     ).localCheckpoint()
+    id_type = dict(corpus.dtypes)[id_col]
+    # the query matrix for the rerank closure: the queries side is
+    # serving-scale by the operator's contract (the same bound that
+    # lets the bucket probe broadcast q_sig unconditionally), so this
+    # collect is bounded by query count — the established pq/ivf
+    # serving-side idiom
+    q_pdf = queries.select(F.col(id_col), F.col(vec_col)).toPandas()
+    if not len(q_pdf):
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"query_id {id_type}, neighbor_id {id_type}, "
+            "cos double, rank int",
+        )
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
+    q_ids = q_pdf[id_col].tolist()
+    # ONE aggregate over the materialized pair set yields both gate
+    # counts: total pairs (scores→pairs join side) and distinct
+    # candidates (vector re-join side)
+    stats = cand_ids.agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("neighbor_id").alias("n_dist"),
+    ).first()
+    n_pairs, n_dist = stats["n_pairs"], stats["n_dist"]
+    # 48 bytes per row with relation overhead — conservative for both
+    # gated sides (single-long distinct ids, (long, long) pairs); the
+    # constant is measured-footprint-bounded in tests/test_plan_metrics
+    thr = _broadcast_threshold_bytes(corpus.sparkSession)
+    dist_hint = F.broadcast if n_dist * 48 <= thr else (lambda df: df)
+    pair_hint = F.broadcast if n_pairs * 48 <= thr else (lambda df: df)
     c_vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    q_vecs = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    cand_vecs = c_vecs.join(
+        dist_hint(cand_ids.select("neighbor_id").distinct()), "neighbor_id"
     )
-    # 48 bytes per (long, long) pair row with relation overhead — the
-    # sibling gates' (strip_boilerplate_lines) conservative sizing
-    n_pairs = cand_ids.count()
-    hint = (
-        F.broadcast
-        if n_pairs * 48 <= _broadcast_threshold_bytes(corpus.sparkSession)
-        else (lambda df: df)
-    )
-    cand = c_vecs.join(hint(cand_ids), "neighbor_id").join(
-        F.broadcast(q_vecs), "query_id"
-    )
-    scored = cosine_pairs_blas(cand).select("query_id", "neighbor_id", "cos")
+    scores = _blocked_rerank_scores(cand_vecs, q_ids, Q, id_type)
+    scored = scores.join(pair_hint(cand_ids), ["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 

@@ -652,31 +652,56 @@ def bpe_pair_counts(
 _GATE_DISABLED_FLOOR_BYTES = 10 * 1024 * 1024
 
 
+def _parse_size_bytes(raw: str) -> int | None:
+    """Parse a Spark size spelling (bare int or ``10MB``-suffixed) to
+    bytes; ``None`` when unparseable."""
+    m = re.match(r"^(-?\d+)\s*([kmgt]?)b?$", str(raw).strip().lower())
+    if not m:
+        return None
+    return int(m.group(1)) * 1024 ** {"": 0, "k": 1, "m": 2, "g": 3, "t": 4}[
+        m.group(2)
+    ]
+
+
 def _broadcast_threshold_bytes(spark) -> int:
     """Byte budget for the package's MEASURED-count broadcast gates
     (``duplicated_spans``/``strip_boilerplate_lines`` survivor sets,
-    ``lsh_cosine_topk`` candidate pairs), read from the session's
-    ``spark.sql.autoBroadcastJoinThreshold`` (bare-int and
-    size-suffixed ``10MB`` spellings both accepted).
+    ``lsh_cosine_topk`` candidate sets).
 
-    A threshold ≤ 0 disables the PLANNER's estimate-based
-    auto-broadcast — the standard cluster posture when relation-size
-    estimates are unreliable — but the gates calling this act on a
-    measured count, which that distrust does not reach, and an
-    explicit hint is the normal escape hatch under exactly that
-    posture; so a disabled threshold falls back to Spark's 10 MB
-    default instead of 0 (r15 advice: returning 0 silently dropped
-    every gated hint on estimate-distrusting clusters, reinstating
-    the corpus-shuffle defect the LSH hint exists to prevent). To
-    force the shuffle fallback deliberately, set a small POSITIVE
-    threshold (e.g. ``'1'``)."""
-    raw = str(
+    The dedicated knob ``spark.graft.gateBroadcastBudget`` wins when
+    set (r15 advice: a cluster that disables auto-broadcast for
+    DRIVER/EXECUTOR MEMORY reasons, not estimate distrust, needs an
+    independent way to tune or zero the gate budget without
+    repurposing ``autoBroadcastJoinThreshold``): any size spelling,
+    with ``0`` (or negative) disabling every gated hint outright — an
+    explicit operator-level opt-out with no side effects on the
+    planner. An unparseable value is ignored (fall through, never
+    silently zero).
+
+    Otherwise the budget reads the session's
+    ``spark.sql.autoBroadcastJoinThreshold`` (bare-int and
+    size-suffixed ``10MB`` spellings both accepted). A threshold ≤ 0
+    disables the PLANNER's estimate-based auto-broadcast — the
+    standard cluster posture when relation-size estimates are
+    unreliable — but the gates calling this act on a measured count,
+    which that distrust does not reach, and an explicit hint is the
+    normal escape hatch under exactly that posture; so a disabled
+    threshold falls back to Spark's 10 MB default instead of 0 (r15
+    advice: returning 0 silently dropped every gated hint on
+    estimate-distrusting clusters, reinstating the corpus-shuffle
+    defect the LSH hint exists to prevent). To force the shuffle
+    fallback deliberately, set ``spark.graft.gateBroadcastBudget=0``
+    (or, pre-r16, a small positive threshold such as ``'1'``)."""
+    override = spark.conf.get("spark.graft.gateBroadcastBudget", None)
+    if override is not None:
+        val = _parse_size_bytes(override)
+        if val is not None:
+            return max(val, 0)
+    val = _parse_size_bytes(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    ).strip().lower()
-    m = re.match(r"^(-?\d+)\s*([kmgt]?)b?$", raw)
-    if not m:
+    )
+    if val is None:
         return _GATE_DISABLED_FLOOR_BYTES
-    val = int(m.group(1)) * 1024 ** {"": 0, "k": 1, "m": 2, "g": 3, "t": 4}[m.group(2)]
     return val if val > 0 else _GATE_DISABLED_FLOOR_BYTES
 
 

@@ -5191,13 +5191,17 @@ def q_llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_bench_only("q_llm_lsh_topk")
 def q_llm_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw LSH search (signature bucket probe → candidate pairs →
-    gated vector re-join → exact-cosine rerank) — the performance-
-    shaped twin of q_llm_lsh_recall, which also runs brute force and
-    the recall compare (that would make the bench measure the harness,
-    not the operator). In the 10×/100× scale-probe batteries since r14
-    (the r13 verdict's ask): the broadcast-gated candidate re-join is
-    the shape the r13 fix + r14 gate changed, so its growth curve is
-    measured like its pq_topk sibling's, not asserted."""
+    gated DISTINCT-candidate vector re-join → blocked exact-cosine
+    rerank → gated scores-to-pairs join) — the performance-shaped twin
+    of q_llm_lsh_recall, which also runs brute force and the recall
+    compare (that would make the bench measure the harness, not the
+    operator). In the 10×/100× scale-probe batteries since r14 (the
+    r13 verdict's ask): the broadcast-gated re-join is the shape the
+    r13 fix + r14 gate changed, and r16 replaced the per-pair vector
+    attach with the blocked rerank (query matrix in the Arrow-stage
+    closure), so its growth curve is measured like its pq_topk
+    sibling's, not asserted — the r16 rewrite RESETS the lsh_topk wall
+    series; pre-r16 battery rows are cross-operator."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )

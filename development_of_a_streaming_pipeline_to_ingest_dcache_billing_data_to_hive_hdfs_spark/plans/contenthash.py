@@ -329,7 +329,10 @@ def _mutation_sites_in_source(src: str) -> set[str]:
     names: set[str] = set()
     try:
         tree = ast.parse(src)
-    except SyntaxError:
+    except Exception:  # noqa: BLE001 — e.g. RecursionError on
+        # pathologically nested source: degrade to the skip-all
+        # sentinel like the getsource handler above, never crash the
+        # hash computation (r15 advice)
         return {"*"}
     for node in ast.walk(tree):
         if not isinstance(
@@ -364,10 +367,10 @@ def _mutation_sites_in_source(src: str) -> set[str]:
                 ):
                     names.add(_const_str_or_star(t.slice))
             # setattr(self, "x", v) / object.__setattr__(self, …) /
-            # self.__setattr__("x", v): Call-shaped mutation sites
-            # (r15 advice). A non-constant attribute name falls back
-            # to the "*" skip-all sentinel — conservative, never
-            # drift.
+            # self.__setattr__("x", v) / super().__setattr__("x", v):
+            # Call-shaped mutation sites (r15 advice, super() added
+            # r16). A non-constant attribute name falls back to the
+            # "*" skip-all sentinel — conservative, never drift.
             if isinstance(stmt, ast.Call):
                 fn, a = stmt.func, stmt.args
                 if (
@@ -385,10 +388,21 @@ def _mutation_sites_in_source(src: str) -> set[str]:
                     ):  # self.__setattr__("x", v)
                         names.add(_const_str_or_star(a[0] if a else None))
                     elif (
+                        # super().__setattr__("x", v): fn.value is a
+                        # CALL, not a Name — zero-arg super binds self
+                        # implicitly, so the attribute is a[0]
+                        # (r15 advice: this shape matched neither
+                        # Name branch and escaped the scan)
+                        isinstance(fn.value, ast.Call)
+                        and isinstance(fn.value.func, ast.Name)
+                        and fn.value.func.id == "super"
+                    ):
+                        names.add(_const_str_or_star(a[0] if a else None))
+                    elif (
                         a
                         and isinstance(a[0], ast.Name)
                         and a[0].id == self_name
-                    ):  # object/super().__setattr__(self, "x", v)
+                    ):  # object.__setattr__(self, "x", v)
                         names.add(
                             _const_str_or_star(a[1] if len(a) > 1 else None)
                         )

@@ -715,10 +715,23 @@ def test_dynamic_mutation_sites_detected():
                 setattr(self, name, 1)
         """
     )
+    via_super = textwrap.dedent(
+        """
+        class _ViaSuper:
+            def touch(self):
+                super().__setattr__("_zset", 1)
+                super(_ViaSuper, self).__setattr__("_tset", 2)
+        """
+    )
     assert "_hits" in _mutation_sites_in_source(via_setattr)
     dunder = _mutation_sites_in_source(via_dunder)
     assert {"_oset", "_sset", "_dset"} <= dunder, dunder
     assert "*" in _mutation_sites_in_source(via_dynamic)
+    # super().__setattr__: fn.value is a CALL, not a Name — the r16
+    # branch (r15 advice: this shape escaped both Name branches while
+    # the comment claimed coverage)
+    sup = _mutation_sites_in_source(via_super)
+    assert {"_zset", "_tset"} <= sup, sup
     # __init__-only literal assignment still registers nothing
     assert not _mutation_sites_in_source(
         "class _C:\n    def __init__(self):\n        self._cfg = 1\n"

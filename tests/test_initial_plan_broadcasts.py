@@ -297,21 +297,75 @@ def test_gate_budget_survives_disabled_threshold(spark):
     assert "SortMergeJoin" not in lsh_plan, lsh_plan
 
 
+def test_dedicated_gate_budget_knob(spark):
+    """``spark.graft.gateBroadcastBudget`` (r16, from r15 advice) is
+    the independent knob for the measured-count gates: it wins over
+    ``autoBroadcastJoinThreshold`` when set, accepts size spellings,
+    and ``0`` is an explicit opt-out that drops every gated hint
+    WITHOUT touching planner semantics — the escape hatch for
+    clusters that restrict broadcasting for memory reasons rather
+    than estimate distrust. Unparseable values are ignored (fall
+    through to the threshold path), never silently zero."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        _GATE_DISABLED_FLOOR_BYTES,
+        _broadcast_threshold_bytes,
+    )
+
+    docs = _docs(spark).withColumn(
+        "text", F.concat(F.lit("same boilerplate line\n"), F.col("text"))
+    )
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # knob wins over the session threshold, any spelling
+        spark.conf.set("spark.graft.gateBroadcastBudget", "2MB")
+        assert _broadcast_threshold_bytes(spark) == 2 * 1024 * 1024
+        spark.conf.set("spark.graft.gateBroadcastBudget", "1048576")
+        assert _broadcast_threshold_bytes(spark) == 1024 * 1024
+        # 0 / negative = gates off outright (no 10 MB floor here: the
+        # floor rescues an estimate-distrust posture, not an explicit
+        # operator opt-out)
+        for off in ("0", "-1"):
+            spark.conf.set("spark.graft.gateBroadcastBudget", off)
+            assert _broadcast_threshold_bytes(spark) == 0
+        # end-to-end under the exact posture the knob exists for — the
+        # planner's auto-broadcast disabled for MEMORY reasons and the
+        # gate budget zeroed: no hint may survive anywhere (with the
+        # knob unset, '-1' alone would re-admit the hints via the
+        # 10 MB floor — that contrast is the knob's whole point)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan_opt_out = _initial_plan(textops.strip_boilerplate_lines(docs))
+        lsh_opt_out = _initial_plan(_lsh_case(spark))
+        # unparseable → ignored, threshold path intact (incl. floor)
+        spark.conf.set("spark.graft.gateBroadcastBudget", "lots")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert _broadcast_threshold_bytes(spark) == _GATE_DISABLED_FLOOR_BYTES
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.conf.unset("spark.graft.gateBroadcastBudget")
+    assert "BroadcastHashJoin" not in plan_opt_out, plan_opt_out
+    smj = [l for l in lsh_opt_out.splitlines() if "SortMergeJoin" in l]
+    assert len(smj) == 2, lsh_opt_out
+
+
 def test_lsh_cand_rejoin_hint_gate(spark):
-    """lsh_cosine_topk's candidate re-join hints broadcast only while
-    the MEASURED pair count fits the session threshold (r14 advice):
-    candidate pairs scale as n_queries × matched-bucket volume —
-    corpus-proportional under the default low-selectivity
-    parameterization — so a forced hint would be a broadcast OOM at
-    scale, not a slow join. Default session → the pair set is tiny and
-    the hint puts the re-join's BroadcastHashJoin in the INITIAL plan
-    (the r13 defect stays fixed); threshold '1' (auto-broadcast
-    effectively off, gate driven over budget) → the gate falls back
-    to the planner's SortMergeJoin for the re-join while the genuinely
-    query-bounded q_sig/q_vecs hints survive unconditionally.
+    """lsh_cosine_topk's two rerank joins — raw vectors onto DISTINCT
+    candidate ids, blocked-rerank scores back onto the pair set —
+    hint broadcast only while their MEASURED counts fit the session
+    threshold (r14 advice): candidate volume scales as n_queries ×
+    matched-bucket volume — corpus-proportional under the default
+    low-selectivity parameterization — so a forced hint would be a
+    broadcast OOM at scale, not a slow join. Default session → the
+    candidate set is tiny and both hints put BroadcastHashJoins in
+    the INITIAL plan (the r13 defect stays fixed); threshold '1'
+    (auto-broadcast effectively off, gates driven over budget) → both
+    gates fall back to the planner's SortMergeJoin while the genuinely
+    query-bounded q_sig hint in the bucket probe survives
+    unconditionally (the query VECTORS no longer join at all — the
+    r16 blocked rerank moved the query matrix into the mapInPandas
+    closure).
 
     The candidate-pair subtree is localCheckpointed inside the
-    operator (the gate needs its count), which hides the bucket-probe
+    operator (the gates need its counts), which hides the bucket-probe
     join from the downstream plan — so the q_sig broadcast is asserted
     on the pre-checkpoint ``_lsh_candidate_ids`` helper, with
     auto-broadcast off (only an explicit hint can produce its BHJ)."""
@@ -342,11 +396,36 @@ def test_lsh_cand_rejoin_hint_gate(spark):
     # the bucket probe keeps its unconditional q_sig broadcast…
     assert "BroadcastHashJoin" in probe, probe
     assert "SortMergeJoin" not in probe, probe
-    # …the re-join fell back to the shuffle join (on neighbor_id)…
+    # …and BOTH gated rerank joins fell back to shuffle joins keyed on
+    # neighbor_id (vector re-join: neighbor_id; scores→pairs:
+    # (query_id, neighbor_id)) — no broadcast anywhere downstream of
+    # the checkpoint, because nothing unconditional remains there
     smj = [l for l in plan_off.splitlines() if "SortMergeJoin" in l]
-    assert smj and all("neighbor_id" in l for l in smj), plan_off
-    # …and the unconditional q_vecs hint kept its broadcast
-    assert plan_off.count("BroadcastHashJoin") >= 1, plan_off
+    assert len(smj) == 2 and all("neighbor_id" in l for l in smj), plan_off
+    assert "BroadcastHashJoin" not in plan_off, plan_off
+
+
+def test_lsh_rerank_ships_vectors_only_on_distinct_corpus_side(spark):
+    """The r16 blocked-rerank contract (r15 verdict task 1): the ONLY
+    vector column crossing the Arrow channel in lsh_cosine_topk's
+    rerank is the corpus vector, attached to the DISTINCT candidate
+    ids — never a per-pair (q_vec, c_vec) attach, whose channel volume
+    is candidates × 2 × dim and drifts with memory pressure at scale.
+
+    Asserted on the initial plan: exactly one MapInPandas node; no
+    q_vec column exists anywhere in the distributed plan (the query
+    matrix rides the closure); the rerank input is deduplicated by a
+    HashAggregate keyed on neighbor_id below the Python stage."""
+    plan = _initial_plan(_lsh_case(spark))
+    assert plan.count("MapInPandas") == 1, plan
+    assert "q_vec" not in plan, plan
+    # the distinct-candidate aggregate feeding the vector re-join
+    agg_lines = [
+        l
+        for l in plan.splitlines()
+        if "HashAggregate" in l and "neighbor_id" in l and "keys=" in l
+    ]
+    assert agg_lines, plan
 
 
 def test_fp_screen_store_side_no_exchange_initial_plan(spark):

@@ -142,6 +142,39 @@ def test_lsh_cosine_recall(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_blocked_rerank_scores_one_row_per_query_candidate(spark):
+    """The blocked rerank emits exactly n_candidates × n_queries score
+    rows from the distinct-candidate input (each corpus vector crosses
+    Arrow once, scored against the whole closure query matrix), and
+    the cosines match a numpy reference bit-for-bit."""
+    import numpy as np
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.similarity import (  # noqa: E501
+        _blocked_rerank_scores,
+    )
+
+    rng = [
+        (i, [float((i * 13 + j * 5) % 17 - 8) for j in range(6)])
+        for i in range(30)
+    ]
+    cand_vecs = spark.createDataFrame(
+        rng, "neighbor_id long, c_vec array<double>"
+    )
+    Q = np.asarray(
+        [[1.0, 0.0, 2.0, -1.0, 0.5, 3.0], [0.0, -2.0, 1.0, 4.0, 1.5, -0.5]]
+    )
+    out = _blocked_rerank_scores(cand_vecs, [100, 101], Q, "bigint")
+    rows = {(r.query_id, r.neighbor_id): r.cos for r in out.collect()}
+    assert len(rows) == 30 * 2
+    C = np.asarray([v for _, v in rng])
+    ref = (C @ Q.T) / (
+        np.linalg.norm(C, axis=1)[:, None] * np.linalg.norm(Q, axis=1)[None, :]
+    )
+    for i in range(30):
+        for qi, qid in enumerate((100, 101)):
+            assert rows[(qid, i)] == ref[i, qi]
+
+
 def test_token_count_and_lang(spark):
     df = spark.createDataFrame(
         [(1, "The cat and the dog, it was fine."), (2, "   "), (3, "el la de que y en un")],
