@@ -574,10 +574,13 @@ def jl_project(
 
     ``method``: ``"literal"`` (plan-literal folds, JVM-only),
     ``"blas"`` (the matrix ships once in the serialized op and each
-    Arrow batch is ONE numpy matmul — the big-matrix path), or
-    ``"auto"`` (literal under the 100k budget, blas above). Both
-    evaluate the same exact ±·/√ arithmetic; only float summation
-    order differs (~1e-12).
+    Arrow batch projects with in_dim vectorized fused accumulations —
+    the bulk path), or ``"auto"`` (literal under the 100k budget, blas
+    above). The blas path accumulates in INPUT-DIM ORDER with the
+    unscaled ±1 signs and applies 1/√out_dim after the sum — the
+    identical float operation sequence as the literal fold, so the two
+    paths are BIT-EQUAL per element (pinned in
+    tests/test_jl_projection.py), not merely close.
     """
     if out_dim <= 0:
         raise ValueError(f"out_dim must be positive: {out_dim}")
@@ -633,15 +636,20 @@ def _jl_project_blas(
     out_col: str,
     salt: str,
 ) -> DataFrame:
-    """Big-matrix JL path: S (in_dim × out_dim, scaled by 1/√out_dim)
-    is built once on the driver from the same md5 signs, ships in the
-    serialized operator (executors get it once per task, not per row),
-    and each Arrow batch projects with ONE float64 matmul. Same
+    """Bulk JL path: S (in_dim × out_dim, UNSCALED ±1 signs) is built
+    once on the driver from the same md5 signs and ships in the
+    serialized operator (executors get it once per task, not per row).
+    Each Arrow batch accumulates ``Y += X[:, i:1] * S[i, :]`` over the
+    input dims IN ORDER and multiplies by 1/√out_dim once at the end —
+    the exact float operation sequence of the literal path's
+    ``aggregate`` left fold (products first, additions in index order,
+    scale applied to the finished sum), so the two paths are BIT-EQUAL
+    per element, not merely close (a single dgemm could re-associate
+    the additions; in_dim vectorized accumulations cost the same at
+    these shapes and keep the order deterministic). Same
     NULL/wrong-length → NULL contract as the literal path."""
-    S = (
-        np.asarray(jl_sign_matrix(in_dim, out_dim, salt), dtype=np.float64)
-        / math.sqrt(out_dim)
-    )
+    S = np.asarray(jl_sign_matrix(in_dim, out_dim, salt), dtype=np.float64)
+    inv_root = 1.0 / math.sqrt(out_dim)
     out_fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema
     )
@@ -662,7 +670,11 @@ def _jl_project_blas(
                 X = np.stack(
                     [np.asarray(v, dtype=np.float64) for v in vecs[ok]]
                 )
-                Y = X @ S
+                Y = np.zeros((X.shape[0], out_dim), dtype=np.float64)
+                for i in range(in_dim):
+                    # same op order as the literal fold: s + (a_i * b_ij)
+                    Y += X[:, i : i + 1] * S[i, :]
+                Y *= inv_root
                 for row_pos, y in zip(np.flatnonzero(ok), Y):
                     proj[row_pos] = y.tolist()
             batch[out_col] = proj

@@ -1217,6 +1217,47 @@ def _dsir_model_parts(
     return tgt.join(rawc, "bucket", "full_outer"), totals
 
 
+def _dsir_model_parts_pred(
+    raw: DataFrame,
+    target_pred: Column,
+    text_col: str,
+    n_buckets: int,
+    salt: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Single-pass twin of :func:`_dsir_model_parts` for a target that
+    is a predicate-selected subset of ``raw``: the boolean rides the
+    feature explode (one byte per feature row, scan-stage) and one
+    conditional ≤B-wide aggregate yields ``(bucket, c_tgt, c_raw)`` —
+    no second explode+hash scan over the target corpus, no ≤B-row
+    full-outer join. Same integers as the two-pass path (a bucket
+    outside the target counts 0 where the join path yields NULL; the
+    consumer's coalesce maps both to the Laplace floor)."""
+    if not 0 < n_buckets <= 1_000_000:
+        raise ValueError(f"n_buckets out of range: {n_buckets}")
+    feats = _dsir_features(
+        raw.withColumn("_dsir_is_tgt", target_pred),
+        text_col, n_buckets, salt, "_dsir_is_tgt",
+    )
+    # materialize the ≤B-row count table (the LSH-gate idiom): the
+    # totals aggregate below is a SECOND consumer of the featurize
+    # subtree, and exchange reuse does not reach under the scoring
+    # join's BroadcastExchange — without the checkpoint the totals leg
+    # re-ran the whole corpus explode+hash (measured: 3 corpus-scale
+    # featurize executions instead of 2 at sf0.1, erasing the pass the
+    # single-pass model saved)
+    counts = feats.groupBy("bucket").agg(
+        F.count(F.when(F.col("_dsir_is_tgt"), F.lit(1))).alias("c_tgt"),
+        F.count(F.lit(1)).alias("c_raw"),
+    ).localCheckpoint()
+    totals = F.broadcast(
+        counts.agg(
+            F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("n_tgt"),
+            F.coalesce(F.sum("c_raw"), F.lit(0)).alias("n_raw"),
+        )
+    )
+    return counts, totals
+
+
 def _dsir_lr(n_buckets: int) -> Column:
     """Smoothed log-ratio from (possibly NULL) bucket counts + totals —
     NULL counts coalesce to 0, so a bucket absent from either corpus
@@ -1231,9 +1272,10 @@ def _dsir_lr(n_buckets: int) -> Column:
 
 def dsir_scores(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     raw: DataFrame | None = None,
     *,
+    target_pred: Column | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 8192,
@@ -1256,10 +1298,33 @@ def dsir_scores(
     map-side partials — no corpus-sized model shuffle anywhere. Score
     with a model from a different pool via :func:`dsir_logratio_model`
     composed manually if needed; unseen buckets fall back to the
-    smoothed floor ratio via the broadcast totals."""
+    smoothed floor ratio via the broadcast totals.
+
+    When the target distribution is a SUBSET of ``raw`` selected by a
+    predicate, pass ``target_pred`` (a boolean Column over ``raw``'s
+    columns) instead of a ``target`` frame: both model counts then come
+    out of ONE featurize pass — the predicate rides the feature explode
+    as one boolean and a conditional count splits c_tgt from c_raw in
+    the same ≤B-wide aggregate (r16) — saving a full explode+hash scan
+    of the target corpus and the ≤B-row full-outer model join. The
+    counts are the same integers either way (a bucket absent from the
+    target reads c_tgt = 0 where the join path read NULL; the smoothed
+    log-ratio coalesces both to the identical Laplace floor)."""
+    if (target is None) == (target_pred is None):
+        raise ValueError(
+            "pass exactly one of target (a frame) or target_pred "
+            "(a predicate over raw)"
+        )
     if raw is None:
         raw = df
-    counts, totals = _dsir_model_parts(target, raw, text_col, n_buckets, salt)
+    if target_pred is not None:
+        counts, totals = _dsir_model_parts_pred(
+            raw, target_pred, text_col, n_buckets, salt
+        )
+    else:
+        counts, totals = _dsir_model_parts(
+            target, raw, text_col, n_buckets, salt
+        )
     feats = _dsir_features(df, text_col, n_buckets, salt, id_col)
     # LEFT join against the COUNT table (not a prebuilt ratio): a bucket
     # absent from both corpora coalesces its counts to 0 and gets the

@@ -7771,8 +7771,16 @@ def _dsir_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textops import dsir_scores
 
     docs = load_table(spark, sf_dir, "documents")
-    target = docs.where(F.col("source").isin("src0", "src1"))
-    return dsir_scores(docs, target, n_buckets=4096)
+    # r16: the target here is a predicate-selected subset of the pool,
+    # so the single-pass model path applies — both model counts from
+    # ONE featurize scan (conditional ≤B-wide aggregate) instead of a
+    # separate explode+md5 pass over the target corpus plus a ≤B-row
+    # full-outer join; same integers, one fewer corpus-scale scan
+    return dsir_scores(
+        docs,
+        target_pred=F.col("source").isin("src0", "src1"),
+        n_buckets=4096,
+    )
 
 
 @register("q_llm_dsir_scores", _DSIR_SCORES_SQL + " ORDER BY doc_id")
@@ -7848,15 +7856,24 @@ def q_llm_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     project once, block/store/shuffle 4x-shorter vectors, re-rank
     survivors on the originals.
 
-    Plan: the matrix embeds as plan literals and each coordinate is an
-    ordered zip_with+aggregate double fold — ONE codegen'd scan-stage
-    projection, zero joins/shuffles at any corpus size (the posexplode
-    here is presentation for the per-coordinate diff, not part of the
-    operator)."""
+    Plan (r16): ONE Arrow mapInPandas over the two needed columns —
+    the sign matrix ships once in the serialized op and each batch
+    accumulates the projection with in_dim vectorized fused ops in
+    input order, BIT-EQUAL to the literal zip_with+aggregate fold
+    (pinned in tests/test_jl_projection.py). Zero joins/shuffles at
+    any corpus size, unchanged. The literal plan-literal path this
+    replaces spent ~2.4 s/run at sf0.1 building and planning its
+    64×16 = 1024-literal expression tree (~1.3 s py4j construction +
+    ~1.1 s analyze/optimize/codegen) against ~0.03 s of actual data
+    compute — per-row it was also an interpreted-HOF fold (~µs per
+    element; the char-entropy/gopher-repetition lesson), so the Arrow
+    path wins at every scale, not just on plan overhead."""
     from ..operators.similarity import jl_project
 
-    embs = load_table(spark, sf_dir, "embeddings")
-    proj = jl_project(embs, 16, in_dim=64)
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    proj = jl_project(embs, 16, in_dim=64, method="blas")
     return proj.select(
         "vec_id", F.posexplode("proj").alias("dim", "y0")
     ).select(

@@ -130,3 +130,35 @@ def test_model_is_bounded_and_bucket_guard(spark):
     assert model.columns == ["bucket", "logratio"]
     with pytest.raises(ValueError, match="n_buckets"):
         dsir_logratio_model(docs, docs, n_buckets=0)
+
+
+def test_target_pred_path_matches_target_frame_path(spark):
+    """The r16 single-pass model path (target_pred over raw) must score
+    EVERY document identically to the two-pass path (a separate target
+    frame): same integers into the same smoothed log-ratio, so exact
+    equality on (n_features, logw) — not a tolerance. Also pins the
+    structural point of the optimization: the pred plan carries fewer
+    exchanges (no second featurize of the target, no ≤B-row full-outer
+    model join)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pred = F.col("source").isin("src0", "src1")
+    two_pass = dsir_scores(docs, docs.where(pred), n_buckets=256)
+    one_pass = dsir_scores(docs, target_pred=pred, n_buckets=256)
+    a = {r.doc_id: (r.n_features, r.logw) for r in two_pass.collect()}
+    b = {r.doc_id: (r.n_features, r.logw) for r in one_pass.collect()}
+    assert a == b
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.plans.metrics import (
+        collect_plan_metrics,
+    )
+    n_two = collect_plan_metrics(two_pass)["n_exchanges"]
+    n_one = collect_plan_metrics(one_pass)["n_exchanges"]
+    assert n_one < n_two, (n_one, n_two)
+
+
+def test_target_pred_and_frame_are_mutually_exclusive(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pred = F.col("source") == "src0"
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_scores(docs, docs.where(pred), target_pred=pred)
+    with pytest.raises(ValueError, match="exactly one"):
+        dsir_scores(docs)

@@ -89,10 +89,12 @@ def test_guards(spark):
 
 
 def test_blas_path_matches_literal_path(spark):
-    """method='blas' (the over-budget broadcast-matmul path, what
-    'auto' dispatches to past 100k literals) computes the same
-    projection as the plan-literal folds — only float summation order
-    differs. NULL/wrong-length contract holds in both."""
+    """method='blas' (what q_llm_jl_projection runs since r16, and what
+    'auto' dispatches to past 100k literals) is BIT-EQUAL to the
+    plan-literal folds: it accumulates in input-dim order with unscaled
+    ±1 signs and scales once after the sum — the identical float64
+    operation sequence, so exact equality, not a tolerance.
+    NULL/wrong-length contract holds in both."""
     embs = spark.read.parquet(SF_EMB).limit(50)
     lit_rows = {
         r.vec_id: r.proj
@@ -104,7 +106,10 @@ def test_blas_path_matches_literal_path(spark):
     }
     assert set(lit_rows) == set(blas_rows)
     for k in lit_rows:
-        np.testing.assert_allclose(lit_rows[k], blas_rows[k], atol=1e-9)
+        assert lit_rows[k] == blas_rows[k], (
+            f"vec {k}: blas path drifted from the literal fold — the "
+            "ordered-accumulation contract is broken"
+        )
     bad = spark.createDataFrame(
         [(1, [1.0, 2.0]), (2, None)], "vec_id long, embedding array<double>"
     )
