@@ -1719,6 +1719,7 @@ def prototypicality(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "literal",
 ) -> DataFrame:
     """Per-vector prototypicality: cosine similarity to the NEAREST of
     ``k`` given centroids, plus that centroid's index — the
@@ -1742,10 +1743,26 @@ def prototypicality(
     Vectors are cast element-wise to double before any arithmetic, so
     the fold matches the DuckDB oracle's double-list
     ``list_cosine_similarity`` at 4 dp.
+
+    ``method``: ``"literal"`` (the plan-literal folds above) or
+    ``"arrow"`` (r16): one ``mapInPandas`` over (id, vec) computes the
+    k UNROUNDED cosines per batch with the identical float64 operation
+    sequence — dot and ‖v‖² accumulate in element order, the divisor
+    is (‖v‖·‖c‖) exactly as the literal expression — and the 4-dp
+    round, argmax and index tie-break stay JVM EXPRESSIONS over the k
+    scalar columns, so the two methods are BIT-EQUAL end to end
+    (pinned exactly in tests/test_llm_ops.py). The literal path pays
+    ~k·d py4j literal construction + a Catalyst tree in the plan and
+    ~k·d interpreted-HOF lambda evaluations PER ROW at execution; the
+    arrow path pays neither (the q_llm_jl_projection lesson at k=8).
     """
     import math
 
+    if method not in ("literal", "arrow"):
+        raise ValueError(f"unknown method: {method}")
     n_lits = sum(len(c) for c in centroids)
+    if method == "arrow":
+        return _prototypicality_arrow(embs, centroids, id_col, vec_col)
     if n_lits > 100_000:
         # plan-literal centroids stop being "metadata" around here: the
         # expression tree itself becomes the bottleneck. Past the valve,
@@ -1784,6 +1801,104 @@ def prototypicality(
     for i in reversed(range(len(cos_r))):
         cluster = F.when(cos_r[i] == best, F.lit(i)).otherwise(cluster)
     return embs.select(
+        F.col(id_col),
+        cluster.alias("cluster"),
+        best.alias("proto_cos"),
+    )
+
+
+def _prototypicality_arrow(
+    embs: DataFrame,
+    centroids,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow twin of the literal prototypicality path: each batch
+    computes the k UNROUNDED cosines with the literal fold's exact
+    float64 operation sequence — ``dot += x_i·c_i`` and
+    ``n += x_i·x_i`` accumulate in element order, the divisor is
+    ``‖v‖·‖c‖`` with ‖c‖ from the same plain left-to-right Python sum
+    — and yields them as k scalar columns. Rounding (4 dp), the
+    greatest() argmax and the index tie-break remain JVM expressions
+    over those scalars, identical to the literal path's tail, so the
+    whole operator is bit-equal to it. NULL contract preserved: a NULL
+    or wrong-length vector yields NULL cosines (the literal path's
+    zip_with/aggregate NULL propagation), and a zero-norm vector NULL
+    cosines (the ``when(norm_v > 0)`` guard)."""
+    import math
+
+    import pandas as pd
+
+    C_rows = [[float(x) for x in c] for c in centroids]
+    k = len(C_rows)
+    if k == 0:
+        raise ValueError("no centroids")
+    dim = len(C_rows[0])
+    if any(len(c) != dim for c in C_rows):
+        raise ValueError("centroids of mixed dimensionality")
+    norm_c = np.array(
+        [math.sqrt(sum(x * x for x in c)) for c in C_rows]
+    )
+    if (norm_c == 0.0).any():
+        raise ValueError("zero-norm centroid")
+    C = np.asarray(C_rows, dtype=np.float64)  # k × d
+    id_type = dict(embs.dtypes)[id_col]
+    cos_names = [f"_cos{i}" for i in range(k)]
+
+    def op(batches):
+        for batch in batches:
+            if not len(batch):
+                continue
+            vecs = batch[vec_col]
+            ok = vecs.map(
+                lambda v: v is not None and len(v) == dim
+            ).to_numpy()
+            out = {id_col: batch[id_col]}
+            cols = np.zeros((len(batch), k))
+            # NULL ≠ NaN: the literal path yields SQL NULL for a
+            # missing/wrong-length vector and for the when(norm>0)
+            # guard on an exact zero norm, but a NaN that ARRIVES in
+            # the data stays a NaN VALUE (Spark's NaN > 0 is true, so
+            # the guard passes it through) — track nullness separately
+            null = np.ones(len(batch), dtype=bool)
+            if ok.any():
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in vecs[ok]]
+                )
+                dots = np.zeros((X.shape[0], k))
+                nsq = np.zeros(X.shape[0])
+                for i in range(dim):
+                    # literal-fold op order: s + (x_i * c_i), element
+                    # index ascending — NOT one dgemm, which could
+                    # re-associate the additions
+                    dots += X[:, i : i + 1] * C[:, i][None, :]
+                    nsq += X[:, i] * X[:, i]
+                nv = np.sqrt(nsq)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / (nv[:, None] * norm_c[None, :])
+                rows = np.flatnonzero(ok)
+                cols[rows] = cos
+                null[rows] = nv == 0.0
+            for j, name in enumerate(cos_names):
+                col = cols[:, j]
+                out[name] = [
+                    None if null[r] else float(col[r])
+                    for r in range(len(batch))
+                ]
+            yield pd.DataFrame(out)
+
+    scored = embs.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        op,
+        ", ".join(
+            [f"`{id_col}` {id_type}"] + [f"{n} double" for n in cos_names]
+        ),
+    )
+    cos_r = [F.round(F.col(n), 4) for n in cos_names]
+    best = F.greatest(*cos_r) if len(cos_r) > 1 else cos_r[0]
+    cluster = F.lit(None).cast("int")
+    for i in reversed(range(len(cos_r))):
+        cluster = F.when(cos_r[i] == best, F.lit(i)).otherwise(cluster)
+    return scored.select(
         F.col(id_col),
         cluster.alias("cluster"),
         best.alias("proto_cos"),

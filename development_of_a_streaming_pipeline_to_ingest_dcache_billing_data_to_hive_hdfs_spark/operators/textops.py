@@ -1090,10 +1090,11 @@ def bigram_nll(
 
     Output: (id, n_bigrams, nll), nll = avg(-ln p) rounded 4 dp.
 
-    Shape at 100 TB: one explode into the pair stream, two model-sized
-    groupBys (pairs, contexts), a 1-row vocab aggregate broadcast, and
-    two model joins back onto the pair stream — all two-phase with
-    map-side partials. ``broadcast_model=True`` broadcasts both model
+    Shape at 100 TB: one explode into the pair stream, ONE model-sized
+    corpus groupBy (pairs; the context table derives from it as a
+    model-sized re-aggregation — r16, saving a third corpus-scale
+    explode), a 1-row vocab aggregate broadcast, and two model joins
+    back onto the pair stream — all two-phase with map-side partials. ``broadcast_model=True`` broadcasts both model
     tables (safe when the bigram table fits an executor; gate it with
     a min-count cut first at corpus scale). Pure JVM math: +, /, ln
     are IEEE ops, identical in the DuckDB oracle."""
@@ -1111,10 +1112,18 @@ def bigram_nll(
             F.explode(tokens_col(text_col)).alias("tok")
         )
     bgf = src_pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    # context counts DERIVE from the bigram model, not from a third
+    # corpus-scale explode (r16): c1(w1) = Σ c12 over the distinct
+    # bigrams starting with w1 — the identical integer (a count of
+    # pair occurrences grouped by prefix, computed as a sum of
+    # per-pair counts), at model-table cost instead of another full
+    # tokenize+explode pass over the corpus
     ctx = (
-        src_pairs.select(F.substring_index("bg", " ", 1).alias("w1"))
+        bgf.select(
+            F.substring_index("bg", " ", 1).alias("w1"), F.col("c12")
+        )
         .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c1"))
+        .agg(F.sum("c12").alias("c1"))
     )
     voc = src_toks.agg(F.count_distinct("tok").alias("v"))
     if broadcast_model:

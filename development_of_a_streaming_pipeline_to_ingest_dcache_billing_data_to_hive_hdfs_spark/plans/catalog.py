@@ -7419,7 +7419,15 @@ def q_llm_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossJoin+groupBy formulation would shuffle k·N rows). The oracle
     cross-joins the same 8 rows and picks the same argmax via
     ROW_NUMBER over (rounded cos DESC, cid ASC); the bounded driver
-    collect is 8 rows of metadata scale."""
+    collect is 8 rows of metadata scale.
+
+    r16: runs the operator's ``method="arrow"`` path — one mapInPandas
+    computes the 8 unrounded cosines per batch with the literal fold's
+    exact op order (bit-equal, pinned in tests/test_llm_ops.py); the
+    4-dp round + argmax stay JVM expressions. The literal path spent
+    ~1.3 s/run at sf0.1 on 512-literal py4j construction + Catalyst
+    planning and evaluated ~k·d interpreted-HOF lambdas per row — the
+    q_llm_jl_projection lesson at k=8."""
     from ..operators.similarity import prototypicality
 
     embs = load_table(spark, sf_dir, "embeddings")
@@ -7430,7 +7438,7 @@ def q_llm_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("embedding")
         .collect()
     ]
-    return prototypicality(embs, cents)
+    return prototypicality(embs, cents, method="arrow")
 
 
 @register(

@@ -2299,3 +2299,36 @@ def test_extract_features_fuzz_corpus_fails_soft(spark):
     )
     with pytest.raises(Exception, match="malformed|truncated|PNG"):
         extract_features(bad, fake=False, on_error="raise").collect()
+
+
+def test_bigram_ctx_derivation_matches_direct_count(spark):
+    """r16: the context table derives from the bigram model
+    (c1 = SUM(c12) grouped by the bigram's first token) instead of a
+    third corpus-scale explode. Pin the integer identity against the
+    direct pair-stream count on real data — any drift here would shift
+    every smoothed conditional."""
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators.textops import (
+        bigrams_col,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = docs.select(F.explode(bigrams_col("text")).alias("bg"))
+    direct = {
+        r.w1: r.c1
+        for r in pairs.select(
+            F.substring_index("bg", " ", 1).alias("w1")
+        )
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .collect()
+    }
+    derived = {
+        r.w1: r.c1
+        for r in pairs.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .select(F.substring_index("bg", " ", 1).alias("w1"), "c12")
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+        .collect()
+    }
+    assert direct == derived

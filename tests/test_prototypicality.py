@@ -94,3 +94,44 @@ def test_plan_literal_budget_valve(spark):
     big = [[1.0] * 101 for _ in range(1000)]  # 101k literals
     with _pytest.raises(ValueError, match="plan-literal budget"):
         prototypicality(df, big)
+
+
+def test_arrow_path_is_bit_equal_to_literal_path(spark):
+    """method='arrow' (what q_llm_prototypicality runs since r16) must
+    be BIT-EQUAL to the plan-literal folds: the Arrow op accumulates
+    dot and ||v||^2 in element order and leaves the 4-dp round + argmax
+    to the same JVM expressions, so exact equality on (cluster,
+    proto_cos) — not a tolerance. NULL (missing / wrong-length) and
+    zero-norm contracts must agree too."""
+    embs = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    cents = [
+        r["embedding"]
+        for r in embs.where(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    lit = {
+        r.vec_id: (r.cluster, r.proto_cos)
+        for r in prototypicality(embs, cents).collect()
+    }
+    arw = {
+        r.vec_id: (r.cluster, r.proto_cos)
+        for r in prototypicality(embs, cents, method="arrow").collect()
+    }
+    assert lit == arw
+    dim = len(cents[0])
+    edge = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0]), (3, [0.0] * dim)],
+        "vec_id long, embedding array<double>",
+    )
+    for m in ("literal", "arrow"):
+        out = {
+            r.vec_id: (r.cluster, r.proto_cos)
+            for r in prototypicality(edge, cents, method=m).collect()
+        }
+        assert out == {1: (None, None), 2: (None, None), 3: (None, None)}
+    with pytest.raises(ValueError, match="unknown method"):
+        prototypicality(edge, cents, method="numpy")
