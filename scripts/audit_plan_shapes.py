@@ -100,6 +100,15 @@ _ADAPTIVE_PICK = (
 _B = "bcast-over-shuffle"
 _S = "single-partition"
 
+_HINTED_LSH_DISTINCT = (
+    "hinted: the blocked rerank's vector re-join broadcasts the "
+    "DISTINCT candidate ids (dedup aggregate = the sub-exchange) only "
+    "while the MEASURED distinct count fits the gate budget; over "
+    "budget the gate drops the hint and the planner shuffle-joins "
+    "(q_llm_lsh_recall's other allowance is its pre-existing bounded "
+    "audit-frame broadcast)"
+)
+
 # Seeded from the r12 whole-catalog sweep (174 queries, every hit read
 # plan-by-plan; the one genuine defect — the PQ rerank corpus SMJ —
 # was fixed before this list was cut, so everything here is the benign
@@ -139,13 +148,19 @@ KNOWN_BENIGN: dict[str, dict[str, tuple[int, str]]] = {
     "q_llm_ivf_recall": {_B: (1, _BOUNDED_AUDIT), _S: (2, _BOUNDED_AUDIT)},
     "q_llm_ivfadc_search": {_B: (1, _MODEL)},
     "q_llm_kmeans_check": {_S: (4, _BOUNDED_AUDIT)},
-    # r14: the r13 "+1" allowance for the hinted cand_ids broadcast is
-    # gone — the broadcast gate materializes the pair set
-    # (localCheckpoint, so the hint sits over a checkpoint scan with no
-    # sub-exchange) and engages only while the measured pair count fits
-    # the session threshold (tests/test_initial_plan_broadcasts.py::
-    # test_lsh_cand_rejoin_hint_gate pins both gate sides)
-    "q_llm_lsh_recall": {_B: (1, _BOUNDED_AUDIT), _S: (2, _BOUNDED_AUDIT)},
+    # r16: the blocked rerank (r15 verdict task 1) re-introduces ONE
+    # gated broadcast-over-shuffle — the raw-vector re-join's build
+    # side is the DISTINCT candidate ids, whose dedup aggregate is the
+    # exchange under the BroadcastExchange. The hint engages only while
+    # the MEASURED distinct count fits the gate budget (over budget it
+    # falls back to the planner's shuffle join), so the broadcast is
+    # count-bounded by construction; the scores→pairs hint sits over
+    # the checkpointed pair set (no sub-exchange) as in r14.
+    "q_llm_lsh_recall": {
+        _B: (2, _HINTED_LSH_DISTINCT),
+        _S: (2, _BOUNDED_AUDIT),
+    },
+    "q_llm_lsh_topk": {_B: (1, _HINTED_LSH_DISTINCT)},
     "q_llm_minhash_check": {_S: (1, _BOUNDED_AUDIT)},
     "q_llm_multimodal_check": {_S: (5, _BOUNDED_AUDIT)},
     "q_llm_multimodal_features": {_S: (1, _SCALAR)},
@@ -198,7 +213,20 @@ KNOWN_BENIGN: dict[str, dict[str, tuple[int, str]]] = {
 # ``hint_pairing_violations`` below, so an allowance cannot accrete
 # without its paired test.
 # ---------------------------------------------------------------------------
-HINTED_ALLOWANCE_TESTS: dict[str, str] = {}
+HINTED_ALLOWANCE_TESTS: dict[str, str] = {
+    # the blocked rerank's measured-count gates: both postures (hints
+    # in the initial plan under the default session; both gates
+    # falling back to SortMergeJoin with the threshold driven to '1')
+    # are pinned by the same initial-plan test
+    "q_llm_lsh_recall": (
+        "tests/test_initial_plan_broadcasts.py::"
+        "test_lsh_cand_rejoin_hint_gate"
+    ),
+    "q_llm_lsh_topk": (
+        "tests/test_initial_plan_broadcasts.py::"
+        "test_lsh_cand_rejoin_hint_gate"
+    ),
+}
 
 
 def hint_pairing_violations(
