@@ -1073,6 +1073,43 @@ def test_kmeans_recovers_separated_clusters(spark):
     assert history[-1] < 10.0
 
 
+def test_kmeans_direct_merge_matches_groupby_reduce(spark, monkeypatch):
+    """r17: the per-iteration stats reduce has two paths — the bounded
+    direct driver merge (k·n_parts under the valve) and the k-key
+    groupBy fallback (cluster-scale partition counts). Both must yield
+    the same fit: identical assignments and centroids, inertia history
+    equal to float noise (the two paths merge the same per-partition
+    partials, only the merge ORDER differs — at one partition per this
+    data size even that is identical)."""
+    import numpy as np
+
+    from development_of_a_streaming_pipeline_to_ingest_dcache_billing_data_to_hive_hdfs_spark.operators import (
+        similarity as S,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=6)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    a_asg, a_cent, a_hist = S.kmeans_embeddings(
+        emb, k=4, iters=3, init_sample=200
+    )
+    direct = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in a_asg.collect()}
+
+    monkeypatch.setattr(S, "_KMEANS_DIRECT_MERGE_MAX_ROWS", 0)
+    b_asg, b_cent, b_hist = S.kmeans_embeddings(
+        emb, k=4, iters=3, init_sample=200
+    )
+    grouped = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in b_asg.collect()}
+
+    assert direct == grouped
+    np.testing.assert_allclose(a_cent, b_cent, rtol=0, atol=1e-12)
+    assert len(a_hist) == len(b_hist) == 3
+    np.testing.assert_allclose(a_hist, b_hist, rtol=1e-12)
+
+
 def test_pq_topk_recall_and_compression(spark):
     """PQ-with-rerank beats the recall floor on the real embeddings
     table; codes are m small ints (the 32× index compression)."""
