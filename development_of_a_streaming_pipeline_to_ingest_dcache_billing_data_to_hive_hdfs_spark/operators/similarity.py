@@ -647,40 +647,74 @@ def _jl_project_blas(
     per element, not merely close (a single dgemm could re-associate
     the additions; in_dim vectorized accumulations cost the same at
     these shapes and keep the order deterministic). Same
-    NULL/wrong-length → NULL contract as the literal path."""
+    NULL/wrong-length → NULL contract as the literal path, INCLUDING
+    NaN elements (r17, r16 advice): the op is ``mapInArrow`` and the
+    projection is built as an explicitly-masked Arrow ListArray, so a
+    NaN stays a VALUE end to end exactly as the literal fold emits it
+    — a pandas float column would coerce NaN → SQL NULL on the way
+    back. mapInArrow also passes the untouched columns through without
+    a pandas round trip. A NULL ELEMENT inside a vector raises (the
+    previous pandas path crashed on it unintelligibly; the literal
+    path NULL-poisons single coordinates — no caller relies on either,
+    so loud beats a silent contract fork)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     S = np.asarray(jl_sign_matrix(in_dim, out_dim, salt), dtype=np.float64)
     inv_root = 1.0 / math.sqrt(out_dim)
     out_fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema
     )
+    vec_idx = df.columns.index(vec_col)
 
     def op(batches):
-        for batch in batches:
-            batch = batch.copy()
-            if not len(batch):
-                batch[out_col] = []
-                yield batch
-                continue
-            vecs = batch[vec_col]
-            ok = vecs.map(
-                lambda v: v is not None and len(v) == in_dim
-            ).to_numpy()
-            proj = [None] * len(batch)
-            if ok.any():
-                X = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in vecs[ok]]
+        for rb in batches:
+            n = rb.num_rows
+            vec = rb.column(vec_idx)
+            if n == 0 or vec.null_count == n:
+                ok = np.zeros(n, dtype=bool)
+            else:
+                lens = pc.list_value_length(vec)
+                ok = pc.fill_null(
+                    pc.equal(lens, in_dim), False
+                ).to_numpy(zero_copy_only=False)
+            n_ok = int(ok.sum())
+            if n_ok:
+                taken = vec.take(pa.array(np.flatnonzero(ok)))
+                if taken.values.null_count:
+                    raise ValueError(
+                        "jl_project(method='blas'): NULL element inside "
+                        "an embedding vector — clean the input or use "
+                        "method='literal' (which NULL-poisons the "
+                        "affected coordinates)"
+                    )
+                X = (
+                    taken.values.to_numpy(zero_copy_only=False)
+                    .astype(np.float64, copy=False)
+                    .reshape(n_ok, in_dim)
                 )
-                Y = np.zeros((X.shape[0], out_dim), dtype=np.float64)
+                Y = np.zeros((n_ok, out_dim), dtype=np.float64)
                 for i in range(in_dim):
                     # same op order as the literal fold: s + (a_i * b_ij)
                     Y += X[:, i : i + 1] * S[i, :]
                 Y *= inv_root
-                for row_pos, y in zip(np.flatnonzero(ok), Y):
-                    proj[row_pos] = y.tolist()
-            batch[out_col] = proj
-            yield batch
+                values = pa.array(Y.reshape(-1))
+            else:
+                values = pa.array(np.empty(0, dtype=np.float64))
+            offsets = pa.array(
+                np.concatenate(
+                    [[0], np.cumsum(np.where(ok, out_dim, 0))]
+                ).astype(np.int32)
+            )
+            proj = pa.ListArray.from_arrays(
+                offsets, values, mask=pa.array(~ok)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(i) for i in range(rb.num_columns)] + [proj],
+                names=list(rb.schema.names) + [out_col],
+            )
 
-    return df.mapInPandas(op, f"{out_fields}, `{out_col}` array<double>")
+    return df.mapInArrow(op, f"{out_fields}, `{out_col}` array<double>")
 
 
 def quantize_embeddings(
@@ -796,6 +830,7 @@ def lsh_cosine_topk(
     n_tables: int = 16,
     dim: int = 32,
     seed: int = 42,
+    max_query_rows: int = 200_000,
 ) -> DataFrame:
     """Approximate top-k: bucket on any of n_tables sign signatures, then
     exact-cosine rerank within the (small) candidate set.
@@ -805,6 +840,13 @@ def lsh_cosine_topk(
     recall needs many low-selectivity tables. Clustered real-world
     embeddings support more bits per table (smaller candidate sets);
     recall/cost is pytest-measured against the brute-force baseline.
+
+    The QUERIES side is serving-scale by contract: its vectors are
+    collected to the driver (the rerank's closure matrix) and its
+    signatures broadcast. ``max_query_rows`` enforces that contract —
+    the collect is limit-bounded, so a corpus-sized queries frame
+    fails fast with a diagnostic instead of OOMing the driver (r17;
+    the brute-force path's ``broadcast_max_rows`` idiom).
 
     The rerank is BLOCKED (r15 verdict task 1): raw vectors re-attach
     to the DISTINCT candidate ids only — each corpus vector crosses
@@ -855,6 +897,37 @@ def lsh_cosine_topk(
     from .textops import _broadcast_threshold_bytes
 
     planes = np.asarray(random_hyperplanes(dim, n_bits, n_tables, seed))
+    id_type = dict(corpus.dtypes)[id_col]
+    # the query matrix for the rerank closure: the queries side is
+    # serving-scale by the operator's contract (the same bound that
+    # lets the bucket probe broadcast q_sig unconditionally) — and
+    # GUARDED (r16 verdict): the collect itself is limit-bounded, so a
+    # caller passing a corpus-sized frame fails fast with a diagnostic
+    # instead of OOMing the driver (the brute-force path's
+    # broadcast_max_rows idiom). Collected FIRST so the guard (and the
+    # empty-queries early return) fire before the bucket-join pair set
+    # is materialized.
+    q_pdf = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .limit(max_query_rows + 1)
+        .toPandas()
+    )
+    if len(q_pdf) > max_query_rows:
+        raise ValueError(
+            f"lsh_cosine_topk: queries frame exceeds max_query_rows="
+            f"{max_query_rows} — the query matrix is collected to the "
+            "driver and broadcast per task, so the queries side must "
+            "stay serving-scale; raise max_query_rows only if the "
+            "driver has the memory, or batch the queries"
+        )
+    if not len(q_pdf):
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"query_id {id_type}, neighbor_id {id_type}, "
+            "cos double, rank int",
+        )
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
+    q_ids = q_pdf[id_col].tolist()
     # The pair set is materialized once (localCheckpoint): the
     # broadcast gate below needs its COUNT, and counting an
     # unmaterialized subtree would run the bucket join + distinct
@@ -872,21 +945,6 @@ def lsh_cosine_topk(
     cand_ids = _lsh_candidate_ids(
         corpus, queries, planes, id_col, vec_col
     ).localCheckpoint()
-    id_type = dict(corpus.dtypes)[id_col]
-    # the query matrix for the rerank closure: the queries side is
-    # serving-scale by the operator's contract (the same bound that
-    # lets the bucket probe broadcast q_sig unconditionally), so this
-    # collect is bounded by query count — the established pq/ivf
-    # serving-side idiom
-    q_pdf = queries.select(F.col(id_col), F.col(vec_col)).toPandas()
-    if not len(q_pdf):
-        return corpus.sparkSession.createDataFrame(
-            [],
-            f"query_id {id_type}, neighbor_id {id_type}, "
-            "cos double, rank int",
-        )
-    Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
-    q_ids = q_pdf[id_col].tolist()
     # ONE aggregate over the materialized pair set yields both gate
     # counts: total pairs (scores→pairs join side) and distinct
     # candidates (vector re-join side)
@@ -1866,8 +1924,11 @@ def _prototypicality_arrow(
     over those scalars, identical to the literal path's tail, so the
     whole operator is bit-equal to it. NULL contract preserved: a NULL
     or wrong-length vector yields NULL cosines (the literal path's
-    zip_with/aggregate NULL propagation), and a zero-norm vector NULL
-    cosines (the ``when(norm_v > 0)`` guard)."""
+    zip_with/aggregate NULL propagation), a zero-norm vector NULL
+    cosines (the ``when(norm_v > 0)`` guard), and a NaN ELEMENT in the
+    data a NaN cosine VALUE — the cosines cross as masked Float64
+    extension arrays, whose Arrow conversion keeps NaN distinct from
+    null (r17; a plain float column would coerce NaN → SQL NULL)."""
     import math
 
     import pandas as pd
@@ -1903,6 +1964,11 @@ def _prototypicality_arrow(
             # guard on an exact zero norm, but a NaN that ARRIVES in
             # the data stays a NaN VALUE (Spark's NaN > 0 is true, so
             # the guard passes it through) — track nullness separately
+            # and emit masked Float64 extension arrays, whose Arrow
+            # conversion keeps NaN a value distinct from null (r17,
+            # r16 advice: a plain float column's pandas→Arrow
+            # serialization coerces NaN to SQL NULL, which broke the
+            # bit-equality contract for NaN-bearing vectors)
             null = np.ones(len(batch), dtype=bool)
             if ok.any():
                 X = np.stack(
@@ -1923,11 +1989,9 @@ def _prototypicality_arrow(
                 cols[rows] = cos
                 null[rows] = nv == 0.0
             for j, name in enumerate(cos_names):
-                col = cols[:, j]
-                out[name] = [
-                    None if null[r] else float(col[r])
-                    for r in range(len(batch))
-                ]
+                out[name] = pd.arrays.FloatingArray(
+                    np.ascontiguousarray(cols[:, j]), null.copy()
+                )
             yield pd.DataFrame(out)
 
     scored = embs.select(F.col(id_col), F.col(vec_col)).mapInPandas(

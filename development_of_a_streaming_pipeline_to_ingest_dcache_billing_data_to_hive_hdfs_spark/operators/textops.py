@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic.
@@ -754,9 +754,10 @@ def duplicated_spans(
     recurring in ≥ min_docs docs" is corpus-dependent: web-scale
     boilerplate/license blocks can push it past Spark's 8 GB broadcast
     hard limit, where a forced ``F.broadcast`` hint OOMs instead of
-    degrading. Survivors are already materialized (localCheckpoint), so
-    a count is cheap; the two recovery joins are hinted broadcast only
-    while the estimated size fits the session's
+    degrading. Survivors are materialized once (localCheckpoint) and
+    their count rides that same job as an ``Observation`` metric (r17
+    — no separate count job); the two recovery joins are hinted
+    broadcast only while the measured size fits the session's
     ``autoBroadcastJoinThreshold`` (≤ 0 — estimate-based auto-broadcast
     disabled — falls back to the 10 MB default budget; the count here
     is measured, not estimated) and otherwise fall back to the
@@ -769,6 +770,11 @@ def duplicated_spans(
     spans = toks.select(
         "doc_id", F.explode(raw_ngrams_col("toks", n)).alias("span")
     )
+    # the gate count rides the checkpoint's own materialization job as
+    # an Observation metric (r17 — the LSH "one aggregate yields the
+    # gate counts" idiom taken one step further): previously a separate
+    # count() job re-read the materialized blocks
+    n_obs = Observation()
     survivors = (
         spans.select("doc_id", F.xxhash64("span").alias("_fp"))
         .groupBy("_fp")
@@ -778,6 +784,7 @@ def duplicated_spans(
             F.min("doc_id").alias("_probe_doc"),
         )
         .where(F.col("n_docs") >= min_docs)
+        .observe(n_obs, F.count(F.lit(1)).alias("n_surv"))
         # two consumers (probe-doc list, final join) would otherwise
         # each re-run the corpus scan + counting exchange; survivors
         # are 32-byte rows of RECURRING spans only (≪ corpus — the
@@ -786,11 +793,11 @@ def duplicated_spans(
         .localCheckpoint()
     )
     # ~64 bytes/row is deliberately conservative (4 longs + row overhead
-    # + hashed-relation inflation); survivors.count() reads the already-
-    # materialized checkpoint, no recompute
+    # + hashed-relation inflation)
     hint = (
         F.broadcast
-        if survivors.count() * 64 <= _broadcast_threshold_bytes(docs.sparkSession)
+        if n_obs.get["n_surv"] * 64
+        <= _broadcast_threshold_bytes(docs.sparkSession)
         else (lambda df: df)
     )
     probe_spans = (
@@ -1243,6 +1250,14 @@ def _dsir_model_parts_pred(
     consumer's coalesce maps both to the Laplace floor)."""
     if not 0 < n_buckets <= 1_000_000:
         raise ValueError(f"n_buckets out of range: {n_buckets}")
+    if "_dsir_is_tgt" in raw.columns:
+        # withColumn would silently OVERWRITE the caller's column and
+        # feed the predicate result under its name (r16 advice)
+        raise ValueError(
+            "dsir_scores(target_pred=...): the raw frame already has a "
+            "'_dsir_is_tgt' column — rename it; the name is reserved "
+            "for the operator's internal target flag"
+        )
     feats = _dsir_features(
         raw.withColumn("_dsir_is_tgt", target_pred),
         text_col, n_buckets, salt, "_dsir_is_tgt",
@@ -1318,7 +1333,13 @@ def dsir_scores(
     of the target corpus and the ≤B-row full-outer model join. The
     counts are the same integers either way (a bucket absent from the
     target reads c_tgt = 0 where the join path read NULL; the smoothed
-    log-ratio coalesces both to the identical Laplace floor)."""
+    log-ratio coalesces both to the identical Laplace floor). Note the
+    ≤B-row count table is localCheckpointed EAGERLY, so this path runs
+    one corpus-scale featurize job at CONSTRUCTION time (the LSH-gate
+    idiom — required because AQE exchange reuse does not reach under
+    the scoring join's BroadcastExchange); ``_dsir_is_tgt`` is a
+    reserved internal column name on ``raw`` (a pre-existing one
+    raises rather than being silently overwritten)."""
     if (target is None) == (target_pred is None):
         raise ValueError(
             "pass exactly one of target (a frame) or target_pred "
@@ -1624,12 +1645,17 @@ def strip_boilerplate_lines(
         group_col=group_col,
         text_col=text_col,
     )
+    # the fingerprint-volume gate count rides the checkpoint's own
+    # materialization job as an Observation metric (r17): previously a
+    # separate aggregate job re-read the materialized blocks
+    n_obs = Observation()
     sets = (
         bl.groupBy(group_col)
         .agg(F.collect_set("line_fp").alias("_bl_fps"))
+        .observe(n_obs, F.sum(F.size("_bl_fps")).alias("n_fps"))
         .localCheckpoint()
     )
-    n_fps = sets.agg(F.sum(F.size("_bl_fps"))).collect()[0][0] or 0
+    n_fps = n_obs.get["n_fps"] or 0
     # 48 bytes per 32-hex-char fingerprint string + row overhead
     hint = (
         F.broadcast

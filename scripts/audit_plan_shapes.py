@@ -104,9 +104,17 @@ _HINTED_LSH_DISTINCT = (
     "hinted: the blocked rerank's vector re-join broadcasts the "
     "DISTINCT candidate ids (dedup aggregate = the sub-exchange) only "
     "while the MEASURED distinct count fits the gate budget; over "
-    "budget the gate drops the hint and the planner shuffle-joins "
-    "(q_llm_lsh_recall's other allowance is its pre-existing bounded "
-    "audit-frame broadcast)"
+    "budget the gate drops the hint and the planner shuffle-joins"
+)
+
+# q_llm_lsh_recall records TWO bcast-over-shuffle allowances; the
+# second is unrelated to the rerank gate, so its reason says so
+# (previously the parenthetical rode the shared string and showed up
+# verbatim — and inapplicably — in q_llm_lsh_topk's triage record)
+_HINTED_LSH_DISTINCT_RECALL = (
+    _HINTED_LSH_DISTINCT
+    + " (q_llm_lsh_recall's other allowance is its pre-existing "
+    "bounded audit-frame broadcast)"
 )
 
 # Seeded from the r12 whole-catalog sweep (174 queries, every hit read
@@ -157,7 +165,7 @@ KNOWN_BENIGN: dict[str, dict[str, tuple[int, str]]] = {
     # count-bounded by construction; the scores→pairs hint sits over
     # the checkpointed pair set (no sub-exchange) as in r14.
     "q_llm_lsh_recall": {
-        _B: (2, _HINTED_LSH_DISTINCT),
+        _B: (2, _HINTED_LSH_DISTINCT_RECALL),
         _S: (2, _BOUNDED_AUDIT),
     },
     "q_llm_lsh_topk": {_B: (1, _HINTED_LSH_DISTINCT)},

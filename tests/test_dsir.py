@@ -162,3 +162,13 @@ def test_target_pred_and_frame_are_mutually_exclusive(spark):
         dsir_scores(docs, docs.where(pred), target_pred=pred)
     with pytest.raises(ValueError, match="exactly one"):
         dsir_scores(docs)
+
+
+def test_target_pred_reserved_column_guard(spark):
+    """r17 (r16 advice): a caller frame that already carries
+    '_dsir_is_tgt' must raise — withColumn would silently overwrite it
+    and feed the predicate under the caller's column name."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tainted = docs.withColumn("_dsir_is_tgt", F.lit(True))
+    with pytest.raises(ValueError, match="_dsir_is_tgt"):
+        dsir_scores(tainted, target_pred=F.col("source") == "src0")

@@ -118,6 +118,17 @@ def test_blas_path_matches_literal_path(spark):
         for r in jl_project(bad, 4, in_dim=64, method="blas").collect()
     }
     assert out[1] is None and out[2] is None
+    # a NaN ELEMENT projects to NaN VALUES on both paths (r17, r16
+    # advice: the blas op emits an explicitly-masked Arrow ListArray,
+    # so the NaN is not coerced to SQL NULL on the way back); list ==
+    # would call NaN != NaN, so check element-wise
+    nan_df = spark.createDataFrame(
+        [(1, [float("nan"), 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    for m in ("literal", "blas"):
+        row = jl_project(nan_df, 4, in_dim=3, method=m).collect()[0]
+        assert row.proj is not None and len(row.proj) == 4, m
+        assert all(math.isnan(v) for v in row.proj), (m, row.proj)
     # auto dispatches to blas past the budget instead of raising
     big = jl_project(embs, 2000, in_dim=64)  # 128k literals -> blas
     row = big.limit(1).collect()[0]

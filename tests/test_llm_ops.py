@@ -142,6 +142,26 @@ def test_lsh_cosine_recall(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_lsh_topk_query_collect_is_guarded(spark):
+    """r17 (r16 verdict task 3): the rerank's query-matrix collect is
+    limit-bounded — a queries frame past max_query_rows fails fast
+    with a diagnostic naming the knob, instead of collecting a
+    corpus-sized frame onto the driver. The guard fires BEFORE the
+    bucket-join pair set is materialized (fail fast = no corpus job)."""
+    import pytest
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        lsh_cosine_topk(emb, emb, k=5, dim=64, max_query_rows=10)
+    # at the boundary itself the collect proceeds (limit cap+1 admits
+    # exactly cap rows)
+    q = emb.where(F.col("vec_id") < 3)
+    out = lsh_cosine_topk(emb, q, k=2, dim=64, max_query_rows=3)
+    assert {r.query_id for r in out.collect()} <= {0, 1, 2}
+
+
 def test_blocked_rerank_scores_one_row_per_query_candidate(spark):
     """The blocked rerank emits exactly n_candidates × n_queries score
     rows from the distinct-candidate input (each corpus vector crosses

@@ -133,5 +133,22 @@ def test_arrow_path_is_bit_equal_to_literal_path(spark):
             for r in prototypicality(edge, cents, method=m).collect()
         }
         assert out == {1: (None, None), 2: (None, None), 3: (None, None)}
+    # a NaN ELEMENT in the data is a VALUE, not a NULL (Spark's
+    # NaN > 0 passes the norm guard) — r17, r16 advice: the arrow
+    # path's cosines ride masked Float64 arrays so the pandas→Arrow
+    # conversion cannot coerce the NaN to SQL NULL; both paths must
+    # agree exactly (note dict == would call NaN != NaN, so compare
+    # field-wise)
+    nan_vec = [float("nan")] + [2.0] * (dim - 1)
+    nan_df = spark.createDataFrame(
+        [(1, nan_vec)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        m: prototypicality(nan_df, cents, method=m).collect()[0]
+        for m in ("literal", "arrow")
+    }
+    for m, r in got.items():
+        assert r.proto_cos is not None and math.isnan(r.proto_cos), (m, r)
+    assert got["literal"].cluster == got["arrow"].cluster
     with pytest.raises(ValueError, match="unknown method"):
         prototypicality(edge, cents, method="numpy")
