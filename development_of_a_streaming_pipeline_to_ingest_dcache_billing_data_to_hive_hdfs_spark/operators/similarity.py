@@ -1852,7 +1852,7 @@ def prototypicality(
     is (‖v‖·‖c‖) exactly as the literal expression — and the 4-dp
     round, argmax and index tie-break stay JVM EXPRESSIONS over the k
     scalar columns, so the two methods are BIT-EQUAL end to end
-    (pinned exactly in tests/test_llm_ops.py). The literal path pays
+    (pinned exactly in tests/test_prototypicality.py). The literal path pays
     ~k·d py4j literal construction + a Catalyst tree in the plan and
     ~k·d interpreted-HOF lambda evaluations PER ROW at execution; the
     arrow path pays neither (the q_llm_jl_projection lesson at k=8).

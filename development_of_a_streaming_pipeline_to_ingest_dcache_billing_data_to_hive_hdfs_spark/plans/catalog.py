@@ -7423,7 +7423,7 @@ def q_llm_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r16: runs the operator's ``method="arrow"`` path — one mapInPandas
     computes the 8 unrounded cosines per batch with the literal fold's
-    exact op order (bit-equal, pinned in tests/test_llm_ops.py); the
+    exact op order (bit-equal, pinned in tests/test_prototypicality.py); the
     4-dp round + argmax stay JVM expressions. The literal path spent
     ~1.3 s/run at sf0.1 on 512-literal py4j construction + Catalyst
     planning and evaluated ~k·d interpreted-HOF lambdas per row — the
@@ -8086,9 +8086,10 @@ def q_rel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Execution: the second ITERATIVE graph op beside connected
     components — a driver loop of keyed aggregations with
     localCheckpoint() truncating lineage per round, static
-    edges/degree base checkpointed once, dangling mass folded back via
-    a broadcast 1-row aggregate (unused on this closed graph, load-
-    bearing on real link graphs)."""
+    edges/degree base checkpointed once, dangling mass riding each
+    round's checkpoint job as an Observation metric re-entering the
+    next round as a plan literal (r17; unused on this closed graph,
+    load-bearing on real link graphs)."""
     from ..operators.graph import pagerank
 
     ev = load_table(spark, sf_dir, "events")

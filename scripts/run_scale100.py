@@ -59,6 +59,21 @@ KEEP = {
     "q_llm_lsh_topk",
 }
 
+# r17 one-round additions (r16 verdict tasks 4 and 6): these are not in
+# bench.SCALE_PROBE_OPS (the per-bench 10x probe stays as-is); they are
+# injected for THIS battery only. bigram_nll demonstrates the r16
+# deleted corpus scan at the 100x point (executed scan passes 4 -> 3 at
+# identical shuffle was the sf0.1 evidence; the battery row pins the
+# wall/shuffle envelope). jl_projection and prototypicality pin the
+# per-row scaling claim of the r16 literal->Arrow rewrites (flat
+# shuffle, ~linear wall).
+R17_EXTRA = {
+    "q_llm_bigram_nll": "documents",
+    "q_llm_jl_projection": "embeddings",
+    "q_llm_prototypicality": "embeddings",
+}
+KEEP = KEEP | set(R17_EXTRA)
+
 
 def _upcoming_round() -> int:
     prior = [
@@ -171,6 +186,7 @@ def main() -> None:
 
     saved = dict(bench.SCALE_PROBE_OPS)
     try:
+        bench.SCALE_PROBE_OPS.update(R17_EXTRA)
         for k in list(bench.SCALE_PROBE_OPS):
             if k not in KEEP:
                 del bench.SCALE_PROBE_OPS[k]
