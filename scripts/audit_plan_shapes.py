@@ -150,8 +150,13 @@ KNOWN_BENIGN: dict[str, dict[str, tuple[int, str]]] = {
     "q_llm_contamination_probe": {_B: (1, _2PHASE)},
     "q_llm_dedup_kept_check": {_S: (4, _BOUNDED_AUDIT)},
     "q_llm_domain_blocklist_cap": {_B: (1, _2PHASE)},
-    "q_llm_dsir_scores": {_B: (1, _MODEL), _S: (2, _SCALAR)},
-    "q_llm_dsir_select": {_B: (1, _MODEL), _S: (2, _SCALAR)},
+    # r17: caps tightened 2 -> 1 after two consecutive rounds under cap
+    # (the r16 single-pass model build deleted one of the two 1-row
+    # totals aggregates; the standing triage rule says an allowance
+    # drifting under its cap for two rounds must shrink to the shape
+    # the code now produces)
+    "q_llm_dsir_scores": {_B: (1, _MODEL), _S: (1, _SCALAR)},
+    "q_llm_dsir_select": {_B: (1, _MODEL), _S: (1, _SCALAR)},
     "q_llm_incremental_dedup_check": {_B: (1, _2PHASE)},
     "q_llm_ivf_recall": {_B: (1, _BOUNDED_AUDIT), _S: (2, _BOUNDED_AUDIT)},
     "q_llm_ivfadc_search": {_B: (1, _MODEL)},
